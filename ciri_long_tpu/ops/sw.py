@@ -1,0 +1,186 @@
+"""Batched affine-gap local alignment (Smith-Waterman) for TPU.
+
+Replaces the reference's vendored striped-SSW C library
+(libs/striped_smith_waterman/ssw.c: sw_sse2_byte ssw.c:123, sw_sse2_word
+ssw.c:371, reverse-pass begin search ssw.c:836-849) with a fixed-shape,
+batched JAX program.
+
+TPU-first dataflow
+------------------
+The SSE2 "striped" lane trick (ssw.c:95-98) exists because a CPU vector is
+128 bits.  On TPU the whole *reference axis* is the vector: we scan over
+query rows (the short sequence) and update an entire [B, Lr] row of DP
+cells per step on the VPU.  The within-row affine-gap dependency
+(E[j] = max(E[j-1]-gE, H[j-1]-gO)) is resolved without a serial loop using
+the prefix-max identity
+
+    E[j] = max_{k<j} (H'[k] + k*gE) - gO - (j-1)*gE
+
+which is a single ``lax.cummax``.  Restricting E donors to H' (the row
+values *before* adding E) is exact whenever gap_open >= gap_extend: routing
+a gap through another gap's endpoint always costs an extra (gO - gE) >= 0
+compared to extending the original gap.  All scoring schemes used by the
+pipeline (1/1/1/1 clip re-alignment, 10/4/8/2 junction curation) satisfy
+this; it is asserted at trace time.
+
+Scoring semantics match ssw_wrap.py:150-161: match/mismatch over A,C,G,T;
+N (code 4) scores 0 against everything.  PAD (code 5) rows/columns are
+poisoned with a large negative score so padded batch elements never win.
+
+A gap of length L costs gap_open + (L-1)*gap_extend (ssw.c:229-239).
+
+Returned coordinates use the SSW convention: ``*_begin``/``*_end`` are
+0-based inclusive indices of the first/last aligned base.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(-(1 << 28))
+
+
+class SWParams(NamedTuple):
+    match: int = 1
+    mismatch: int = 1
+    gap_open: int = 1
+    gap_extend: int = 1
+
+
+def _pair_score(q_codes, r_codes, match, mismatch):
+    """Score of aligning query base codes against ref base codes.
+
+    q_codes: [B, 1] broadcast against r_codes [B, Lr].
+    N (4) scores 0; PAD (5) poisons the cell.
+    """
+    is_n = (q_codes == 4) | (r_codes == 4)
+    is_pad = (q_codes >= 5) | (r_codes >= 5)
+    s = jnp.where(q_codes == r_codes, jnp.int32(match), jnp.int32(-mismatch))
+    s = jnp.where(is_n, jnp.int32(0), s)
+    return jnp.where(is_pad, NEG, s)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def sw_score_ends(query, ref, params: SWParams):
+    """Batched SW score + end coordinates.
+
+    Args:
+      query: int8/int32 [B, Lq] encoded (A0 C1 G2 T3 N4 PAD5).
+      ref:   int8/int32 [B, Lr].
+      params: SWParams (static).
+
+    Returns:
+      score [B] int32, q_end [B] int32, r_end [B] int32 -- inclusive end
+      positions of the optimal local alignment; (-1, -1) and score 0 when no
+      positive-scoring cell exists.  Ties resolved by smallest r_end, then
+      smallest q_end (the reference SSW keeps the earliest reference end,
+      ssw.c:262-270).
+    """
+    assert params.gap_open >= params.gap_extend, (
+        "prefix-scan affine-gap formulation requires gap_open >= gap_extend")
+    B, Lq = query.shape
+    _, Lr = ref.shape
+    q = query.astype(jnp.int32)
+    r = ref.astype(jnp.int32)
+    gO = jnp.int32(params.gap_open)
+    gE = jnp.int32(params.gap_extend)
+
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, Lr), 1)
+
+    def row_step(carry, q_col):
+        H_prev, F_prev, best, best_j, best_i, i = carry
+        s = _pair_score(q_col[:, None], r, params.match, params.mismatch)
+
+        # F: gap consuming query chars (vertical), from previous row.
+        F = jnp.maximum(F_prev - gE, H_prev - gO)
+
+        # Diagonal: H_prev shifted right by one (j=0 sees empty prefix = 0).
+        H_diag = jnp.pad(H_prev[:, :-1], ((0, 0), (1, 0)))
+        H0 = jnp.maximum(jnp.maximum(H_diag + s, F), 0)
+
+        # E: gap consuming ref chars (horizontal), within this row, via
+        # prefix max of (H0[k] + k*gE).
+        p = jax.lax.cummax(H0 + j_idx * gE, axis=1)
+        p_shift = jnp.pad(p[:, :-1], ((0, 0), (1, 0)), constant_values=int(NEG))
+        E = p_shift - gO - (j_idx - 1) * gE
+        H = jnp.maximum(H0, E)
+
+        # Track best (score desc, r_end asc, q_end asc).
+        row_best = jnp.max(H, axis=1)
+        row_j = jnp.argmax(H == row_best[:, None], axis=1).astype(jnp.int32)
+        better = (row_best > best) | ((row_best == best) & (row_j < best_j))
+        best_new = jnp.where(better, row_best, best)
+        best_j_new = jnp.where(better, row_j, best_j)
+        best_i_new = jnp.where(better, i, best_i)
+        return (H, F, best_new, best_j_new, best_i_new, i + 1), None
+
+    H0 = jnp.zeros((B, Lr), jnp.int32)
+    F0 = jnp.full((B, Lr), NEG, jnp.int32)
+    init = (H0, F0, jnp.zeros(B, jnp.int32),
+            jnp.full(B, Lr, jnp.int32), jnp.full(B, -1, jnp.int32),
+            jnp.int32(0))
+    (_, _, best, best_j, best_i, _), _ = jax.lax.scan(
+        row_step, init, jnp.transpose(q))
+
+    none = best <= 0
+    score = jnp.where(none, 0, best)
+    q_end = jnp.where(none, -1, best_i)
+    r_end = jnp.where(none, -1, best_j)
+    return score, q_end, r_end
+
+
+class SWResult(NamedTuple):
+    """Mirrors the fields of the reference PyAlignRes (ssw_wrap.py:267-379)."""
+    score: np.ndarray
+    query_begin: np.ndarray
+    query_end: np.ndarray
+    ref_begin: np.ndarray
+    ref_end: np.ndarray
+
+
+def sw_align_batch(query, ref, params: SWParams) -> SWResult:
+    """Batched SW with begin *and* end coordinates.
+
+    Forward pass finds score and (q_end, r_end); a second pass on the
+    reversed prefixes finds the begins -- the same strategy as the
+    reference's reverse-pass (ssw.c:836-849), but batched: all reversals
+    happen as one gather on device.
+
+    Inputs are [B, Lq] / [B, Lr] padded arrays (np or jnp).
+    """
+    query = jnp.asarray(query)
+    ref = jnp.asarray(ref)
+    B, Lq = query.shape
+    _, Lr = ref.shape
+
+    score, q_end, r_end = sw_score_ends(query, ref, params)
+
+    # Build reversed prefixes ending at (q_end, r_end):
+    #   rq[b, t] = query[b, q_end - t]  for t <= q_end else PAD
+    rq = _reverse_prefix(query, q_end, Lq)
+    rr = _reverse_prefix(ref, r_end, Lr)
+    score2, q_off, r_off = sw_score_ends(rq, rr, params)
+
+    q_begin = q_end - q_off
+    r_begin = r_end - r_off
+    none = score <= 0
+    return SWResult(
+        score=np.asarray(score),
+        query_begin=np.asarray(jnp.where(none, -1, q_begin)),
+        query_end=np.asarray(q_end),
+        ref_begin=np.asarray(jnp.where(none, -1, r_begin)),
+        ref_end=np.asarray(r_end),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _reverse_prefix(x, end, L):
+    """x[b, end[b] - t] for t in [0, L); positions past the prefix -> PAD."""
+    t = jnp.arange(L)[None, :]
+    idx = end[:, None] - t
+    valid = idx >= 0
+    gathered = jnp.take_along_axis(x, jnp.clip(idx, 0, L - 1), axis=1)
+    return jnp.where(valid, gathered, jnp.asarray(5, x.dtype))

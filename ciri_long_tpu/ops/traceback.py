@@ -1,0 +1,229 @@
+"""Host-side traceback DP for cigar generation.
+
+The device kernels (ops/sw.py) produce scores and coordinates for the bulk
+filtering decisions; cigars are only materialised for the few survivors
+(e.g. the ~100 bp junction-window alignment whose cigar feeds
+find_alignment_pos, reference collapse.py:373-382, align.py:799-820).
+These windows are tiny, and cigar strings are variable-length host objects,
+so the traceback runs in numpy on host -- the analog of the reference's
+``banded_sw`` (ssw.c:548-735) which likewise re-runs a small banded DP on
+CPU after the SIMD score pass.
+
+Cigar operations follow align.py:11-30: 0=M 1=I 2=D 3=N 4=S (I consumes
+query, D/N consume reference).
+"""
+
+from typing import List, Tuple
+
+import numpy as np
+
+NEG = -(1 << 28)
+
+
+def _score_matrix(match, mismatch):
+    m = np.full((6, 6), -mismatch, np.int32)
+    np.fill_diagonal(m, match)
+    m[4, :] = 0
+    m[:, 4] = 0
+    m[5, :] = NEG
+    m[:, 5] = NEG
+    return m
+
+
+def sw_traceback(q: np.ndarray, r: np.ndarray, match=1, mismatch=1,
+                 gap_open=1, gap_extend=1):
+    """Full affine-gap local alignment with traceback.
+
+    Args: encoded int arrays (codes 0..4).
+    Returns (score, q_begin, q_end, r_begin, r_end, cigar) with inclusive
+    ends and cigar a list of (length, op) covering q_begin..q_end (no
+    soft-clips included).
+    Returns None when no positive-scoring cell exists.
+    """
+    q = np.asarray(q, np.int32)
+    r = np.asarray(r, np.int32)
+    n, m = len(q), len(r)
+    if n == 0 or m == 0:
+        return None
+    S = _score_matrix(match, mismatch)
+    sub = S[q[:, None], r[None, :]]  # [n, m]
+
+    H = np.zeros((n + 1, m + 1), np.int32)
+    E = np.full((n + 1, m + 1), NEG, np.int32)   # gap in ref direction (consumes r)
+    F = np.full((n + 1, m + 1), NEG, np.int32)   # gap consuming q
+    for i in range(1, n + 1):
+        E[i, 1:] = 0  # filled in loop
+        e = NEG
+        Hrow_m1 = H[i - 1]
+        Frow = np.maximum(F[i - 1, 1:] - gap_extend, Hrow_m1[1:] - gap_open)
+        F[i, 1:] = Frow
+        diag = Hrow_m1[:-1] + sub[i - 1]
+        h = np.maximum(np.maximum(diag, Frow), 0)
+        # E within-row: sequential but vectorized via prefix-max identity
+        jj = np.arange(m)
+        p = np.maximum.accumulate(h + jj * gap_extend)
+        Erow = np.empty(m, np.int32)
+        Erow[0] = NEG
+        Erow[1:] = p[:-1] - gap_open - (jj[1:] - 1) * gap_extend
+        E[i, 1:] = Erow
+        H[i, 1:] = np.maximum(h, Erow)
+
+    score = int(H.max())
+    if score <= 0:
+        return None
+    # earliest ref end, then earliest query end among max cells
+    cells = np.argwhere(H == score)
+    cells = cells[np.lexsort((cells[:, 0], cells[:, 1]))]
+    i_end, j_end = int(cells[0][0]), int(cells[0][1])
+
+    # Traceback by local recomputation of which move produced each cell.
+    ops: List[Tuple[int, int]] = []
+    i, j = i_end, j_end
+
+    def push(op):
+        if ops and ops[-1][1] == op:
+            ops[-1] = (ops[-1][0] + 1, op)
+        else:
+            ops.append((1, op))
+
+    state = 'H'
+    while i > 0 and j > 0:
+        if state == 'H':
+            if H[i, j] == 0:
+                break
+            if H[i, j] == H[i - 1, j - 1] + sub[i - 1, j - 1]:
+                push(0); i -= 1; j -= 1
+            elif H[i, j] == E[i, j]:
+                state = 'E'
+            elif H[i, j] == F[i, j]:
+                state = 'F'
+            else:  # should not happen
+                break
+        elif state == 'E':
+            push(2)
+            stay = j > 1 and E[i, j] == E[i, j - 1] - gap_extend and \
+                E[i, j] != H[i, j - 1] - gap_open
+            j -= 1
+            if not stay:
+                state = 'H'
+        else:
+            push(1)
+            stay = i > 1 and F[i, j] == F[i - 1, j] - gap_extend and \
+                F[i, j] != H[i - 1, j] - gap_open
+            i -= 1
+            if not stay:
+                state = 'H'
+    ops.reverse()
+    return score, i, i_end - 1, j, j_end - 1, ops
+
+
+def cigar_to_string(cigar) -> str:
+    table = 'MIDNSHP=X'
+    return ''.join('{}{}'.format(l, table[op]) for l, op in cigar)
+
+
+def banded_global_cigar(q: np.ndarray, r: np.ndarray, band=None,
+                        match=2, mismatch=4, gap_open=4, gap_extend=2):
+    """Banded global (Needleman-Wunsch) alignment with affine gaps.
+
+    Used by the seed-chain aligner to stitch the inter-anchor gaps into a
+    cigar (the role minimap2's ksw2 extension plays for the reference's
+    mappy hits).  Band defaults to |len(q) - len(r)| + 16, doubled until the
+    optimum is stable -- the reference's banded_sw uses the same
+    band-doubling idea (ssw.c:571-633).
+
+    Returns (score, cigar) aligning ALL of q to ALL of r.
+    """
+    q = np.asarray(q, np.int32)
+    r = np.asarray(r, np.int32)
+    n, m = len(q), len(r)
+    if n == 0:
+        return 0, ([(m, 2)] if m else [])
+    if m == 0:
+        return 0, [(n, 1)]
+    if band is None:
+        band = abs(n - m) + 16
+    S = _score_matrix(match, mismatch)
+
+    while True:
+        res = _banded_nw(q, r, band, S, gap_open, gap_extend)
+        if res is not None:
+            score, cigar = res
+            if band >= max(n, m):
+                return score, cigar
+            # verify stability by doubling once
+            res2 = _banded_nw(q, r, min(2 * band, max(n, m)), S, gap_open, gap_extend)
+            if res2 is not None and res2[0] == score:
+                return score, cigar
+            band = min(2 * band, max(n, m))
+            if res2 is not None and band >= max(n, m):
+                return res2
+        else:
+            band *= 2
+            if band > max(n, m) + 1:
+                band = max(n, m)
+
+
+def _banded_nw(q, r, band, S, gap_open, gap_extend):
+    n, m = len(q), len(r)
+    H = np.full((n + 1, m + 1), NEG, np.int64)
+    E = np.full((n + 1, m + 1), NEG, np.int64)
+    F = np.full((n + 1, m + 1), NEG, np.int64)
+    H[0, 0] = 0
+    top = min(m, band)
+    H[0, 1:top + 1] = -gap_open - (np.arange(top)) * gap_extend
+    E[0, 1:top + 1] = H[0, 1:top + 1]
+    for i in range(1, n + 1):
+        lo = max(1, i - band)
+        hi = min(m, i + band)
+        if lo > hi:
+            return None
+        if i - band <= 0:
+            H[i, 0] = -gap_open - (i - 1) * gap_extend
+            F[i, 0] = H[i, 0]
+        for j in range(lo, hi + 1):
+            e = max(E[i, j - 1] - gap_extend, H[i, j - 1] - gap_open)
+            f = max(F[i - 1, j] - gap_extend, H[i - 1, j] - gap_open)
+            h = max(H[i - 1, j - 1] + S[q[i - 1], r[j - 1]], e, f)
+            E[i, j] = e
+            F[i, j] = f
+            H[i, j] = h
+    if H[n, m] <= NEG // 2:
+        return None
+
+    ops = []
+    i, j = n, m
+
+    def push(op):
+        if ops and ops[-1][1] == op:
+            ops[-1] = (ops[-1][0] + 1, op)
+        else:
+            ops.append((1, op))
+
+    state = 'H'
+    while i > 0 or j > 0:
+        if state == 'H':
+            if j > 0 and H[i, j] == E[i, j]:
+                state = 'E'
+            elif i > 0 and H[i, j] == F[i, j]:
+                state = 'F'
+            elif i > 0 and j > 0:
+                push(0); i -= 1; j -= 1
+            elif j > 0:
+                push(2); j -= 1
+            else:
+                push(1); i -= 1
+        elif state == 'E':
+            push(2)
+            stay = j > 1 and E[i, j] == E[i, j - 1] - gap_extend
+            j -= 1
+            if not stay:
+                state = 'H'
+        else:
+            push(1)
+            stay = i > 1 and F[i, j] == F[i - 1, j] - gap_extend
+            i -= 1
+            if not stay:
+                state = 'H'
+    ops.reverse()
+    return int(H[n, m]), ops

@@ -1,0 +1,122 @@
+"""Sequence primitives shared between host Python and device kernels.
+
+Encoding: A=0 C=1 G=2 T=3, anything else (N, IUPAC ambiguity, lowercase
+soft-mask is upper-cased first) = 4.  Code 4 scores 0 against everything in
+the alignment kernels, matching the reference SSW wrapper's 5x5 matrix with
+a zero N row/column (ssw_wrap.py:150-161).  PAD=5 marks positions beyond a
+read's length in fixed-shape batches; kernels mask it out entirely.
+
+Behavioral parity targets (reference file:line):
+  revcomp            utils.py:118-120  (maps via ATCG->TAGC then reverse --
+                     note the reference leaves N and lowercase untouched)
+  transform_seq      utils.py:123-124
+  get_junc_seq       utils.py:127-140
+  compress_seq       utils.py:162-167  (homopolymer compression)
+"""
+
+import numpy as np
+
+A, C, G, T, N, PAD = 0, 1, 2, 3, 4, 5
+
+# host encode/decode tables
+_ENCODE = np.full(256, 4, dtype=np.int8)
+for _i, _b in enumerate("ACGT"):
+    _ENCODE[ord(_b)] = _i
+    _ENCODE[ord(_b.lower())] = _i
+_ENCODE_BYTES = _ENCODE.tobytes()
+
+_DECODE = np.frombuffer(b"ACGTN?", dtype=np.uint8)
+
+# revcomp translation identical to the reference's
+# str.maketrans("ATCG", "TAGC") (utils.py:119): bases other than ATCG
+# (including N and lowercase) pass through unchanged.
+_REVCOMP_TRANS = bytes.maketrans(b"ATCG", b"TAGC")
+
+
+def encode_seq(seq: str) -> np.ndarray:
+    """Encode an ASCII sequence into int8 codes (A0 C1 G2 T3 other4)."""
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    return _ENCODE[raw]
+
+
+def decode_seq(codes: np.ndarray) -> str:
+    """Decode int8 codes back into an ACGTN string (PAD -> '?')."""
+    codes = np.asarray(codes)
+    return _DECODE[np.clip(codes, 0, 5)].tobytes().decode("ascii")
+
+
+def revcomp(seq: str) -> str:
+    """Reverse complement, reference-parity (utils.py:118-120)."""
+    return seq.translate(_REVCOMP_TRANS)[::-1]
+
+
+def revcomp_encoded(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement of encoded codes; N/PAD map to themselves."""
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.int8)
+    return comp[codes][::-1]
+
+
+def transform_seq(seq, bsj):
+    """Rotate a circular sequence so position ``bsj`` becomes the origin
+    (utils.py:123-124).  Works for str and np arrays alike."""
+    if isinstance(seq, str):
+        return seq[bsj:] + seq[:bsj]
+    return np.concatenate([seq[bsj:], seq[:bsj]])
+
+
+def get_junc_seq(seq: str, bsj: int, width: int = 25) -> str:
+    """Junction window with circular wraparound (utils.py:127-140)."""
+    st, en = bsj - width, bsj + width
+    if len(seq) <= 2 * width:
+        return seq[bsj - len(seq) // 2:] + seq[:bsj - len(seq) // 2]
+
+    if st < 0:
+        if en < 0:
+            return seq[st:en]
+        return seq[st:] + seq[:en]
+    if en > len(seq):
+        return seq[st:] + seq[:en - len(seq)]
+    return seq[st:en]
+
+
+def compress_seq(seq: str) -> str:
+    """Homopolymer compression (utils.py:162-167)."""
+    if not seq:
+        return seq
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    keep = np.empty(len(raw), dtype=bool)
+    keep[0] = True
+    np.not_equal(raw[1:], raw[:-1], out=keep[1:])
+    return raw[keep].tobytes().decode("ascii")
+
+
+def pad_encoded(seqs, max_len=None, pad_value=PAD, dtype=np.int8):
+    """Stack variable-length encoded sequences into a [B, Lmax] batch plus a
+    length vector.  This is the host->device packaging used by every batched
+    kernel (replaces the reference's per-read native calls)."""
+    if max_len is None:
+        max_len = max((len(s) for s in seqs), default=0)
+    out = np.full((len(seqs), max_len), pad_value, dtype=dtype)
+    lens = np.zeros(len(seqs), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        s = np.asarray(s, dtype=dtype)
+        n = min(len(s), max_len)
+        out[i, :n] = s[:n]
+        lens[i] = n
+    return out, lens
+
+
+def bucket_lengths(lengths, ladder=(256, 512, 1024, 2048, 4096, 8192, 16384, 32768)):
+    """Map each length to the smallest ladder bucket that fits; lengths above
+    the ladder round up to the next power of two.  Length bucketing bounds
+    padding waste without recompiling per shape (SURVEY.md §7 'hard parts')."""
+    out = []
+    for n in lengths:
+        for b in ladder:
+            if n <= b:
+                out.append(b)
+                break
+        else:
+            b = 1 << int(np.ceil(np.log2(max(n, 1))))
+            out.append(b)
+    return out

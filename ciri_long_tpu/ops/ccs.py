@@ -1,0 +1,205 @@
+"""Cyclic consensus (CCS) detection: tandem-repeat finding + unit consensus.
+
+Replaces the pyccs Rust wheel (reference find_ccs.py:8-17).  Contract
+(SURVEY.md §3.5): ``find_consensus(seq) -> (segments, ccs)`` where
+``segments`` is a ';'-joined list of 'start-end' spans of the repeat units
+in read coordinates and ``ccs`` is the consensus of the units, or
+``(None, None)`` when the read is not a tandem repeat.  The reference
+parses the span string at find_bsj.py:254-255,381-382 and requires the
+consensus to be length-consistent with a POA over the true units
+(tests/test_poa.py:19-32).
+
+Algorithm (alignment-free period estimation + POA polish):
+  1. k-mer lag voting: every pair of consecutive occurrences of the same
+     k-mer votes for its distance.  In a rolling-circle read the unit
+     period dominates the vote; indel drift is absorbed by clustering the
+     votes with a relative tolerance window.
+  2. anchor skeleton: the k-mer whose occurrence list best fits an
+     arithmetic progression with the elected period becomes the segment
+     anchor; missing units are interpolated, partial head/tail units kept.
+  3. consensus: POA (ops/poa.py, spoa 10/-4/-8/-2/-24/-1 scoring) over the
+     full-length units.
+
+Stage 1 is O(L log L) host numpy (sort + windowed counting) -- cheap next
+to consensus.  The batched consensus POA and every downstream alignment
+ride the TPU kernels.
+"""
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ciri_long_tpu.ops.poa import poa
+from ciri_long_tpu.utils.seq import decode_seq, encode_seq
+
+K = 11                 # k-mer size for lag voting
+MIN_PERIOD = 30        # circRNAs shorter than ~30 bp are dropped anyway
+MIN_UNITS = 2.0        # need at least ~2 copies to call a repeat
+MAX_POA_UNITS = 24     # cap consensus cost on very deep rolling circles
+
+
+def _kmer_codes(codes: np.ndarray, k: int = K) -> Tuple[np.ndarray, np.ndarray]:
+    """Packed k-mer integer codes and their start positions; k-mers touching
+    a non-ACGT base are dropped."""
+    L = len(codes)
+    if L < k:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    valid = codes < 4
+    ok = np.ones(L - k + 1, bool)
+    # a k-mer is valid iff all k bases are valid
+    bad = ~valid
+    if bad.any():
+        cs = np.concatenate([[0], np.cumsum(bad)])
+        ok = (cs[k:] - cs[:-k]) == 0
+    pw = (4 ** np.arange(k, dtype=np.int64))
+    km = np.zeros(L - k + 1, np.int64)
+    c64 = codes.astype(np.int64)
+    for t in range(k):
+        km += np.where(ok, c64[t:L - k + 1 + t], 0) * pw[t]
+    pos = np.nonzero(ok)[0]
+    return km[pos], pos
+
+
+def _lag_votes(km: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Distances between consecutive occurrences of identical k-mers."""
+    if len(km) < 2:
+        return np.zeros(0, np.int64)
+    order = np.lexsort((pos, km))
+    km_s, pos_s = km[order], pos[order]
+    same = km_s[1:] == km_s[:-1]
+    lags = pos_s[1:] - pos_s[:-1]
+    return lags[same & (lags >= MIN_PERIOD)]
+
+
+def _elect_period(lags: np.ndarray, L: int) -> Optional[int]:
+    """Cluster lag votes with a relative window; return the fundamental
+    period, or None when support is too weak."""
+    if len(lags) == 0:
+        return None
+    lags = np.sort(lags)
+    # support(l) = #votes within [0.94*l - 4, 1.06*l + 4]
+    lo = np.searchsorted(lags, 0.94 * lags - 4, side='left')
+    hi = np.searchsorted(lags, 1.06 * lags + 4, side='right')
+    support = hi - lo
+    best = int(support.max())
+    min_support = max(8, 0.05 * L)
+    if best < min_support:
+        return None
+    # prefer the smallest lag cluster whose support is close to the best
+    # (the fundamental period rather than its harmonics)
+    good = support >= max(min_support, 0.55 * best)
+    cand = lags[good]
+    cand_sup = support[good]
+    p = int(cand[0])
+    # a harmonic check: if ~half of p also clears the bar, it IS the
+    # fundamental and the loop above already picked it (cand is sorted)
+    # refine: median of the elected cluster
+    sel = lags[(lags >= 0.94 * p - 4) & (lags <= 1.06 * p + 4)]
+    del cand_sup
+    return int(np.median(sel))
+
+
+def _anchor_boundaries(km, pos, period: int, L: int):
+    """Pick the anchor k-mer and lay out unit boundaries across the read."""
+    order = np.lexsort((pos, km))
+    km_s, pos_s = km[order], pos[order]
+    # run-length encode k-mer groups
+    starts = np.nonzero(np.concatenate([[True], km_s[1:] != km_s[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(km_s)]])
+    tol = max(6, int(0.08 * period))
+
+    best_score, best_occ = -1, None
+    for s, e in zip(starts, ends):
+        occ = pos_s[s:e]
+        if len(occ) < 2:
+            continue
+        d = np.diff(occ)
+        score = int(np.sum(np.abs(d - period) <= tol))
+        if score > best_score or (score == best_score and best_occ is not None
+                                  and occ[0] < best_occ[0]):
+            best_score, best_occ = score, occ
+    if best_occ is None or best_score < 1:
+        return None
+
+    # keep the longest chain of period-spaced occurrences
+    occ = [int(best_occ[0])]
+    for x in best_occ[1:]:
+        gap = int(x) - occ[-1]
+        if gap < 0.5 * period:
+            continue
+        occ.append(int(x))
+
+    # phase-align the skeleton to the read origin so the first unit starts
+    # at 0 (pyccs convention: segments '0-145;145-289;...'); the relative
+    # anchor spacing still carries the indel drift correction
+    shift = occ[0] % period
+    occ = [x - shift for x in occ]
+
+    # interpolate missing boundaries in big gaps
+    bs = [occ[0]]
+    for x in occ[1:]:
+        base = bs[-1]
+        gap = x - base
+        m = int(round(gap / period))
+        if m >= 2 and abs(gap - m * period) <= m * tol:
+            step = gap / m
+            for t in range(1, m):
+                bs.append(int(round(base + t * step)))
+        bs.append(x)
+
+    # extend left to the read start
+    while bs[0] >= 0.75 * period:
+        bs.insert(0, max(0, bs[0] - period))
+    if 0 < bs[0] < 0.25 * period:
+        bs[0] = 0
+    elif bs[0] > 0:
+        bs.insert(0, 0)
+    # extend right to the read end
+    while L - bs[-1] >= 1.25 * period:
+        bs.append(bs[-1] + period)
+    if L - bs[-1] >= 15:
+        bs.append(L)
+    else:
+        bs[-1] = L
+    return bs
+
+
+def find_consensus(seq, k: int = K):
+    """Tandem-repeat detection + cyclic consensus.
+
+    Accepts an ASCII string (returns str results, pyccs-compatible) or an
+    int8 code array (returns arrays).
+    """
+    as_str = isinstance(seq, str)
+    codes = encode_seq(seq) if as_str else np.asarray(seq, np.int8)
+    L = len(codes)
+    if L < 2 * MIN_PERIOD:
+        return None, None
+
+    km, pos = _kmer_codes(codes, k)
+    lags = _lag_votes(km, pos)
+    # only periods that fit at least MIN_UNITS copies matter
+    lags = lags[lags <= L / MIN_UNITS]
+    period = _elect_period(lags, L)
+    if period is None or L < MIN_UNITS * period:
+        return None, None
+
+    bs = _anchor_boundaries(km, pos, period, L)
+    if bs is None or len(bs) < 3:
+        return None, None
+
+    segments = list(zip(bs[:-1], bs[1:]))
+    units = [(st, en) for st, en in segments
+             if 0.75 * period <= en - st <= 1.35 * period]
+    if len(units) < 2:
+        return None, None
+
+    poa_units = units[:MAX_POA_UNITS]
+    cons, _ = poa([codes[st:en] for st, en in poa_units])
+    if len(cons) < MIN_PERIOD:
+        return None, None
+
+    seg_str = ';'.join('{}-{}'.format(st, en) for st, en in segments)
+    if as_str:
+        return seg_str, decode_seq(cons)
+    return seg_str, cons

@@ -1,0 +1,81 @@
+"""Tandem-repeat / cyclic-consensus detection tests (pyccs contract,
+reference find_ccs.py:14-17 and tests/test_poa.py:19-32)."""
+
+import numpy as np
+
+from ciri_long_tpu.ops.ccs import find_consensus
+from ciri_long_tpu.ops.edit import edit_distance
+from tests.test_poa import SEGMENTS, mutate
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def test_reference_tandem_read():
+    """The reference's own 6-segment rolling-circle read: consensus length
+    must match the unit length (~144) and the segments must span the read
+    (find_bsj.py:254-256 uses first/last span extents)."""
+    raw = "".join(SEGMENTS)
+    segments, ccs = find_consensus(raw)
+    assert segments is not None and ccs is not None
+    spans = [tuple(map(int, s.split('-'))) for s in segments.split(';')]
+    assert spans[0][0] == 0
+    assert spans[-1][1] >= len(raw) - 20
+    assert all(b > a for a, b in spans)
+    assert all(spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
+    assert abs(len(ccs) - 144) <= 7
+    d = min(edit_distance(ccs, s) for s in SEGMENTS[:5])
+    assert d <= 10
+
+
+def test_random_read_is_not_a_repeat(rng):
+    for n in (200, 1000, 5000):
+        seq = rand_seq(rng, n)
+        segments, ccs = find_consensus(seq)
+        assert segments is None and ccs is None, n
+
+
+def test_two_copy_repeat_detected(rng):
+    unit = rand_seq(rng, 300)
+    read = unit + unit
+    segments, ccs = find_consensus(read)
+    assert segments is not None
+    assert abs(len(ccs) - 300) <= 5
+    assert edit_distance(ccs, unit) <= 3
+
+
+def test_noisy_rolling_circle(rng):
+    unit = rand_seq(rng, 180)
+    read = "".join(mutate(rng, unit, sub=0.03, ins=0.02, dele=0.02)
+                   for _ in range(6))
+    segments, ccs = find_consensus(read)
+    assert segments is not None
+    assert abs(len(ccs) - 180) <= 12
+    assert edit_distance(ccs, unit) <= 15
+
+
+def test_rotated_phase(rng):
+    """Reads rarely start at a unit boundary; the consensus is then a
+    rotation of the unit -- its doubled self must contain the unit well."""
+    unit = rand_seq(rng, 150)
+    read = unit[73:] + unit * 4 + unit[:50]
+    segments, ccs = find_consensus(read)
+    assert segments is not None
+    assert abs(len(ccs) - 150) <= 5
+    doubled = ccs + ccs
+    best = min(edit_distance(doubled[i:i + 150], unit) for i in range(151))
+    assert best <= 3
+
+
+def test_linear_mrna_like_read(rng):
+    """A read with a single internal duplication must NOT become a CCS call
+    spanning the read."""
+    a, b, c = rand_seq(rng, 400), rand_seq(rng, 60), rand_seq(rng, 400)
+    read = a + b + c
+    segments, ccs = find_consensus(read)
+    assert segments is None
+
+
+def test_short_read_rejected():
+    assert find_consensus("ACGT" * 10) == (None, None)

@@ -1,0 +1,112 @@
+"""Reference genome access.
+
+Replaces the reference's pysam/htslib Faidx (align.py:184-207) and the
+whole-genome dict Fasta (align.py:210-223) with one packed representation:
+all contigs concatenated into a single int8 code array (A0 C1 G2 T3 N4)
+plus per-contig offsets.  String fetches for the host-side splice-signal
+search decode on demand; device kernels slice the code array directly, so
+the genome is encoded exactly once per process instead of once per fetch.
+"""
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ciri_long_tpu.io.fastx import _open_any
+from ciri_long_tpu.utils.seq import decode_seq, encode_seq
+
+
+class Genome:
+    """seq()/contig_len API shared by Faidx and Fasta in the reference."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.names: List[str] = []
+        self.offsets: Dict[str, int] = {}
+        self.contig_len: Dict[str, int] = {}
+        self.codes = np.zeros(0, np.int8)
+        if path is not None:
+            self._load(path)
+
+    @classmethod
+    def from_dict(cls, contigs: Dict[str, str]) -> "Genome":
+        g = cls()
+        chunks = []
+        off = 0
+        for name, seq in contigs.items():
+            g.names.append(name)
+            g.offsets[name] = off
+            g.contig_len[name] = len(seq)
+            chunks.append(encode_seq(seq))
+            off += len(seq)
+        g.codes = (np.concatenate(chunks) if chunks else np.zeros(0, np.int8))
+        return g
+
+    def _load(self, path: str):
+        name, chunks = None, []
+        all_chunks = []
+        off = 0
+        with _open_any(path) as f:
+            for line in f:
+                line = line.rstrip()
+                if line.startswith('>'):
+                    if name is not None:
+                        seq = ''.join(chunks)
+                        self.names.append(name)
+                        self.offsets[name] = off
+                        self.contig_len[name] = len(seq)
+                        all_chunks.append(encode_seq(seq))
+                        off += len(seq)
+                    name = line[1:].split()[0]
+                    chunks = []
+                else:
+                    chunks.append(line)
+            if name is not None:
+                seq = ''.join(chunks)
+                self.names.append(name)
+                self.offsets[name] = off
+                self.contig_len[name] = len(seq)
+                all_chunks.append(encode_seq(seq))
+        self.codes = (np.concatenate(all_chunks) if all_chunks
+                      else np.zeros(0, np.int8))
+
+    # --- reference-parity string API (align.py:203-204,220-223) ---
+    def seq(self, contig: str, start: int, end: int) -> Optional[str]:
+        if contig not in self.offsets:
+            return None
+        n = self.contig_len[contig]
+        start = max(0, start)
+        end = min(n, end)
+        if end <= start:
+            return ''
+        off = self.offsets[contig]
+        return decode_seq(self.codes[off + start:off + end])
+
+    # --- device-facing API ---
+    def codes_of(self, contig: str, start: int, end: int) -> Optional[np.ndarray]:
+        if contig not in self.offsets:
+            return None
+        n = self.contig_len[contig]
+        start = max(0, start)
+        end = min(n, end)
+        off = self.offsets[contig]
+        return self.codes[off + start:off + end]
+
+    def global_pos(self, contig: str, pos: int) -> int:
+        return self.offsets[contig] + pos
+
+    def locate(self, gpos: int):
+        """Global position -> (contig, local position)."""
+        if not self.names:
+            return None, -1
+        starts = getattr(self, "_starts", None)
+        if starts is None or len(starts) != len(self.names):
+            starts = np.array([self.offsets[n] for n in self.names], np.int64)
+            self._starts = starts
+        i = int(np.searchsorted(starts, gpos, side='right')) - 1
+        if i < 0:
+            return None, -1
+        name = self.names[i]
+        local = gpos - self.offsets[name]
+        if local >= self.contig_len[name]:
+            return None, -1
+        return name, local

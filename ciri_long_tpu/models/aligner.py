@@ -1,0 +1,309 @@
+"""Seed-chain-extend spliced aligner.
+
+Replaces both native aligners of the reference -- minimap2 'splice' preset
+(mappy, find_bsj.py:336,659) and BWA 'ont2d' for short reads
+(find_bsj.py:457) -- with one engine parameterised two ways
+(config.AlignerConfig): winnowed-minimizer seeding against the host-
+replicated genome table (models/minimizer.py), colinear chaining with a
+splice-tolerant gap cost (long reference gaps cheap, query gaps expensive),
+and stitching of inter-anchor gaps into a full cigar with intron (N)
+placement, plus extension alignment at both ends so cleanly-matching reads
+reach zero soft-clip (the find_bsj rotation loop at find_bsj.py:153-176
+terminates on exactly that condition).
+
+Hit semantics follow mappy: q_st/q_en on the original query strand,
+r_st < r_en, cigar in reference direction, mlen = matched bases,
+blen = M+D+N, multiple non-overlapping chains reported as separate primary
+hits (the 2-hit chimera geometry of scan_raw_chunk, find_bsj.py:528-539,
+relies on this).
+"""
+
+from typing import List, Optional
+
+import numpy as np
+
+from ciri_long_tpu.config import AlignerConfig, DEFAULT
+from ciri_long_tpu.io.genome import Genome
+from ciri_long_tpu.models.hits import Hit
+from ciri_long_tpu.models.minimizer import MinimizerIndex, minimizers
+from ciri_long_tpu.ops.traceback import banded_global_cigar, extend_align
+from ciri_long_tpu.utils.seq import encode_seq, revcomp_encoded
+
+MIN_INTRON = 30        # ref gap at least this long becomes an N op
+CHAIN_WINDOW = 64      # predecessors examined per anchor
+MAX_HITS = 5
+EXT_CAP = 1000         # max bases considered in end extension
+
+
+class GenomeAligner:
+    def __init__(self, genome: Genome, k: Optional[int] = None,
+                 w: Optional[int] = None, cfg: AlignerConfig = DEFAULT.aligner,
+                 short_mode: bool = False):
+        self.genome = genome
+        self.cfg = cfg
+        self.short_mode = short_mode
+        if short_mode:
+            self.k = k or cfg.short_k
+            self.w = w or cfg.short_w
+            self.min_chain_score = cfg.short_min_chain_score
+            self.min_chain_anchors = cfg.short_min_chain_anchors
+        else:
+            self.k = k or cfg.k
+            self.w = w or cfg.w
+            self.min_chain_score = cfg.min_chain_score
+            self.min_chain_anchors = cfg.min_chain_anchors
+        self.index = MinimizerIndex.build(genome, self.k, self.w)
+        # contig id per global position for cross-contig chain rejection
+        self._ctg_starts = np.array(
+            [genome.offsets[n] for n in genome.names], np.int64)
+
+    # ------------------------------------------------------------------
+    def map(self, seq) -> List[Hit]:
+        codes = encode_seq(seq) if isinstance(seq, str) else np.asarray(seq, np.int8)
+        qlen = len(codes)
+        if qlen < self.k:
+            return []
+        anchors = self._anchors(codes, qlen)
+        hits = []
+        for strand, (r, q) in anchors.items():
+            if len(r) == 0:
+                continue
+            chains = self._chain(r, q)
+            qc = codes if strand > 0 else revcomp_encoded(codes)
+            for idx, score in chains:
+                hit = self._stitch(r[idx], q[idx], qc, qlen, strand, score)
+                if hit is not None:
+                    hits.append(hit)
+        hits.sort(key=lambda h: h.score, reverse=True)
+        # non-overlapping (on query) selection: all selected are primary
+        selected: List[Hit] = []
+        for h in hits:
+            keep = True
+            for s in selected:
+                ov = min(h.q_en, s.q_en) - max(h.q_st, s.q_st)
+                if ov > 0.5 * min(h.q_en - h.q_st, s.q_en - s.q_st):
+                    keep = False
+                    break
+            if keep:
+                h.is_primary = 1
+                selected.append(h)
+            if len(selected) >= MAX_HITS:
+                break
+        return selected
+
+    # ------------------------------------------------------------------
+    def _anchors(self, codes, qlen):
+        qh, qpos, qstrand = minimizers(codes, self.k, self.w)
+        out = {1: (np.zeros(0, np.int64), np.zeros(0, np.int64)),
+               -1: (np.zeros(0, np.int64), np.zeros(0, np.int64))}
+        if len(qh) == 0:
+            return out
+        lo, hi = self.index.lookup(qh)
+        occ = hi - lo
+        keep = (occ > 0) & (occ <= self.cfg.max_occ)
+        if not keep.any():
+            return out
+        lo, hi = lo[keep], hi[keep]
+        qpos, qstrand = qpos[keep], qstrand[keep]
+        counts = (hi - lo).astype(np.int64)
+        total = int(counts.sum())
+        r_all = np.empty(total, np.int64)
+        rs_all = np.empty(total, np.uint8)
+        q_all = np.empty(total, np.int64)
+        qs_all = np.empty(total, np.uint8)
+        o = 0
+        for i in range(len(lo)):
+            c = counts[i]
+            r_all[o:o + c] = self.index.pos[lo[i]:hi[i]]
+            rs_all[o:o + c] = self.index.strand[lo[i]:hi[i]]
+            q_all[o:o + c] = qpos[i]
+            qs_all[o:o + c] = qstrand[i]
+            o += c
+        same = rs_all == qs_all
+        # '+' anchors
+        out[1] = (r_all[same], q_all[same])
+        # '-' anchors: query coordinate in revcomp space
+        qf = qlen - (q_all[~same] + self.k)
+        out[-1] = (r_all[~same], qf)
+        for s in (1, -1):
+            r, q = out[s]
+            order = np.lexsort((q, r))
+            out[s] = (r[order], q[order])
+        return out
+
+    # ------------------------------------------------------------------
+    def _chain(self, r, q):
+        """Colinear chaining with splice-tolerant gap costs.  Sequential DP
+        over anchors sorted by (r, q); the per-anchor predecessor max is a
+        vectorised window."""
+        n = len(r)
+        k = self.k
+        cfg = self.cfg
+        f = np.full(n, float(k))
+        pre = np.full(n, -1, np.int64)
+        ctg_id = np.searchsorted(self._ctg_starts, r, side='right')
+        max_gap_r = cfg.max_gap_ref
+        max_gap_q = 5000
+        for i in range(1, n):
+            j0 = max(0, i - CHAIN_WINDOW)
+            dr = r[i] - r[j0:i]
+            dq = q[i] - q[j0:i]
+            ok = (dr > 0) & (dq > 0) & (dq <= max_gap_q) & (dr <= max_gap_r) \
+                & (ctg_id[j0:i] == ctg_id[i])
+            if not ok.any():
+                continue
+            alpha = np.minimum(np.minimum(dq, dr), k).astype(float)
+            g = np.abs(dr - dq).astype(float)
+            pen = np.where(dr >= dq,
+                           np.log2(g + 1.0),
+                           0.5 * g + 0.5 * np.log2(g + 1.0))
+            cand = f[j0:i] + alpha - pen
+            cand = np.where(ok, cand, -np.inf)
+            b = int(np.argmax(cand))
+            if cand[b] > f[i]:
+                f[i] = cand[b]
+                pre[i] = j0 + b
+        # backtrack best chains greedily
+        order = np.argsort(-f, kind='stable')
+        used = np.zeros(n, bool)
+        chains = []
+        for idx in order:
+            if used[idx] or f[idx] < self.min_chain_score:
+                continue
+            path = []
+            v = idx
+            while v != -1 and not used[v]:
+                path.append(v)
+                used[v] = True
+                v = pre[v]
+            if len(path) < self.min_chain_anchors:
+                continue
+            path.reverse()
+            chains.append((np.array(path, np.int64), float(f[idx])))
+            if len(chains) >= 2 * MAX_HITS:
+                break
+        return chains
+
+    # ------------------------------------------------------------------
+    def _stitch(self, r, q, qc, qlen, strand, score) -> Optional[Hit]:
+        """Fill inter-anchor gaps into a cigar; extend both ends."""
+        k = self.k
+        gcodes = self.genome.codes
+        cigar = []
+
+        def emit(op, length):
+            if length <= 0:
+                return
+            if cigar and cigar[-1][1] == op:
+                cigar[-1] = (cigar[-1][0] + length, op)
+            else:
+                cigar.append((length, op))
+
+        q_cur, r_cur = int(q[0]), int(r[0])
+        for t in range(1, len(q)):
+            dq = int(q[t]) - q_cur
+            dr = int(r[t]) - r_cur
+            if dq == dr:
+                emit(0, dq)
+            elif dq == 0:
+                emit(3 if dr >= MIN_INTRON else 2, dr)
+            elif dr == 0:
+                emit(1, dq)
+            elif dr - dq >= MIN_INTRON:
+                left = self._splice_split(qc[q_cur:q_cur + dq],
+                                          gcodes[r_cur:r_cur + dq],
+                                          gcodes[r_cur + dr - dq:r_cur + dr])
+                emit(0, left)
+                emit(3, dr - dq)
+                emit(0, dq - left)
+            else:
+                _, sub = banded_global_cigar(qc[q_cur:q_cur + dq],
+                                             gcodes[r_cur:r_cur + dr])
+                for l, op in sub:
+                    emit(op, l)
+            q_cur, r_cur = int(q[t]), int(r[t])
+        emit(0, k)
+        q_cur += k
+        r_cur += k
+
+        q_st, r_st = int(q[0]), int(r[0])
+        q_en, r_en = q_cur, r_cur
+
+        # contig bounds (global coords): extensions must not cross them
+        ctg, _ = self.genome.locate(r_st)
+        if ctg is None:
+            return None
+        ctg_lo = self.genome.offsets[ctg]
+        ctg_hi = ctg_lo + self.genome.contig_len[ctg]
+
+        # right extension
+        tail = qc[q_en:q_en + EXT_CAP]
+        ref_tail = gcodes[r_en:min(r_en + len(tail) + 64, ctg_hi)]
+        if len(tail) and len(ref_tail):
+            _, qi, rj, ext = extend_align(tail, ref_tail)
+            for l, op in ext:
+                emit(op, l)
+            q_en += qi
+            r_en += rj
+
+        # left extension (on reversed sequences)
+        head = qc[max(0, q_st - EXT_CAP):q_st][::-1]
+        ref_head = gcodes[max(ctg_lo, r_st - len(head) - 64):r_st][::-1]
+        if len(head) and len(ref_head):
+            _, qi, rj, ext = extend_align(head, ref_head)
+            ext.reverse()
+            merged = ext + cigar
+            cigar = []
+            for l, op in merged:
+                if cigar and cigar[-1][1] == op:
+                    cigar[-1] = (cigar[-1][0] + l, op)
+                else:
+                    cigar.append((l, op))
+            q_st -= qi
+            r_st -= rj
+
+        ctg2, local_st = self.genome.locate(r_st)
+        _, local_en = self.genome.locate(r_en - 1)
+        if ctg2 != ctg:
+            return None
+
+        mlen, blen = self._count_matches(qc, gcodes, q_st, r_st, cigar)
+        if strand > 0:
+            oq_st, oq_en = q_st, q_en
+        else:
+            oq_st, oq_en = qlen - q_en, qlen - q_st
+        return Hit(ctg=ctg, strand=strand, q_st=oq_st, q_en=oq_en,
+                   r_st=local_st, r_en=local_en + 1, mlen=mlen, blen=blen,
+                   cigar=cigar, score=score, mapq=60,
+                   ctg_len=self.genome.contig_len[ctg])
+
+    @staticmethod
+    def _splice_split(qg, ref_left, ref_right):
+        """Choose where to put the intron inside a reference gap: maximise
+        ungapped matches of the query gap's prefix against the donor-side
+        flank plus its suffix against the acceptor-side flank."""
+        L = len(qg)
+        if L == 0:
+            return 0
+        left_m = np.concatenate([[0], np.cumsum(qg == ref_left[:L])])
+        right_eq = (qg == ref_right[-L:])[::-1]
+        right_m = np.concatenate([[0], np.cumsum(right_eq)])[::-1]
+        return int(np.argmax(left_m + right_m))
+
+    @staticmethod
+    def _count_matches(qc, gcodes, q_st, r_st, cigar):
+        mlen = 0
+        blen = 0
+        qi, ri = q_st, r_st
+        for l, op in cigar:
+            if op == 0:
+                mlen += int(np.sum(qc[qi:qi + l] == gcodes[ri:ri + l]))
+                blen += l
+                qi += l
+                ri += l
+            elif op == 1:
+                qi += l
+            elif op in (2, 3):
+                blen += l
+                ri += l
+        return mlen, blen

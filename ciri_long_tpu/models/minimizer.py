@@ -1,0 +1,119 @@
+"""Minimizer extraction and genome index.
+
+Replaces the minimap2 index (reference builds it at find_bsj.py:336,659 via
+``mp.Aligner(ref, preset='splice')``) with a host-built winnowed-minimizer
+table: canonical k-mers hashed with an invertible 64-bit mix, windowed
+minimum winnowing (all ties kept, as minimap2 does), positions stored in
+global genome coordinates and sorted by hash for binary-search lookup.
+
+The whole build is vectorised numpy over the packed genome code array --
+no per-window Python.  The index is replicated per host (SURVEY.md §2
+parallelism table: read-only state is host-replicated, reads are the
+sharded axis).
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+
+_MIX_MUL1 = np.uint64(0xff51afd7ed558ccd)
+_MIX_MUL2 = np.uint64(0xc4ceb9fe1a85ec53)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style finalizer: decorrelates k-mer codes so 'minimum
+    hash' is not biased toward poly-A (minimap2 uses the same idea)."""
+    x = x.astype(np.uint64)
+    x ^= x >> np.uint64(33)
+    x *= _MIX_MUL1
+    x ^= x >> np.uint64(33)
+    x *= _MIX_MUL2
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def kmer_hashes(codes: np.ndarray, k: int, valid_mask=None):
+    """Canonical k-mer hash and strand for every k-mer start position.
+
+    Returns (hash u64 [L-k+1], strand u8 [L-k+1], ok bool [L-k+1]);
+    strand 0 = forward k-mer is canonical, 1 = reverse complement is.
+    """
+    L = len(codes)
+    n = L - k + 1
+    if n <= 0:
+        z = np.zeros(0)
+        return z.astype(np.uint64), z.astype(np.uint8), z.astype(bool)
+    c = codes.astype(np.int64)
+    base_ok = codes < 4
+    if valid_mask is not None:
+        base_ok = base_ok & valid_mask
+    bad = (~base_ok).astype(np.int32)
+    cs = np.concatenate([[0], np.cumsum(bad)])
+    ok = (cs[k:] - cs[:-k]) == 0
+
+    fwd = np.zeros(n, np.uint64)
+    rev = np.zeros(n, np.uint64)
+    for t in range(k):
+        seg = c[t:n + t]
+        fwd = (fwd << np.uint64(2)) | np.where(ok, seg, 0).astype(np.uint64)
+        rev |= ((np.uint64(3) - np.where(ok, seg, 0).astype(np.uint64))
+                << np.uint64(2 * t))
+    strand = (rev < fwd).astype(np.uint8)
+    canon = np.minimum(fwd, rev)
+    h = _mix64(canon)
+    return h, strand, ok
+
+
+def minimizers(codes: np.ndarray, k: int, w: int, valid_mask=None):
+    """Winnowed minimizers: positions p whose hash equals the minimum of at
+    least one w-window of k-mer hashes (all ties kept).
+
+    Returns (hash u64, pos i64, strand u8) arrays.
+    """
+    h, strand, ok = kmer_hashes(codes, k, valid_mask)
+    n = len(h)
+    if n == 0:
+        return h, np.zeros(0, np.int64), strand
+    INF = np.uint64(0xffffffffffffffff)
+    hh = np.where(ok, h, INF)
+    if n < w:
+        w = max(1, n)
+    m = hh[:n - w + 1].copy()
+    for t in range(1, w):
+        np.minimum(m, hh[t:t + n - w + 1], out=m)
+    flag = np.zeros(n, bool)
+    for t in range(w):
+        sl = hh[t:t + n - w + 1]
+        flag[t:t + n - w + 1] |= (sl == m) & (sl != INF)
+    pos = np.nonzero(flag)[0].astype(np.int64)
+    return h[pos], pos, strand[pos]
+
+
+class MinimizerIndex(NamedTuple):
+    """Sorted-by-hash minimizer table over the packed genome."""
+    k: int
+    w: int
+    hashes: np.ndarray   # u64, sorted
+    pos: np.ndarray      # i64 global genome coordinate of k-mer start
+    strand: np.ndarray   # u8
+
+    @classmethod
+    def build(cls, genome, k: int, w: int) -> "MinimizerIndex":
+        h, pos, strand = minimizers(genome.codes, k, w)
+        # k-mers must not span contig boundaries: drop any whose start lies
+        # within the last k-1 bases of a contig
+        keep = np.ones(len(pos), bool)
+        for name in genome.names:
+            off = genome.offsets[name]
+            ln = genome.contig_len[name]
+            bad = (pos > off + ln - k) & (pos < off + ln)
+            keep &= ~bad
+        h, pos, strand = h[keep], pos[keep], strand[keep]
+        order = np.argsort(h, kind='stable')
+        return cls(k, w, h[order], pos[order], strand[order])
+
+    def lookup(self, query_hashes: np.ndarray):
+        """Ranges [lo, hi) into the sorted table for each query hash."""
+        lo = np.searchsorted(self.hashes, query_hashes, side='left')
+        hi = np.searchsorted(self.hashes, query_hashes, side='right')
+        return lo, hi

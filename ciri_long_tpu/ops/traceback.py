@@ -164,6 +164,94 @@ def banded_global_cigar(q: np.ndarray, r: np.ndarray, band=None,
                 band = max(n, m)
 
 
+def extend_align(q: np.ndarray, r: np.ndarray, match=2, mismatch=4,
+                 gap_open=4, gap_extend=2, zdrop=100):
+    """Extension alignment: anchored at (0, 0), ends wherever the score is
+    maximal (the role ksw2's extension mode plays for minimap2's soft-clip
+    decisions).  Greedy z-drop: rows stop contributing once the running best
+    falls more than ``zdrop`` behind.
+
+    Returns (score, q_len_used, r_len_used, cigar) -- the cigar covers
+    q[0:q_len_used] vs r[0:r_len_used]; (0, 0, 0, []) if extension is
+    immediately unprofitable.
+    """
+    q = np.asarray(q, np.int32)
+    r = np.asarray(r, np.int32)
+    n, m = len(q), len(r)
+    if n == 0 or m == 0:
+        return 0, 0, 0, []
+    S = _score_matrix(match, mismatch)
+    H = np.full((n + 1, m + 1), NEG, np.int64)
+    E = np.full((n + 1, m + 1), NEG, np.int64)
+    F = np.full((n + 1, m + 1), NEG, np.int64)
+    H[0, 0] = 0
+    top = m
+    H[0, 1:] = -gap_open - np.arange(m) * gap_extend
+    E[0, 1:] = H[0, 1:]
+    jj = np.arange(m + 1, dtype=np.int64)
+    best, bi, bj = 0, 0, 0
+    for i in range(1, n + 1):
+        H[i, 0] = -gap_open - (i - 1) * gap_extend
+        F[i, 0] = H[i, 0]
+        Frow = np.maximum(F[i - 1, 1:] - gap_extend, H[i - 1, 1:] - gap_open)
+        F[i, 1:] = Frow
+        diag = H[i - 1, :-1] + S[q[i - 1]][r]
+        hpre = np.maximum(diag, Frow)
+        hpre = np.concatenate([[H[i, 0]], hpre])
+        p = np.maximum.accumulate(hpre + jj * gap_extend)
+        Erow = np.full(m + 1, NEG, np.int64)
+        Erow[1:] = p[:-1] - gap_open - (jj[1:] - 1) * gap_extend
+        E[i, 1:] = Erow[1:]
+        Hrow = np.maximum(hpre, Erow)
+        H[i] = Hrow
+        rb = int(Hrow.max())
+        if rb > best:
+            best = rb
+            bi = i
+            bj = int(np.argmax(Hrow))
+        elif best - rb > zdrop:
+            break
+    if best <= 0:
+        return 0, 0, 0, []
+
+    ops = []
+
+    def push(op):
+        if ops and ops[-1][1] == op:
+            ops[-1] = (ops[-1][0] + 1, op)
+        else:
+            ops.append((1, op))
+
+    i, j = bi, bj
+    state = 'H'
+    while i > 0 or j > 0:
+        if state == 'H':
+            if j > 0 and H[i, j] == E[i, j]:
+                state = 'E'
+            elif i > 0 and H[i, j] == F[i, j]:
+                state = 'F'
+            elif i > 0 and j > 0:
+                push(0); i -= 1; j -= 1
+            elif j > 0:
+                push(2); j -= 1
+            else:
+                push(1); i -= 1
+        elif state == 'E':
+            push(2)
+            stay = j > 1 and E[i, j] == E[i, j - 1] - gap_extend
+            j -= 1
+            if not stay:
+                state = 'H'
+        else:
+            push(1)
+            stay = i > 1 and F[i, j] == F[i - 1, j] - gap_extend
+            i -= 1
+            if not stay:
+                state = 'H'
+    ops.reverse()
+    return int(best), bi, bj, ops
+
+
 def _banded_nw(q, r, band, S, gap_open, gap_extend):
     n, m = len(q), len(r)
     H = np.full((n + 1, m + 1), NEG, np.int64)

@@ -1,0 +1,129 @@
+"""Seed-chain-extend aligner tests against a synthetic genome (replaces
+minimap2/mappy + BWA roles, reference find_bsj.py:336,457,659)."""
+
+import numpy as np
+import pytest
+
+from ciri_long_tpu.io.genome import Genome
+from ciri_long_tpu.models.aligner import GenomeAligner
+from ciri_long_tpu.models.hits import get_blocks, get_primary_alignment
+from ciri_long_tpu.utils.seq import revcomp
+from tests.test_poa import mutate
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+@pytest.fixture(scope="module")
+def toy(rng):
+    chr1 = rand_seq(rng, 60_000)
+    chr2 = rand_seq(rng, 20_000)
+    genome = Genome.from_dict({"chr1": chr1, "chr2": chr2})
+    aligner = GenomeAligner(genome)
+    return genome, aligner, chr1, chr2
+
+
+def test_exact_substring(toy):
+    genome, aligner, chr1, chr2 = toy
+    read = chr1[10_000:10_500]
+    hits = aligner.map(read)
+    assert hits
+    h = hits[0]
+    assert h.ctg == "chr1" and h.strand == 1
+    assert h.q_st == 0 and h.q_en == 500
+    assert h.r_st == 10_000 and h.r_en == 10_500
+    assert h.mlen == 500
+    assert h.cigar == [(500, 0)]
+    assert h.is_primary
+
+
+def test_revcomp_read(toy):
+    genome, aligner, chr1, chr2 = toy
+    read = revcomp(chr1[20_000:20_400])
+    hits = aligner.map(read)
+    assert hits
+    h = hits[0]
+    assert h.ctg == "chr1" and h.strand == -1
+    assert h.r_st == 20_000 and h.r_en == 20_400
+    assert h.q_st == 0 and h.q_en == 400
+    assert h.mlen == 400
+
+
+def test_noisy_read(toy, rng):
+    genome, aligner, chr1, chr2 = toy
+    read = mutate(rng, chr1[30_000:31_000], sub=0.04, ins=0.03, dele=0.03)
+    hits = aligner.map(read)
+    assert hits
+    h = hits[0]
+    assert h.ctg == "chr1"
+    assert h.q_st <= 20 and h.q_en >= len(read) - 20
+    assert abs(h.r_st - 30_000) <= 20 and abs(h.r_en - 31_000) <= 20
+    assert h.mlen >= 0.75 * len(read)
+
+
+def test_spliced_read(toy, rng):
+    genome, aligner, chr1, chr2 = toy
+    exon1 = chr1[5_000:5_300]
+    exon2 = chr1[7_300:7_600]
+    read = exon1 + exon2
+    hits = aligner.map(read)
+    assert hits
+    h = hits[0]
+    assert h.ctg == "chr1"
+    assert h.r_st == 5_000 and h.r_en == 7_600
+    blocks = get_blocks(h)
+    assert len(blocks) == 2
+    assert abs(blocks[0][0] - 5_000) <= 2 and abs(blocks[0][1] - 5_300) <= 10
+    assert abs(blocks[1][0] - 7_300) <= 10 and abs(blocks[1][1] - 7_600) <= 2
+    n_ops = [l for l, op in h.cigar if op == 3]
+    assert len(n_ops) == 1 and abs(n_ops[0] - 2_000) <= 20
+
+
+def test_second_contig(toy):
+    genome, aligner, chr1, chr2 = toy
+    read = chr2[3_000:3_600]
+    hits = aligner.map(read)
+    assert hits
+    h = hits[0]
+    assert h.ctg == "chr2"
+    assert h.r_st == 3_000 and h.r_en == 3_600
+
+
+def test_unmappable_read(toy, rng):
+    genome, aligner, chr1, chr2 = toy
+    read = rand_seq(rng, 500)
+    hits = aligner.map(read)
+    # a random 500-mer almost surely has no credible chain
+    assert not hits or hits[0].mlen < 100
+
+
+def test_chimeric_read_two_primary_hits(toy):
+    """Two distant arms -> two primary hits (scan_raw_chunk geometry,
+    find_bsj.py:528-539)."""
+    genome, aligner, chr1, chr2 = toy
+    arm1 = chr1[40_000:40_400]
+    arm2 = chr1[45_000:45_400]
+    read = arm2 + arm1  # tail precedes head on the genome: circ-like
+    hits = aligner.map(read)
+    assert len(hits) >= 2
+    spans = sorted((h.r_st, h.r_en) for h in hits[:2])
+    assert abs(spans[0][0] - 40_000) <= 20 and abs(spans[1][0] - 45_000) <= 20
+
+
+def test_get_primary_alignment_roundtrip(toy):
+    genome, aligner, chr1, chr2 = toy
+    read = chr1[12_000:12_800]
+    hit = get_primary_alignment(aligner.map(read))
+    assert hit is not None
+    assert hit.r_st == 12_000 and hit.r_en == 12_800
+
+
+def test_short_mode(toy):
+    genome, _, chr1, chr2 = toy
+    short_aligner = GenomeAligner(genome, short_mode=True)
+    read = chr1[8_000:8_090]   # 90 bp, below the long-mode comfort zone
+    hits = short_aligner.map(read)
+    assert hits
+    h = hits[0]
+    assert h.ctg == "chr1" and h.r_st == 8_000 and h.r_en == 8_090

@@ -1,0 +1,285 @@
+"""CIRI-long compatible command line.
+
+Subcommands, flags, stage sequencing, tmp/-file resume and the run-summary
+JSON mirror the reference driver (main.py:9-268); the counters keep the
+exact reference names (total/consensus/raw_unmapped/ccs_mapped/bsj/signal/
+partial, main.py:96-100) so downstream tooling and parity checks work
+unchanged.  A `timing` section with per-stage wall clock and reads/s is
+added (SURVEY.md §5).
+"""
+
+import json
+import os
+import pickle
+import sys
+from collections import defaultdict
+
+
+def _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx, short_mode=False):
+    from ciri_long_tpu.context import Context
+    from ciri_long_tpu.io.genome import Genome
+    from ciri_long_tpu.models.aligner import GenomeAligner
+
+    genome = Genome(ref_fasta)
+    aligner = GenomeAligner(genome, short_mode=short_mode)
+    return Context(aligner=aligner, genome=genome, gtf_index=gtf_idx,
+                   intron_index=intron_idx, ss_index=ss_idx)
+
+
+def _load_or_build_index(out_dir, gtf_file, circ_file, logger):
+    from ciri_long_tpu.annot.gtf import index_annotation, index_circ
+
+    if gtf_file is None and circ_file is None:
+        logger.warning("No annotation provided, entering 'De novo' mode")
+        return None, None, None
+
+    idx_file = out_dir + '/tmp/ss.idx'
+    if os.path.exists(idx_file):
+        logger.info('Loading pre-built splice site index from: {}'.format(idx_file))
+        with open(idx_file, 'rb') as idx:
+            gtf_idx, intron_idx, ss_idx = pickle.load(idx)
+        return gtf_idx, intron_idx, ss_idx
+
+    if gtf_file is not None:
+        gtf_idx, intron_idx, ss_idx = index_annotation(gtf_file)
+    else:
+        gtf_idx, intron_idx, ss_idx = None, None, None
+    if circ_file is not None:
+        ss_idx = index_circ(circ_file, ss_idx)
+
+    with open(idx_file, 'wb') as idx:
+        pickle.dump([gtf_idx, intron_idx, ss_idx], idx, -1)
+    return gtf_idx, intron_idx, ss_idx
+
+
+def call(args):
+    from ciri_long_tpu.utils.logger import get_logger, StageTimer
+    from ciri_long_tpu.utils.misc import check_dir, check_file
+    from ciri_long_tpu.pipeline.find_ccs import find_ccs_reads, load_ccs_reads
+    from ciri_long_tpu.pipeline.find_bsj import (recover_ccs_reads,
+                                                 scan_ccs_reads,
+                                                 scan_raw_reads)
+
+    if args.input is None or args.output is None:
+        sys.exit('Please provide input and output file, run CIRI-long using '
+                 '-h or --help for detailed information.')
+    if args.reference is None:
+        sys.exit('Please specific FASTA of reference genome')
+
+    in_file = check_file(args.input)
+    gtf_file = None if args.gtf is None else check_file(args.gtf)
+    circ_file = None if args.circ is None else check_file(args.circ)
+    out_dir = check_dir(args.output)
+    ref_fasta = check_file(args.reference)
+    check_dir(out_dir + '/tmp')
+    prefix = args.prefix
+    debugging = args.debug
+    is_canonical = True
+
+    logger = get_logger('CIRI-long', fname='{}/{}.log'.format(out_dir, prefix),
+                        verbosity=debugging)
+    logger.info('----------------- Input paramters ------------------')
+    logger.info('Input reads: ' + os.path.basename(in_file))
+    logger.info('Output directory: ' + os.path.basename(out_dir))
+    logger.info('Device batch size: {}'.format(args.threads))
+    logger.info('----------------- Calling circRNAs -----------------')
+
+    timer = StageTimer()
+    reads_count = defaultdict(int)
+
+    # Step 1: cyclic consensus
+    ccs_fa = '{}/tmp/{}.ccs.fa'.format(out_dir, prefix)
+    raw_fa = '{}/tmp/{}.raw.fa'.format(out_dir, prefix)
+    if not debugging and os.path.exists(ccs_fa) and os.path.exists(raw_fa):
+        logger.info('Step 1 - Loading circRNA candidates in previous run')
+        ccs_seq = load_ccs_reads(out_dir, prefix)
+        reads_count['consensus'] = len(ccs_seq)
+    else:
+        with timer.stage('ccs'):
+            total_reads, ro_reads, ccs_seq = find_ccs_reads(
+                in_file, out_dir, prefix, args.threads, debugging)
+        reads_count['total'] = total_reads
+        reads_count['consensus'] = ro_reads
+
+    if 'total' in reads_count:
+        logger.info('Total Reads: {}'.format(reads_count['total']))
+    logger.info('Cyclic Consensus Reads: {}'.format(reads_count['consensus']))
+
+    # splice-site / annotation index
+    gtf_idx, intron_idx, ss_idx = _load_or_build_index(
+        out_dir, gtf_file, circ_file, logger)
+
+    logger.info('Step 2.1 - Find circRNAs from CCS reads')
+    with timer.stage('scan_ccs', items=len(ccs_seq)):
+        ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx)
+        tmp_cnt, short_seq = scan_ccs_reads(ctx, ccs_seq, is_canonical,
+                                            out_dir, prefix)
+    for key, value in tmp_cnt.items():
+        reads_count[key] += value
+
+    logger.info('Step 2.2 - Recover short CCS reads')
+    with timer.stage('recover_ccs', items=len(short_seq)):
+        short_ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx,
+                                   short_mode=True)
+        short_ctx.genome = ctx.genome  # share the packed genome
+        tmp_cnt = recover_ccs_reads(short_ctx, short_seq, is_canonical,
+                                    out_dir, prefix)
+    for key, value in tmp_cnt.items():
+        reads_count[key] += value
+
+    logger.info('Step 3 - Find circRNAs with partial structure')
+    with timer.stage('scan_raw'):
+        tmp_cnt, _short = scan_raw_reads(ctx, in_file, is_canonical,
+                                         out_dir, prefix)
+    for key, value in tmp_cnt.items():
+        reads_count[key] += value
+
+    logger.info('Raw unmapped: {}'.format(reads_count['raw_unmapped']))
+    logger.info('CCS mapped: {}'.format(reads_count['ccs_mapped']))
+    logger.info('BSJ: {}'.format(reads_count['bsj']))
+    logger.info('Splice signal: {}'.format(reads_count['signal']))
+    logger.info('Partial reads: {}'.format(reads_count['partial']))
+
+    summary = dict(reads_count)
+    summary['timing'] = timer.as_dict()
+    with open('{}/{}.json'.format(out_dir, prefix), 'w') as f:
+        json.dump(summary, f)
+
+    logger.info('Calling circRNAs finished!')
+    return reads_count
+
+
+def collapse(args):
+    from ciri_long_tpu.utils.logger import get_logger, StageTimer
+    from ciri_long_tpu.utils.misc import check_dir, check_file
+    from ciri_long_tpu.pipeline import collapse as collapse_mod
+
+    if args.input is None or args.output is None:
+        sys.exit('Please provide input and output file, run CIRI-long using '
+                 '-h or --help for detailed information.')
+
+    in_file = check_file(args.input)
+    out_dir = check_dir(args.output)
+    check_dir(out_dir + '/tmp')
+    prefix = args.prefix
+
+    gtf_file = None if args.gtf is None else check_file(args.gtf)
+    circ_file = None if args.circ is None else check_file(args.circ)
+    ref_fasta = check_file(args.reference)
+    debugging = args.debug
+
+    logger = get_logger('CIRI-long', fname='{}/{}.log'.format(out_dir, prefix),
+                        verbosity=debugging)
+    logger.info('----------------- Input paramters ------------------')
+    logger.info('Input reads: ' + os.path.basename(in_file))
+    logger.info('Output directory: ' + os.path.basename(out_dir))
+    logger.info('-------------- Collapse circular reads -------------')
+
+    timer = StageTimer()
+    gtf_idx, intron_idx, ss_idx = _load_or_build_index(
+        out_dir, gtf_file, circ_file, logger)
+
+    cand_reads = collapse_mod.load_cand_circ(in_file)
+
+    from ciri_long_tpu.context import Context
+    from ciri_long_tpu.io.genome import Genome
+    genome = Genome(ref_fasta)
+    ctx = Context(aligner=None, genome=genome, gtf_index=gtf_idx,
+                  intron_index=intron_idx, ss_index=ss_idx)
+
+    corrected_file = '{}/tmp/{}.corrected.pkl'.format(out_dir, prefix)
+    if not debugging and os.path.exists(corrected_file):
+        logger.info('Step 1 - Loading clustered circular reads in previous run')
+        with open(corrected_file, 'rb') as pkl:
+            circ_num, corrected_reads = pickle.load(pkl)
+    else:
+        logger.info('Step 1 - Clustering candidate circular reads')
+        with timer.stage('cluster', items=len(cand_reads)):
+            reads_cluster = collapse_mod.cluster_reads(cand_reads)
+            logger.info('Circular reads clusters: {}'.format(len(reads_cluster)))
+            circ_num, corrected_reads = collapse_mod.correct_reads(
+                ctx, reads_cluster)
+        with open(corrected_file, 'wb') as pkl:
+            pickle.dump([circ_num, corrected_reads], pkl, -1)
+        logger.info('Corrected clusters: {}, {}/{}/{}/{} annotated/denovo/'
+                    'lariat/unknown'.format(
+                        len(corrected_reads), circ_num['Annotated'],
+                        circ_num['Denovo signal'],
+                        circ_num['High confidence lariat'],
+                        circ_num['Unknown signal']))
+
+    logger.info('Step 2 - Calculating expression matrix')
+    with timer.stage('exp_mtx'):
+        circ_cnt, iso_cnt = collapse_mod.cal_exp_mtx(
+            ctx, cand_reads, corrected_reads, out_dir, prefix)
+    logger.info('Final circRNAs: {}, isoforms: {}'.format(circ_cnt, iso_cnt))
+    logger.info('Correction of Back-Spliced Junctions finished!')
+    return circ_cnt, iso_cnt
+
+
+def main():
+    import argparse
+    from ciri_long_tpu.version import __version__
+
+    parser = argparse.ArgumentParser('CIRI-long-tpu')
+    parser.add_argument('-v', '--version', action='version',
+                        version='%(prog)s v{}'.format(__version__))
+    subparsers = parser.add_subparsers(help='commands')
+
+    call_parser = subparsers.add_parser('call')
+    call_parser.add_argument('-i', '--in', dest='input', metavar='READS',
+                             default=None, help='Input reads.fq.gz')
+    call_parser.add_argument('-o', '--out', dest='output', metavar='DIR',
+                             default=None, help='Output directory, default: ./')
+    call_parser.add_argument('-r', '--ref', dest='reference', metavar='REF',
+                             default=None, help='Reference genome FASTA file')
+    call_parser.add_argument('-p', '--prefix', dest='prefix', metavar='PREFIX',
+                             default='CIRI-long',
+                             help='Output sample prefix, (default: %(default)s)')
+    call_parser.add_argument('-a', '--anno', dest='gtf', metavar='GTF',
+                             default=None, help='Genome reference gtf, (optional)')
+    call_parser.add_argument('-c', '--circ', dest='circ', metavar='CIRC',
+                             default=None,
+                             help='Additional circRNA annotation in bed/gtf format, (optional)')
+    call_parser.add_argument('-t', '--threads', dest='threads', metavar='INT',
+                             default=os.cpu_count(),
+                             help='Device batch size / host worker threads')
+    call_parser.add_argument('--debug', dest='debug', default=False,
+                             action='store_true',
+                             help='Run in debugging mode, (default: %(default)s)')
+    call_parser.set_defaults(func=call)
+
+    collapse_parser = subparsers.add_parser('collapse')
+    collapse_parser.add_argument('-i', '--in', dest='input', metavar='LIST',
+                                 default=None,
+                                 help='Input list of CIRI-long results')
+    collapse_parser.add_argument('-o', '--out', dest='output', metavar='DIR',
+                                 default=None, help='Output directory, default: ./')
+    collapse_parser.add_argument('-p', '--prefix', dest='prefix',
+                                 metavar='PREFIX', default='CIRI-long',
+                                 help='Output sample prefix, (default: %(default)s)')
+    collapse_parser.add_argument('-r', '--ref', dest='reference', metavar='REF',
+                                 default=None, help='Reference genome FASTA file')
+    collapse_parser.add_argument('-a', '--anno', dest='gtf', metavar='GTF',
+                                 default=None, help='Genome reference gtf, (optional)')
+    collapse_parser.add_argument('-c', '--circ', dest='circ', metavar='CIRC',
+                                 default=None,
+                                 help='Additional circRNA annotation in bed/gtf format, (optional)')
+    collapse_parser.add_argument('-t', '--threads', dest='threads',
+                                 metavar='INT', default=os.cpu_count(),
+                                 help='Device batch size / host worker threads')
+    collapse_parser.add_argument('--debug', dest='debug', default=False,
+                                 action='store_true',
+                                 help='Run in debugging mode, (default: %(default)s)')
+    collapse_parser.set_defaults(func=collapse)
+
+    args = parser.parse_args()
+    try:
+        func = args.func
+    except AttributeError:
+        parser.error('too few arguments')
+    func(args)
+
+
+if __name__ == '__main__':
+    main()

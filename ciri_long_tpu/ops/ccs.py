@@ -194,7 +194,12 @@ def find_consensus(seq, k: int = K):
     if len(units) < 2:
         return None, None
 
-    poa_units = units[:MAX_POA_UNITS]
+    # full units anchor the graph; partial head/tail units still add
+    # coverage (pyccs's POA input includes the trailing fragment too,
+    # reference tests/test_poa.py:15,27)
+    partials = [(st, en) for st, en in segments
+                if (st, en) not in units and en - st >= 0.2 * period]
+    poa_units = units[:MAX_POA_UNITS] + partials[:4]
     cons, _ = poa([codes[st:en] for st, en in poa_units])
     if len(cons) < MIN_PERIOD:
         return None, None

@@ -235,14 +235,18 @@ def _fuse(g: _Graph, seq: np.ndarray, aln) -> None:
 
 
 def _consensus(g: _Graph) -> np.ndarray:
-    """Heaviest-bundle walk: maximise summed edge weight (ties by node
-    support), mirroring spoa's GenerateConsensus."""
+    """Heaviest-bundle walk (spoa's GenerateConsensus idea) with a
+    length-bias correction: each edge contributes (2w - 1) so a
+    single-support detour (two weight-1 edges, 1+1) can never tie the
+    direct backbone edge (weight >= 2) it bypasses -- without the -1
+    discount, 3-deep coverage ties its own error branches and the
+    consensus drifts long."""
     order = g.topo_order()
-    best = {v: (0, 0) for v in order}   # v -> (path_weight, support_sum)
+    best = {v: (0, 0) for v in order}   # v -> (discounted_weight, support_sum)
     back = {v: None for v in order}
     for v in order:
         for p, w in g.in_edges[v].items():
-            cand = (best[p][0] + w, best[p][1] + g.support[p])
+            cand = (best[p][0] + 2 * w - 1, best[p][1] + g.support[p])
             if cand > best[v]:
                 best[v] = cand
                 back[v] = p

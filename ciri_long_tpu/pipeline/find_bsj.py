@@ -1,0 +1,495 @@
+"""Stage 2: back-splice junction discovery.
+
+Reference behavior: find_bsj.py (scan_ccs_reads find_bsj.py:328,
+recover_ccs_reads find_bsj.py:451, scan_raw_reads find_bsj.py:623, the
+rotation loop find_bsj find_bsj.py:139-179, clip re-alignment
+align_clip_segments find_bsj.py:182-233).
+
+The reference's per-read SSW call over a +-200 kb genomic window (its
+hottest native kernel) becomes a batched device SW (ops/sw.py); everything
+else is host logic over Context (annotation probes are string scans).
+
+Output record format is byte-compatible with the reference
+(find_bsj.py:363-366):
+  >read_id  circ_id  strand  cirexons  ss_id  junc|clip-len  segments
+  circ_seq
+"""
+
+import logging
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from ciri_long_tpu.config import DEFAULT, CLIP_SCORE
+from ciri_long_tpu.annot.signal import (find_annotated_signal,
+                                        find_denovo_signal, find_host_gene)
+from ciri_long_tpu.models.hits import (get_blocks, get_parital_blocks,
+                                       get_primary_alignment, merge_clip_exon,
+                                       merge_exons, remove_long_insert)
+from ciri_long_tpu.ops.sw import SWParams, sw_align_batch
+from ciri_long_tpu.utils.logger import ProgressBar
+from ciri_long_tpu.utils.seq import encode_seq, revcomp, revcomp_encoded
+
+LOGGER = logging.getLogger('CIRI-long')
+
+CLIP_SW = SWParams(CLIP_SCORE.match, CLIP_SCORE.mismatch,
+                   CLIP_SCORE.gap_open, CLIP_SCORE.gap_extend)
+
+_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
+            65536, 131072, 262144, 524288)
+
+
+def _bucket(n):
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+def ssw_align(query_codes, ref_codes, params=CLIP_SW):
+    """Single-pair SW with SSW-style result (inclusive ends), via the
+    batched device kernel with length-bucketed padding."""
+    from ciri_long_tpu.utils.seq import pad_encoded
+    q, _ = pad_encoded([query_codes], max_len=_bucket(len(query_codes)))
+    r, _ = pad_encoded([ref_codes], max_len=_bucket(len(ref_codes)))
+    res = sw_align_batch(q, r, params)
+    return res
+
+
+def find_bsj(ctx, ccs):
+    """Locate the BSJ by iterative rotation + remap (find_bsj.py:139-179):
+    rotate the consensus until the linearised circle aligns end-to-end; the
+    final rotation offset is the junction."""
+    init_hit = get_primary_alignment(ctx.aligner.map(ccs * 2))
+    if init_hit is None:
+        return None, None
+
+    circ_junc = init_hit.q_st % len(ccs)
+    circ = ccs[circ_junc:] + ccs[:circ_junc]
+
+    last_junc = 0
+    last_m = 0
+    itered_junc = {}
+    while True:
+        circ_hit = get_primary_alignment(ctx.aligner.map(circ))
+        if circ_hit is None or circ_hit.mlen <= last_m:
+            circ_junc = last_junc
+            break
+        last_m = circ_hit.mlen
+        last_junc = circ_junc
+
+        st_clip, en_clip = circ_hit.q_st, len(circ) - circ_hit.q_en
+        if st_clip == 0 and en_clip == 0:
+            break
+
+        if st_clip >= en_clip:
+            circ_junc = (circ_junc + st_clip) % len(circ)
+        else:
+            circ_junc = (circ_junc + circ_hit.q_en) % len(circ)
+
+        if circ_junc in itered_junc:
+            circ_junc = last_junc
+            break
+
+        circ = ccs[circ_junc:] + ccs[:circ_junc]
+        itered_junc[circ_junc] = 1
+
+    circ = ccs[circ_junc:] + ccs[:circ_junc]
+    return circ, circ_junc
+
+
+def align_clip_segments(ctx, circ, hit, cfg=DEFAULT.call):
+    """Re-align residual clipped bases against a +-200 kb window around the
+    hit (find_bsj.py:182-233) using the device SW kernel."""
+    st_clip, en_clip = hit.q_st, len(circ) - hit.q_en
+    clip_r_st, clip_r_en, clipped_circ = None, None, None
+
+    if st_clip + en_clip >= 20:
+        clip_seq = circ[hit.q_en:] + circ[:hit.q_st]
+        if len(clip_seq) > 0.6 * len(circ):
+            return None, None, None, None
+
+        tmp_start = max(hit.r_st - cfg.clip_window, 0)
+        tmp_end = min(hit.r_en + cfg.clip_window, ctx.contig_len[hit.ctg])
+
+        window = ctx.genome.codes_of(hit.ctg, tmp_start, tmp_end)
+        if np.count_nonzero(window == 4) >= cfg.max_n_frac * (tmp_end - tmp_start):
+            return None, None, None, None
+
+        clip_codes = encode_seq(clip_seq)
+        if hit.strand > 0:
+            res = ssw_align(clip_codes, window)
+            if res.score[0] <= 0:
+                return None, None, None, None
+            clip_r_st = tmp_start + int(res.ref_begin[0])
+            clip_r_en = tmp_start + int(res.ref_end[0])
+            q_begin = int(res.query_begin[0])
+            if clip_r_st < hit.r_st:
+                clipped_circ = clip_seq[q_begin:] + \
+                    circ[hit.q_st:hit.q_en] + clip_seq[:q_begin]
+            else:
+                clipped_circ = circ[hit.q_st:] + circ[:hit.q_st]
+        else:
+            res = ssw_align(clip_codes, revcomp_encoded(window))
+            if res.score[0] <= 0:
+                return None, None, None, None
+            clip_r_st = tmp_end - int(res.ref_end[0])
+            clip_r_en = tmp_end - int(res.ref_begin[0])
+            q_begin = int(res.query_begin[0])
+            if clip_r_en > hit.r_en:
+                clipped_circ = clip_seq[q_begin:] + \
+                    circ[hit.q_st:hit.q_en] + clip_seq[:q_begin]
+            else:
+                clipped_circ = circ[hit.q_st:] + circ[:hit.q_st]
+
+        clip_base = hit.q_st + len(circ) - hit.q_en \
+            - (int(res.query_end[0]) - int(res.query_begin[0])) + 1
+        circ_start = min(hit.r_st, clip_r_st) - 1
+        circ_end = max(hit.r_en, clip_r_en)
+    else:
+        clipped_circ = circ[hit.q_st:] + circ[:hit.q_st]
+        clip_base = st_clip + en_clip
+        circ_start = hit.r_st - 1
+        circ_end = hit.r_en
+
+    return clipped_circ, circ_start, circ_end, (clip_r_st, clip_r_en, clip_base)
+
+
+def _call_circ_from_hit(ctx, read_id, segments, junc, circ, circ_hit,
+                        reads_cnt, cfg):
+    """Shared tail of the CCS scan passes: clip re-alignment, splice-signal
+    correction, cirexon string, output record (find_bsj.py:275-323)."""
+    clipped_circ, circ_start, circ_end, clip_info = \
+        align_clip_segments(ctx, circ, circ_hit, cfg)
+    if circ_start is None or circ_end is None:
+        return None
+
+    clip_base = clip_info[2]
+    # clip-base acceptance (find_bsj.py:280; |circ| == |ccs|)
+    if clip_base > cfg.clip_frac * len(circ) or clip_base > cfg.clip_max:
+        return None
+
+    reads_cnt['bsj'] += 1
+
+    host_strand = find_host_gene(ctx, circ_hit.ctg, circ_start, circ_end)
+    ss_site, us_free, ds_free, tmp_signal = find_annotated_signal(
+        ctx, circ_hit.ctg, circ_start, circ_end, clip_base, clip_base + 10)
+    if ss_site is None:
+        ss_site = find_denovo_signal(
+            ctx, circ_hit.ctg, circ_start, circ_end, host_strand, tmp_signal,
+            us_free, ds_free, clip_base, clip_base + 10, 3, True)
+
+    if ss_site is None:
+        ss_id = 'NA'
+        strand = 'NA'
+        correction_shift = 0
+    else:
+        reads_cnt['signal'] += 1
+        ss_id, strand, us_shift, ds_shift = ss_site
+        circ_start += us_shift
+        circ_end += ds_shift
+        correction_shift = min(max(us_shift, us_free), ds_free)
+
+    circ_id = '{}:{}-{}'.format(circ_hit.ctg, circ_start + 1, circ_end)
+
+    cir_exons = get_blocks(circ_hit)
+    cir_exons = merge_clip_exon(cir_exons, clip_info)
+    cir_exons[0][0] = circ_start
+    cir_exons[-1][1] = circ_end
+
+    cir_exon_tag = ','.join(
+        '{}-{}|{}'.format(st + 1, en, length) for st, en, length in cir_exons)
+
+    circ_seq = clipped_circ if circ_hit.strand > 0 else revcomp(clipped_circ)
+    circ_seq = circ_seq[correction_shift:] + circ_seq[:correction_shift]
+
+    return (read_id, circ_id, strand, cir_exon_tag, ss_id,
+            '{}|{}-{}'.format(junc, clip_base, len(circ)), segments, circ_seq)
+
+
+def scan_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
+    """Per-read CCS scan (find_bsj.py:236-325)."""
+    reads_cnt = defaultdict(int)
+    ret = []
+    short_reads = []
+
+    for read_id, segments, ccs, raw in chunk:
+        # Filter 1: linearly-mapped raw reads (find_bsj.py:243-246)
+        raw_hit = get_primary_alignment(ctx.aligner.map(raw))
+        if raw_hit and raw_hit.mlen > max(len(raw) * cfg.linear_frac,
+                                          len(raw) - cfg.linear_margin):
+            continue
+        if raw_hit and raw_hit.mlen > cfg.linear_vs_ccs * len(ccs):
+            continue
+
+        raw_st = raw_hit.q_st if raw_hit else None
+        raw_en = raw_hit.q_en if raw_hit else None
+        reads_cnt['raw_unmapped'] += 1
+
+        # Filter 2: mapped region disjoint from the repeat span
+        seg_st = int(segments.split(';')[0].split('-')[0])
+        seg_en = int(segments.split(';')[-1].split('-')[1])
+        if raw_hit and (raw_en < seg_st or raw_st > seg_en):
+            continue
+
+        ccs_hit = get_primary_alignment(ctx.aligner.map(ccs * 2))
+        if ccs_hit is None and len(ccs) < cfg.short_ccs_len:
+            short_reads.append((read_id, segments, ccs, raw))
+        if ccs_hit is None or seg_en - seg_st < ccs_hit.q_en - ccs_hit.q_st:
+            continue
+
+        reads_cnt['ccs_mapped'] += 1
+
+        circ, junc = find_bsj(ctx, ccs)
+        if circ is None:
+            continue
+
+        circ_hit = get_primary_alignment(ctx.aligner.map(circ))
+        if circ_hit is None or circ_hit.mlen < cfg.circ_mlen_frac * len(circ):
+            continue
+
+        rec = _call_circ_from_hit(ctx, read_id, segments, junc, circ,
+                                  circ_hit, reads_cnt, cfg)
+        if rec is not None:
+            ret.append(rec)
+
+    return reads_cnt, short_reads, ret
+
+
+def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
+                   cfg=DEFAULT.call):
+    """Scan all CCS reads, write {prefix}.cand_circ.fa
+    (find_bsj.py:328-372)."""
+    prog = ProgressBar()
+    reads_count = defaultdict(int)
+    short_reads = []
+
+    items = [[rid] + ccs_seq[rid] for rid in ccs_seq]
+    done = 0
+    with open('{}/{}.cand_circ.fa'.format(out_dir, prefix), 'w') as out:
+        for i in range(0, len(items), cfg.ccs_chunk_size):
+            chunk = items[i:i + cfg.ccs_chunk_size]
+            tmp_cnt, tmp_short, ret = scan_ccs_chunk(ctx, chunk, is_canonical, cfg)
+            for key, value in tmp_cnt.items():
+                reads_count[key] += value
+            short_reads += tmp_short
+            for rec in ret:
+                out.write('>{}\t{}\t{}\t{}\t{}\t{}\t{}\n{}\n'.format(*rec))
+            done += len(chunk)
+            prog.update(100 * done // max(1, len(items)))
+    prog.update(100)
+    return reads_count, short_reads
+
+
+def recover_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
+    """Short-CCS recovery pass (find_bsj.py:375-448): same logic minus the
+    raw-read filters, using the short-read aligner in ctx."""
+    reads_cnt = defaultdict(int)
+    ret = []
+
+    for read_id, segments, ccs, raw in chunk:
+        seg_st = int(segments.split(';')[0].split('-')[0])
+        seg_en = int(segments.split(';')[-1].split('-')[1])
+
+        ccs_hit = get_primary_alignment(ctx.aligner.map(ccs * 2))
+        if ccs_hit is None or seg_en - seg_st < ccs_hit.q_en - ccs_hit.q_st:
+            continue
+
+        reads_cnt['ccs_mapped'] += 1
+
+        circ, junc = find_bsj(ctx, ccs)
+        if circ is None:
+            continue
+
+        circ_hit = get_primary_alignment(ctx.aligner.map(circ))
+        if circ_hit is None:
+            continue
+
+        rec = _call_circ_from_hit(ctx, read_id, segments, junc, circ,
+                                  circ_hit, reads_cnt, cfg)
+        if rec is not None:
+            ret.append(rec)
+
+    return reads_cnt, ret
+
+
+def recover_ccs_reads(ctx, short_reads, is_canonical, out_dir, prefix,
+                      cfg=DEFAULT.call):
+    """Recovery pass driver; appends to {prefix}.cand_circ.fa
+    (find_bsj.py:451-490)."""
+    prog = ProgressBar()
+    prog.update(0)
+    reads_count = defaultdict(int)
+    with open('{}/{}.cand_circ.fa'.format(out_dir, prefix), 'a') as out:
+        for i in range(0, len(short_reads), cfg.ccs_chunk_size):
+            chunk = short_reads[i:i + cfg.ccs_chunk_size]
+            tmp_cnt, ret = recover_ccs_chunk(ctx, chunk, is_canonical, cfg)
+            for key, value in tmp_cnt.items():
+                reads_count[key] += value
+            for rec in ret:
+                out.write('>{}\t{}\t{}\t{}\t{}\t{}\t{}\n{}\n'.format(*rec))
+            prog.update(100 * min(i + len(chunk), len(short_reads))
+                        // max(1, len(short_reads)))
+    prog.update(100)
+    return reads_count
+
+
+def scan_raw_chunk(ctx, chunk, is_canonical, circ_reads, cfg=DEFAULT.call):
+    """Partial-BSJ scan over raw reads without a CCS
+    (find_bsj.py:499-620)."""
+    reads_cnt = defaultdict(int)
+    ret = []
+    short_reads = []
+
+    for read_id, seq in chunk:
+        if read_id in circ_reads:
+            continue
+        if len(seq) < cfg.min_raw_len:
+            short_reads.append((read_id, seq))
+            continue
+
+        raw_hits = sorted([i for i in ctx.aligner.map(seq) if i.is_primary],
+                          key=lambda x: [x.q_st, x.q_en])
+        if len(raw_hits) == 0:
+            continue
+        elif len(raw_hits) == 1:
+            raw_hit = remove_long_insert(raw_hits[0])
+            if raw_hit.mlen < len(seq) * .45 or raw_hit.mlen > len(seq) - 50:
+                continue
+            if raw_hit.q_st < 50 and raw_hit.q_en > len(seq) - 50:
+                continue
+            circ, junc = find_bsj(ctx, seq)
+            if junc is None:
+                continue
+        elif len(raw_hits) == 2:
+            head, tail = remove_long_insert(raw_hits[0]), remove_long_insert(raw_hits[1])
+            if head.ctg != tail.ctg:
+                continue
+            if not head.q_st + head.mlen * 0.45 < tail.q_st:
+                continue
+            if head.r_en - 20 < tail.r_st:
+                continue
+            if head.q_en < tail.q_st - 50:
+                continue
+            circ, junc = find_bsj(ctx, seq)
+            if junc is None or junc < head.q_en - 10 or junc > tail.q_st + 10:
+                continue
+        else:
+            continue
+
+        circ_hits = sorted([remove_long_insert(i) for i in ctx.aligner.map(circ)
+                            if i.is_primary], key=lambda x: [x.q_st, x.q_en])
+        if len(circ_hits) == 0:
+            continue
+        elif len(circ_hits) == 1:
+            circ_hit = circ_hits[0]
+            if circ_hit.mlen <= max([i.mlen for i in raw_hits]):
+                continue
+            if min(junc, len(seq) - junc) < 30:
+                continue
+            if not junc + circ_hit.q_st < len(seq) < junc + circ_hit.q_en:
+                continue
+            circ_ctg, circ_start, circ_end, circ_strand = \
+                circ_hit.ctg, circ_hit.r_st, circ_hit.r_en, circ_hit.strand
+            clip_base = circ_hit.q_st + len(seq) - circ_hit.q_en
+            cir_exons = get_parital_blocks(circ_hit, len(seq) - junc)
+        elif len(circ_hits) == 2:
+            head, tail = circ_hits[0], circ_hits[1]
+            if head.ctg != tail.ctg or head.strand != tail.strand:
+                continue
+            if not head.q_st + (head.q_en - head.q_st) * 0.5 < tail.q_st:
+                continue
+            if head.r_en - 20 < tail.r_st:
+                continue
+            if head.q_en < tail.q_st - 20:
+                continue
+            circ_ctg, circ_start, circ_end, circ_strand = \
+                head.ctg, tail.r_st, head.r_en, head.strand
+            clip_base = abs(tail.q_st - head.q_en)
+
+            head_exons = get_blocks(head)
+            tail_exons = get_blocks(tail)
+            cir_exons = merge_exons(tail_exons, head_exons)
+            circ = circ[tail.q_st:] + circ[:tail.q_st]
+        else:
+            continue
+
+        if clip_base > cfg.clip_max:
+            continue
+
+        host_strand = find_host_gene(ctx, circ_ctg, circ_start, circ_end)
+        ss_site, us_free, ds_free, tmp_signal = find_annotated_signal(
+            ctx, circ_ctg, circ_start, circ_end, clip_base, clip_base + 10)
+        if ss_site is None:
+            ss_site = find_denovo_signal(
+                ctx, circ_ctg, circ_start, circ_end, host_strand, tmp_signal,
+                us_free, ds_free, clip_base, clip_base + 10, 3, True)
+
+        if ss_site is None:
+            strand = 'NA'
+            ss_id = 'NA'
+            correction_shift = 0
+        else:
+            ss_id, strand, us_shift, ds_shift = ss_site
+            circ_start += us_shift
+            circ_end += ds_shift
+            correction_shift = min(max(us_shift, -us_free), ds_free)
+
+        circ_id = '{}:{}-{}'.format(circ_ctg, circ_start + 1, circ_end)
+        cir_exons[0][0] = circ_start
+        cir_exons[-1][1] = circ_end
+
+        cir_exon_tag = ','.join(
+            '{}-{}|{}'.format(st, en, length) for st, en, length in cir_exons)
+
+        circ_seq = circ if circ_strand > 0 else revcomp(circ)
+        circ_seq = circ_seq[correction_shift:] + circ_seq[:correction_shift]
+
+        ret.append((read_id, circ_id, strand, cir_exon_tag, ss_id,
+                    '{}|{}-NA'.format(junc, clip_base), 'partial', circ_seq))
+        reads_cnt['partial'] += 1
+
+    return reads_cnt, ret, short_reads
+
+
+def scan_raw_reads(ctx, in_file, is_canonical, out_dir, prefix,
+                   cfg=DEFAULT.call):
+    """Partial-read pass driver; writes {prefix}.low_confidence.fa
+    (find_bsj.py:623-718)."""
+    from ciri_long_tpu.io.fastx import read_fastx
+
+    circ_reads = {}
+    with open('{}/{}.cand_circ.fa'.format(out_dir, prefix), 'r') as f:
+        for line in f:
+            circ_reads[line.rstrip().split()[0].lstrip('>')] = 1
+            f.readline()
+
+    prog = ProgressBar()
+    prog.update(0)
+    reads_cnt = defaultdict(int)
+    short_reads = []
+
+    chunk = []
+    n_done = 0
+    with open('{}/{}.low_confidence.fa'.format(out_dir, prefix), 'w') as out:
+        def flush(chunk):
+            nonlocal short_reads
+            tmp_cnt, tmp_ret, tmp_short = scan_raw_chunk(
+                ctx, chunk, is_canonical, circ_reads, cfg)
+            for key, value in tmp_cnt.items():
+                reads_cnt[key] += value
+            short_reads += tmp_short
+            for rec in tmp_ret:
+                out.write('>{}\t{}\t{}\t{}\t{}\t{}\t{}\n{}\n'.format(*rec))
+
+        for read_id, seq in read_fastx(in_file):
+            chunk.append((read_id, seq))
+            if len(chunk) == cfg.raw_chunk_size:
+                flush(chunk)
+                chunk = []
+                n_done += cfg.raw_chunk_size
+                prog.update(min(99, n_done // 100))
+        if chunk:
+            flush(chunk)
+    prog.update(100)
+    return reads_cnt, short_reads

@@ -33,6 +33,12 @@ MIN_INTRON = 30        # ref gap at least this long becomes an N op
 CHAIN_WINDOW = 64      # predecessors examined per anchor
 MAX_HITS = 5
 EXT_CAP = 1000         # max bases considered in end extension
+# End-extension scoring: gap open is deliberately stiff so a run of chance
+# matches threaded together with 1-bp insertions scores negative -- a soft
+# extension here aligns rotated-junction tails into random flank and makes
+# the find_bsj rotation loop (find_bsj.py:153-176) stop at a wrong origin
+# with zero clips.
+EXT_SCORES = dict(match=2, mismatch=4, gap_open=8, gap_extend=2, zdrop=100)
 
 
 class GenomeAligner:
@@ -240,7 +246,7 @@ class GenomeAligner:
         tail = qc[q_en:q_en + EXT_CAP]
         ref_tail = gcodes[r_en:min(r_en + len(tail) + 64, ctg_hi)]
         if len(tail) and len(ref_tail):
-            _, qi, rj, ext = extend_align(tail, ref_tail)
+            _, qi, rj, ext = extend_align(tail, ref_tail, **EXT_SCORES)
             for l, op in ext:
                 emit(op, l)
             q_en += qi
@@ -250,7 +256,7 @@ class GenomeAligner:
         head = qc[max(0, q_st - EXT_CAP):q_st][::-1]
         ref_head = gcodes[max(ctg_lo, r_st - len(head) - 64):r_st][::-1]
         if len(head) and len(ref_head):
-            _, qi, rj, ext = extend_align(head, ref_head)
+            _, qi, rj, ext = extend_align(head, ref_head, **EXT_SCORES)
             ext.reverse()
             merged = ext + cigar
             cigar = []

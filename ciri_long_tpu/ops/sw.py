@@ -132,6 +132,22 @@ def sw_score_ends(query, ref, params: SWParams):
     return score, q_end, r_end
 
 
+def _on_tpu():
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def sw_score_ends_auto(query, ref, params: SWParams):
+    """Dispatch: fused Pallas kernel on TPU, XLA scan elsewhere (tests run
+    on the virtual CPU mesh where Mosaic is unavailable)."""
+    if _on_tpu():
+        from ciri_long_tpu.ops.sw_pallas import sw_score_ends_pallas
+        return sw_score_ends_pallas(query, ref, params)
+    return sw_score_ends(query, ref, params)
+
+
 class SWResult(NamedTuple):
     """Mirrors the fields of the reference PyAlignRes (ssw_wrap.py:267-379)."""
     score: np.ndarray
@@ -156,13 +172,13 @@ def sw_align_batch(query, ref, params: SWParams) -> SWResult:
     B, Lq = query.shape
     _, Lr = ref.shape
 
-    score, q_end, r_end = sw_score_ends(query, ref, params)
+    score, q_end, r_end = sw_score_ends_auto(query, ref, params)
 
     # Build reversed prefixes ending at (q_end, r_end):
     #   rq[b, t] = query[b, q_end - t]  for t <= q_end else PAD
-    rq = _reverse_prefix(query, q_end, Lq)
-    rr = _reverse_prefix(ref, r_end, Lr)
-    score2, q_off, r_off = sw_score_ends(rq, rr, params)
+    rq = _reverse_prefix(query, jnp.asarray(q_end), Lq)
+    rr = _reverse_prefix(ref, jnp.asarray(r_end), Lr)
+    score2, q_off, r_off = sw_score_ends_auto(rq, rr, params)
 
     q_begin = q_end - q_off
     r_begin = r_end - r_off

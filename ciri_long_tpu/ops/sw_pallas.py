@@ -1,0 +1,173 @@
+"""Pallas TPU kernel for batched affine-gap Smith-Waterman.
+
+The performance path behind ops/sw.py.  One kernel invocation processes a
+[bTile, Lr] stripe of DP state entirely in VMEM for all Lq rows -- no
+per-row XLA dispatch, no HBM round-trips for the carry.  This is the role
+the SSE2 'striped' loop plays in the reference's vendored SSW
+(ssw.c:123-370); on TPU the whole padded reference axis is the vector and
+the within-row affine dependency is a log-shift prefix max (see ops/sw.py
+for the exactness argument; requires gap_open >= gap_extend).
+
+Layout:
+  grid    = (B / BTILE,)           one program per batch stripe
+  q, r    = int32 [B, Lq/Lr] VMEM blocks (padded: PAD=5 poisons cells)
+  out     = int32 [B, 128]: lane 0 = score, 1 = q_end, 2 = r_end
+  scratch = H, F, best_val, best_i  int32 [BTILE, LrP] VMEM
+
+Tie-break matches ops/sw.py: max score, then smallest r_end, then smallest
+q_end; (0, -1, -1) when no positive cell.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(1 << 28)
+BIG = 1 << 28
+BTILE = 8
+LANES = 128
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _shift_right(x, j_idx, fill):
+    rolled = pltpu.roll(x, 1, axis=1)
+    return jnp.where(j_idx == 0, fill, rolled)
+
+
+def _cummax_lanes(x, j_idx, lrp):
+    """Inclusive running max along the lane axis via log-shifts."""
+    k = 1
+    while k < lrp:
+        sh = pltpu.roll(x, k, axis=1)
+        sh = jnp.where(j_idx >= k, sh, NEG)
+        x = jnp.maximum(x, sh)
+        k *= 2
+    return x
+
+
+def _sw_kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk,
+               *, lqp, lrp, match, mismatch, gap_open, gap_extend):
+    r = r_ref[:]
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (BTILE, lrp), 1)
+
+    H[:] = jnp.zeros((BTILE, lrp), jnp.int32)
+    F[:] = jnp.full((BTILE, lrp), NEG, jnp.int32)
+    best_val[:] = jnp.zeros((BTILE, lrp), jnp.int32)
+    best_i[:] = jnp.full((BTILE, lrp), -1, jnp.int32)
+
+    def step(i, q_col):
+        # q_col: [BTILE, 1] current query base codes
+        is_n = (q_col == 4) | (r == 4)
+        is_pad = (q_col >= 5) | (r >= 5)
+        s = jnp.where(q_col == r, match, -mismatch)
+        s = jnp.where(is_n, 0, s)
+        s = jnp.where(is_pad, NEG, s)
+
+        Hp = H[:]
+        Fv = jnp.maximum(F[:] - gap_extend, Hp - gap_open)
+        Hdiag = _shift_right(Hp, j_idx, 0)
+        H0 = jnp.maximum(jnp.maximum(Hdiag + s, Fv), 0)
+
+        P = _cummax_lanes(H0 + j_idx * gap_extend, j_idx, lrp)
+        Ps = _shift_right(P, j_idx, NEG)
+        E = Ps - gap_open - (j_idx - 1) * gap_extend
+        Hn = jnp.maximum(H0, E)
+
+        better = Hn > best_val[:]
+        best_val[:] = jnp.where(better, Hn, best_val[:])
+        best_i[:] = jnp.where(better, i, best_i[:])
+        H[:] = Hn
+        F[:] = Fv
+
+    # Mosaic cannot index a single dynamic lane, so the query is staged in
+    # 128-lane chunks; the chunk register rotates one lane left per step so
+    # the current base is always at (static) lane 0.
+    def chunk_body(c, _):
+        base = pl.multiple_of(c * LANES, LANES)
+        qblk[:] = q_ref[:, pl.ds(base, LANES)]
+
+        def inner(t, _):
+            step(c * LANES + t, qblk[:, 0:1])
+            qblk[:] = pltpu.roll(qblk[:], LANES - 1, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, LANES, inner, 0)
+        return 0
+
+    jax.lax.fori_loop(0, lqp // LANES, chunk_body, 0)
+
+    bv = best_val[:]
+    best = jnp.max(bv, axis=1, keepdims=True)
+    isbest = bv == best
+    jstar = jnp.min(jnp.where(isbest, j_idx, BIG), axis=1, keepdims=True)
+    istar = jnp.min(jnp.where(isbest & (j_idx == jstar), best_i[:], BIG),
+                    axis=1, keepdims=True)
+
+    found = best > 0
+    score = jnp.where(found, best, 0)
+    iout = jnp.where(found, istar, -1)
+    jout = jnp.where(found, jstar, -1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BTILE, LANES), 1)
+    out = jnp.where(lane == 0, score,
+                    jnp.where(lane == 1, iout,
+                              jnp.where(lane == 2, jout, 0)))
+    out_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def sw_score_ends_pallas(query, ref, params, interpret=False):
+    """Same contract as ops.sw.sw_score_ends, on the Pallas TPU kernel."""
+    assert params.gap_open >= params.gap_extend
+    B, Lq = query.shape
+    _, Lr = ref.shape
+    Bp = _round_up(B, BTILE)
+    LqP = _round_up(Lq, LANES)
+    LrP = _round_up(Lr, LANES)
+
+    q = jnp.pad(query.astype(jnp.int32), ((0, Bp - B), (0, LqP - Lq)),
+                constant_values=5)
+    r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrP - Lr)),
+                constant_values=5)
+
+    kernel = functools.partial(
+        _sw_kernel, lqp=LqP, lrp=LrP,
+        match=params.match, mismatch=params.mismatch,
+        gap_open=params.gap_open, gap_extend=params.gap_extend)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // BTILE,),
+        in_specs=[
+            pl.BlockSpec((BTILE, LqP), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BTILE, LrP), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BTILE, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((BTILE, LrP), jnp.int32),
+            pltpu.VMEM((BTILE, LrP), jnp.int32),
+            pltpu.VMEM((BTILE, LrP), jnp.int32),
+            pltpu.VMEM((BTILE, LrP), jnp.int32),
+            pltpu.VMEM((BTILE, LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(25 * Bp * LqP * LrP), bytes_accessed=int(
+                4 * Bp * (LqP + LrP + LANES)), transcendentals=0),
+        interpret=interpret,
+    )(q, r)
+
+    score = out[:B, 0]
+    q_end = out[:B, 1]
+    r_end = out[:B, 2]
+    return score, q_end, r_end

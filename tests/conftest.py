@@ -4,7 +4,6 @@ host test strategy)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +12,16 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+# Force the CPU backend regardless of ambient JAX_PLATFORMS.  This box
+# pre-imports jax in sitecustomize (registering a TPU platform), so env
+# edits are too late -- but backends initialize lazily, so flipping the
+# config before the first device access still works.  Set CIRI_TEST_TPU=1
+# to run the suite against real hardware instead.
+if not os.environ.get("CIRI_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,136 @@
+"""Full call -> collapse CLI round-trip on a synthetic dataset
+(SURVEY.md §7 build order steps 2-4 in miniature; mirrors the reference CI
+workflow .github/workflows/test.yml:25-30 but with output assertions)."""
+
+import json
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from tests.test_poa import mutate
+from tests.test_pipeline_call import make_rolling_read
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+CIRC_START, CIRC_END = 20_000, 20_520
+
+
+@pytest.fixture(scope="module")
+def dataset(rng, tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    chr1 = list(rand_seq(rng, 50_000))
+    chr1[CIRC_START - 2:CIRC_START] = list("AG")
+    chr1[CIRC_END:CIRC_END + 2] = list("GT")
+    chr1 = "".join(chr1)
+    unit = chr1[CIRC_START:CIRC_END]
+
+    ref = root / "genome.fa"
+    with open(ref, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, len(chr1), 80):
+            f.write(chr1[i:i + 80] + "\n")
+
+    reads = root / "reads.fa"
+    with open(reads, "w") as f:
+        for i in range(10):
+            rot = (i * 53) % len(unit)
+            read = make_rolling_read(rng, unit, copies=3.2 + 0.3 * i,
+                                     rot=rot, noise=0.02)
+            f.write(">circ_read_{}\n{}\n".format(i, read))
+        # linear background reads
+        for i in range(4):
+            st = 30_000 + i * 1_500
+            f.write(">lin_read_{}\n{}\n".format(
+                i, mutate(rng, chr1[st:st + 1_200], sub=0.02)))
+    return root, ref, reads, unit
+
+
+def test_call_and_collapse(dataset):
+    from ciri_long_tpu.cli.main import call, collapse
+
+    root, ref, reads, unit = dataset
+    out_dir = root / "out"
+    args = SimpleNamespace(input=str(reads), output=str(out_dir),
+                           reference=str(ref), prefix="test", gtf=None,
+                           circ=None, threads=2, debug=False)
+    counts = call(args)
+
+    assert counts['consensus'] >= 8
+    assert counts['bsj'] >= 6
+    # the deeper rolling circles give precise junctions the signal search
+    # can correct; shallow ones are rescued later by collapse curation
+    assert counts['signal'] >= 3
+
+    cand = out_dir / "test.cand_circ.fa"
+    assert cand.exists()
+    records = []
+    with open(cand) as f:
+        for line in f:
+            header = line.rstrip().lstrip('>').split('\t')
+            seq = f.readline().rstrip()
+            records.append((header, seq))
+    assert len(records) >= 6
+    for header, seq in records:
+        circ_id = header[1]
+        ctg, span = circ_id.split(':')
+        st, en = map(int, span.split('-'))
+        assert ctg == 'chr1'
+        assert abs(st - (CIRC_START + 1)) <= 20
+        assert abs(en - CIRC_END) <= 20
+        assert len(header) == 7
+
+    summary = json.loads((out_dir / "test.json").read_text())
+    assert summary['bsj'] == counts['bsj']
+    assert 'timing' in summary
+
+    # ---- collapse ----
+    lst = root / "samples.lst"
+    lst.write_text("S1\t{}\n".format(cand))
+    cargs = SimpleNamespace(input=str(lst), output=str(out_dir),
+                            reference=str(ref), prefix="test", gtf=None,
+                            circ=None, threads=2, debug=False)
+    circ_cnt, iso_cnt = collapse(cargs)
+    assert circ_cnt == 1
+    assert iso_cnt >= 1
+
+    info = (out_dir / "test.info").read_text().strip().split('\n')
+    assert len(info) == 1
+    fields = info[0].split('\t')
+    assert fields[0] == 'chr1' and fields[2] == 'circRNA'
+    st, en = int(fields[3]), int(fields[4])
+    assert abs(st - (CIRC_START + 1)) <= 3
+    assert abs(en - CIRC_END) <= 3
+    assert int(fields[5]) >= 6          # read support
+    assert 'circ_id' in fields[8]
+
+    exp = (out_dir / "test.expression").read_text().strip().split('\n')
+    assert exp[0].startswith('circ_ID')
+    assert len(exp) == 2
+    assert float(exp[1].split('\t')[1]) >= 6
+
+    reads_tsv = (out_dir / "test.reads").read_text().strip().split('\n')
+    assert len(reads_tsv) >= 7
+
+    iso = (out_dir / "test.isoforms").read_text().strip().split('\n')
+    assert iso[0].startswith('isoform_ID')
+
+
+def test_call_resume(dataset):
+    """Stage resume: rerunning call with existing tmp/ must reuse the CCS
+    stage (reference main.py:44-46)."""
+    from ciri_long_tpu.cli.main import call
+
+    root, ref, reads, unit = dataset
+    out_dir = root / "out"
+    args = SimpleNamespace(input=str(reads), output=str(out_dir),
+                           reference=str(ref), prefix="test", gtf=None,
+                           circ=None, threads=2, debug=False)
+    counts = call(args)
+    # resumed run: no 'total' key (CCS stage skipped)
+    assert 'total' not in counts
+    assert counts['consensus'] >= 8

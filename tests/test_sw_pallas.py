@@ -1,0 +1,42 @@
+"""Pallas SW kernel parity vs the XLA-scan implementation and the oracle
+(run in interpreter mode on the CPU test mesh; the driver exercises the
+compiled path on hardware via bench.py / __graft_entry__)."""
+
+import numpy as np
+import pytest
+
+from ciri_long_tpu.ops.sw import SWParams, sw_score_ends
+from ciri_long_tpu.ops.sw_pallas import sw_score_ends_pallas
+from ciri_long_tpu.utils.seq import pad_encoded
+from tests.oracles import sw_oracle
+
+
+@pytest.mark.parametrize("params", [SWParams(1, 1, 1, 1), SWParams(10, 4, 8, 2)])
+def test_pallas_matches_scan_and_oracle(rng, params):
+    qs = [rng.integers(0, 4, int(rng.integers(5, 24))).astype(np.int8)
+          for _ in range(8)]
+    rs = [rng.integers(0, 4, int(rng.integers(5, 40))).astype(np.int8)
+          for _ in range(8)]
+    q, _ = pad_encoded(qs)
+    r, _ = pad_encoded(rs)
+    s1, qe1, re1 = map(np.asarray, sw_score_ends(q, r, params))
+    s2, qe2, re2 = map(np.asarray,
+                       sw_score_ends_pallas(q, r, params, interpret=True))
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(qe1, qe2)
+    np.testing.assert_array_equal(re1, re2)
+    for i in range(len(qs)):
+        assert (int(s2[i]), int(qe2[i]), int(re2[i])) == \
+            sw_oracle(qs[i], rs[i], *params)
+
+
+def test_pallas_with_n_and_pad(rng):
+    params = SWParams(1, 1, 1, 1)
+    q = np.full((8, 16), 5, np.int8)
+    r = np.full((8, 16), 5, np.int8)
+    q[0, :6] = [0, 1, 2, 4, 3, 0]
+    r[0, :6] = [0, 1, 2, 1, 3, 0]
+    s, qe, re = map(np.asarray, sw_score_ends_pallas(q, r, params, interpret=True))
+    exp = sw_oracle(q[0, :6], r[0, :6], *params)
+    assert (int(s[0]), int(qe[0]), int(re[0])) == exp
+    assert s[1] == 0 and qe[1] == -1 and re[1] == -1

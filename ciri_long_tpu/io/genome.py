@@ -42,6 +42,26 @@ class Genome:
         return g
 
     def _load(self, path: str):
+        # native one-pass parse+encode when the extension is built
+        try:
+            from ciri_long_tpu import _fastxcodec as fx
+        except ImportError:
+            fx = None
+        if fx is not None:
+            off = 0
+            all_chunks = []
+            for name_b, codes_b in fx.parse_fastx_encoded(path):
+                name = name_b.decode('ascii')
+                arr = np.frombuffer(codes_b, np.int8)
+                self.names.append(name)
+                self.offsets[name] = off
+                self.contig_len[name] = len(arr)
+                all_chunks.append(arr)
+                off += len(arr)
+            self.codes = (np.concatenate(all_chunks) if all_chunks
+                          else np.zeros(0, np.int8))
+            return
+
         name, chunks = None, []
         all_chunks = []
         off = 0

@@ -192,6 +192,68 @@ def sw_align_batch(query, ref, params: SWParams) -> SWResult:
     )
 
 
+def sw_window_align(query, ref, params: SWParams, chunk=16384):
+    """Local alignment of one query against a very long reference window
+    (the reference's +-200 kb SSW clip re-alignment, find_bsj.py:196-215).
+
+    TPU-native reformulation: instead of a 400k-step sequential scan, the
+    window is tiled into overlapping chunks that become the *batch* axis of
+    one kernel call.  The overlap exceeds the maximum reference span a
+    positive-scoring local alignment can reach (span < Lq * (1 + match /
+    gap_extend)), so the optimum is fully contained in some chunk and the
+    result is exact.
+
+    Returns (score, q_begin, q_end, r_begin, r_end) as python ints with
+    reference coordinates global to ``ref``; score 0 => (-1 ...) coords.
+    """
+    query = np.asarray(query)
+    ref = np.asarray(ref)
+    Lq = len(query)
+    Lr = len(ref)
+    span_bound = Lq * (1 + params.match // max(1, params.gap_extend)) + 128
+    if Lr <= max(chunk, 2 * span_bound):
+        res = sw_align_batch(query[None, :], ref[None, :], params)
+        return (int(res.score[0]), int(res.query_begin[0]),
+                int(res.query_end[0]), int(res.ref_begin[0]),
+                int(res.ref_end[0]))
+
+    overlap = span_bound
+    chunk = max(chunk, 4 * overlap)
+    stride = chunk - overlap
+    starts = list(range(0, max(1, Lr - overlap), stride))
+    if starts[-1] + chunk < Lr:
+        starts.append(Lr - chunk)
+
+    K = len(starts)
+    refs = np.full((K, chunk), 5, np.int8)
+    for t, s in enumerate(starts):
+        piece = ref[s:s + chunk]
+        refs[t, :len(piece)] = piece
+    queries = np.broadcast_to(query[None, :], (K, Lq))
+
+    score, q_end, r_end = map(np.asarray,
+                              sw_score_ends_auto(jnp.asarray(queries),
+                                                 jnp.asarray(refs), params))
+    if score.max() <= 0:
+        return 0, -1, -1, -1, -1
+    g_end = np.where(score > 0, np.asarray(starts) + r_end, 1 << 60)
+    # pick: max score, then smallest global r_end, then smallest q_end
+    order = np.lexsort((q_end, g_end, -score))
+    w = order[0]
+
+    # begins via reverse pass restricted to the winning chunk
+    sub_r = refs[w, :r_end[w] + 1][::-1].copy()
+    sub_q = query[:q_end[w] + 1][::-1].copy()
+    s2, q_off, r_off = map(np.asarray,
+                           sw_score_ends_auto(jnp.asarray(sub_q[None, :]),
+                                              jnp.asarray(sub_r[None, :]),
+                                              params))
+    q_begin = int(q_end[w]) - int(q_off[0])
+    r_begin = int(r_end[w]) - int(r_off[0])
+    return (int(score[w]), q_begin, int(q_end[w]),
+            int(starts[w]) + r_begin, int(starts[w]) + int(r_end[w]))
+
+
 @functools.partial(jax.jit, static_argnames=("L",))
 def _reverse_prefix(x, end, L):
     """x[b, end[b] - t] for t in [0, L); positions past the prefix -> PAD."""

@@ -46,14 +46,34 @@ def _bucket(n):
     return n
 
 
+class _SSWRes:
+    __slots__ = ('score', 'query_begin', 'query_end', 'ref_begin', 'ref_end')
+
+    def __init__(self, score, qb, qe, rb, re_):
+        self.score = score
+        self.query_begin = qb
+        self.query_end = qe
+        self.ref_begin = rb
+        self.ref_end = re_
+
+
 def ssw_align(query_codes, ref_codes, params=CLIP_SW):
-    """Single-pair SW with SSW-style result (inclusive ends), via the
-    batched device kernel with length-bucketed padding."""
+    """Single-pair SW with SSW-style scalar result (inclusive ends).
+
+    Short references go through the batched kernel with length-bucketed
+    padding; long windows (the +-200 kb clip case) through the exact
+    chunked-batch formulation (ops.sw.sw_window_align)."""
+    from ciri_long_tpu.ops.sw import sw_window_align
     from ciri_long_tpu.utils.seq import pad_encoded
-    q, _ = pad_encoded([query_codes], max_len=_bucket(len(query_codes)))
-    r, _ = pad_encoded([ref_codes], max_len=_bucket(len(ref_codes)))
+    if len(ref_codes) > 32768:
+        score, qb, qe, rb, re_ = sw_window_align(query_codes, ref_codes, params)
+        return _SSWRes(score, qb, qe, rb, re_)
+    q, _ = pad_encoded([query_codes], max_len=_bucket(max(1, len(query_codes))))
+    r, _ = pad_encoded([ref_codes], max_len=_bucket(max(1, len(ref_codes))))
     res = sw_align_batch(q, r, params)
-    return res
+    return _SSWRes(int(res.score[0]), int(res.query_begin[0]),
+                   int(res.query_end[0]), int(res.ref_begin[0]),
+                   int(res.ref_end[0]))
 
 
 def find_bsj(ctx, ccs):
@@ -119,11 +139,11 @@ def align_clip_segments(ctx, circ, hit, cfg=DEFAULT.call):
         clip_codes = encode_seq(clip_seq)
         if hit.strand > 0:
             res = ssw_align(clip_codes, window)
-            if res.score[0] <= 0:
+            if res.score <= 0:
                 return None, None, None, None
-            clip_r_st = tmp_start + int(res.ref_begin[0])
-            clip_r_en = tmp_start + int(res.ref_end[0])
-            q_begin = int(res.query_begin[0])
+            clip_r_st = tmp_start + res.ref_begin
+            clip_r_en = tmp_start + res.ref_end
+            q_begin = res.query_begin
             if clip_r_st < hit.r_st:
                 clipped_circ = clip_seq[q_begin:] + \
                     circ[hit.q_st:hit.q_en] + clip_seq[:q_begin]
@@ -131,11 +151,11 @@ def align_clip_segments(ctx, circ, hit, cfg=DEFAULT.call):
                 clipped_circ = circ[hit.q_st:] + circ[:hit.q_st]
         else:
             res = ssw_align(clip_codes, revcomp_encoded(window))
-            if res.score[0] <= 0:
+            if res.score <= 0:
                 return None, None, None, None
-            clip_r_st = tmp_end - int(res.ref_end[0])
-            clip_r_en = tmp_end - int(res.ref_begin[0])
-            q_begin = int(res.query_begin[0])
+            clip_r_st = tmp_end - res.ref_end
+            clip_r_en = tmp_end - res.ref_begin
+            q_begin = res.query_begin
             if clip_r_en > hit.r_en:
                 clipped_circ = clip_seq[q_begin:] + \
                     circ[hit.q_st:hit.q_en] + clip_seq[:q_begin]
@@ -143,7 +163,7 @@ def align_clip_segments(ctx, circ, hit, cfg=DEFAULT.call):
                 clipped_circ = circ[hit.q_st:] + circ[:hit.q_st]
 
         clip_base = hit.q_st + len(circ) - hit.q_en \
-            - (int(res.query_end[0]) - int(res.query_begin[0])) + 1
+            - (res.query_end - res.query_begin) + 1
         circ_start = min(hit.r_st, clip_r_st) - 1
         circ_end = max(hit.r_en, clip_r_en)
     else:

@@ -1,12 +1,20 @@
-from setuptools import find_packages, setup
+from setuptools import Extension, find_packages, setup
 
 from ciri_long_tpu.version import __version__
+
+fastxcodec = Extension(
+    'ciri_long_tpu._fastxcodec',
+    sources=['native/fastxcodec.cpp'],
+    libraries=['z'],
+    extra_compile_args=['-O3', '-std=c++17'],
+)
 
 setup(
     name='ciri-long-tpu',
     version=__version__,
     description='TPU-native circular RNA identification from Nanopore long reads',
     packages=find_packages(include=['ciri_long_tpu', 'ciri_long_tpu.*']),
+    ext_modules=[fastxcodec],
     python_requires='>=3.10',
     install_requires=[
         'jax',

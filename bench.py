@@ -35,15 +35,21 @@ def main():
     qd = jax.device_put(q)
     rd = jax.device_put(r)
 
-    # compile + warm up (Pallas kernel on TPU, XLA scan on CPU)
+    # compile + warm up (Pallas kernel on TPU, XLA scan on CPU); fetch to
+    # host so warmup includes the full round trip
     out = sw_score_ends_auto(qd, rd, params)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
 
-    n_iter = 3
+    # serialized chain (each call's input depends on the previous call's
+    # output) + final host fetch: robust against async-dispatch backends
+    # that resolve block_until_ready before remote execution finishes
+    n_iter = 8
     t0 = time.perf_counter()
+    dep = qd
     for _ in range(n_iter):
-        out = sw_score_ends_auto(qd, rd, params)
-    jax.block_until_ready(out)
+        score, _, _ = sw_score_ends_auto(dep, rd, params)
+        dep = (qd + (score[:, None] * 0).astype(np.int8))
+    np.asarray(score)
     dt = time.perf_counter() - t0
 
     cells = B * Lq * Lr * n_iter

@@ -160,9 +160,17 @@ class GenomeAligner:
                 continue
             alpha = np.minimum(np.minimum(dq, dr), k).astype(float)
             g = np.abs(dr - dq).astype(float)
+            # intron direction (dr > dq): log cost only -- splice preset;
+            # insertion direction: linear.  Both add a penalty on long
+            # anchor-FREE query distance: in a correct chain exonic
+            # sequence seeds densely, so a big dq with no anchors means the
+            # chain is swallowing an extra tandem copy (rolling-circle
+            # reads would otherwise chain 'spirally' through successive
+            # copies and masquerade as one long linear alignment).
+            skip = 0.1 * np.maximum(0.0, dq - 2.0 * k)
             pen = np.where(dr >= dq,
-                           np.log2(g + 1.0),
-                           0.5 * g + 0.5 * np.log2(g + 1.0))
+                           np.log2(g + 1.0) + skip,
+                           0.5 * g + 0.5 * np.log2(g + 1.0) + skip)
             cand = f[j0:i] + alpha - pen
             cand = np.where(ok, cand, -np.inf)
             b = int(np.argmax(cand))

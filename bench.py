@@ -32,25 +32,31 @@ def main():
     r = rng.integers(0, 4, (B, Lr)).astype(np.int8)
     params = SWParams(10, 4, 8, 2)
 
+    import jax.numpy as jnp
+
     qd = jax.device_put(q)
     rd = jax.device_put(r)
 
-    # compile + warm up (Pallas kernel on TPU, XLA scan on CPU); fetch to
-    # host so warmup includes the full round trip
-    out = sw_score_ends_auto(qd, rd, params)
-    np.asarray(out[0])
-
-    # serialized chain (each call's input depends on the previous call's
-    # output) + final host fetch: robust against async-dispatch backends
-    # that resolve block_until_ready before remote execution finishes
+    # The whole timing loop runs on device in ONE dispatch (iterations
+    # serialized through a data dependency), then one host fetch -- the
+    # only robust methodology under async/remote dispatch where per-call
+    # RTT would otherwise dominate or, worse, never be waited on.
     n_iter = 8
+
+    @jax.jit
+    def loop(qx, rx):
+        def body(_, carry):
+            score, _, _ = sw_score_ends_auto(carry, rx, params)
+            return (qx + (score[:, None] * 0).astype(jnp.int8))
+        final = jax.lax.fori_loop(0, n_iter, body, qx)
+        return sw_score_ends_auto(final, rx, params)[0]
+
+    np.asarray(loop(qd, rd))   # compile + warm up, full round trip
+
     t0 = time.perf_counter()
-    dep = qd
-    for _ in range(n_iter):
-        score, _, _ = sw_score_ends_auto(dep, rd, params)
-        dep = (qd + (score[:, None] * 0).astype(np.int8))
-    np.asarray(score)
+    np.asarray(loop(qd, rd))
     dt = time.perf_counter() - t0
+    n_iter += 1  # the loop body runs n_iter times plus the final call
 
     cells = B * Lq * Lr * n_iter
     gcups = cells / dt / 1e9

@@ -109,6 +109,11 @@ def call(args):
     gtf_idx, intron_idx, ss_idx = _load_or_build_index(
         out_dir, gtf_file, circ_file, logger)
 
+    profile_dir = getattr(args, 'profile', None)
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+
     logger.info('Step 2.1 - Find circRNAs from CCS reads')
     with timer.stage('scan_ccs', items=len(ccs_seq)):
         ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx)
@@ -133,6 +138,11 @@ def call(args):
                                          out_dir, prefix)
     for key, value in tmp_cnt.items():
         reads_count[key] += value
+
+    if profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+        logger.info('Device trace written to {}'.format(profile_dir))
 
     logger.info('Raw unmapped: {}'.format(reads_count['raw_unmapped']))
     logger.info('CCS mapped: {}'.format(reads_count['ccs_mapped']))
@@ -247,6 +257,10 @@ def main():
     call_parser.add_argument('--debug', dest='debug', default=False,
                              action='store_true',
                              help='Run in debugging mode, (default: %(default)s)')
+    call_parser.add_argument('--profile', dest='profile', metavar='DIR',
+                             default=None,
+                             help='Write a jax.profiler device trace of the '
+                                  'scan stages to DIR (optional)')
     call_parser.set_defaults(func=call)
 
     collapse_parser = subparsers.add_parser('collapse')

@@ -138,18 +138,27 @@ class GenomeAligner:
         return out
 
     # ------------------------------------------------------------------
-    def _chain(self, r, q):
-        """Colinear chaining with splice-tolerant gap costs.  Sequential DP
-        over anchors sorted by (r, q); the per-anchor predecessor max is a
-        vectorised window."""
+    def _chain_dp(self, r, q, ctg_id, max_gap_r, max_gap_q):
+        """Windowed chaining DP -> (f, pre).  Native C++ core when built
+        (native/chaincore.cpp, the analog of minimap2's mm_chain_dp);
+        numpy fallback with identical scoring otherwise."""
         n = len(r)
         k = self.k
-        cfg = self.cfg
+        try:
+            from ciri_long_tpu import _chaincore
+        except ImportError:
+            _chaincore = None
+        if _chaincore is not None:
+            fb, pb = _chaincore.chain(
+                np.ascontiguousarray(r, np.int64),
+                np.ascontiguousarray(q, np.int64),
+                np.ascontiguousarray(ctg_id, np.int64),
+                k, CHAIN_WINDOW, max_gap_r, max_gap_q)
+            return (np.frombuffer(fb, np.float64).copy(),
+                    np.frombuffer(pb, np.int64).copy())
+
         f = np.full(n, float(k))
         pre = np.full(n, -1, np.int64)
-        ctg_id = np.searchsorted(self._ctg_starts, r, side='right')
-        max_gap_r = cfg.max_gap_ref
-        max_gap_q = 5000
         for i in range(1, n):
             j0 = max(0, i - CHAIN_WINDOW)
             dr = r[i] - r[j0:i]
@@ -177,6 +186,14 @@ class GenomeAligner:
             if cand[b] > f[i]:
                 f[i] = cand[b]
                 pre[i] = j0 + b
+        return f, pre
+
+    def _chain(self, r, q):
+        """Colinear chaining with splice-tolerant gap costs; greedy chain
+        extraction by descending score."""
+        n = len(r)
+        ctg_id = np.searchsorted(self._ctg_starts, r, side='right')
+        f, pre = self._chain_dp(r, q, ctg_id, self.cfg.max_gap_ref, 5000)
         # backtrack best chains greedily
         order = np.argsort(-f, kind='stable')
         used = np.zeros(n, bool)

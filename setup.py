@@ -9,12 +9,18 @@ fastxcodec = Extension(
     extra_compile_args=['-O3', '-std=c++17'],
 )
 
+chaincore = Extension(
+    'ciri_long_tpu._chaincore',
+    sources=['native/chaincore.cpp'],
+    extra_compile_args=['-O3', '-std=c++17'],
+)
+
 setup(
     name='ciri-long-tpu',
     version=__version__,
     description='TPU-native circular RNA identification from Nanopore long reads',
     packages=find_packages(include=['ciri_long_tpu', 'ciri_long_tpu.*']),
-    ext_modules=[fastxcodec],
+    ext_modules=[fastxcodec, chaincore],
     python_requires='>=3.10',
     install_requires=[
         'jax',

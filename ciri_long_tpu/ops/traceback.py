@@ -145,6 +145,11 @@ def banded_global_cigar(q: np.ndarray, r: np.ndarray, band=None,
         band = abs(n - m) + 16
     S = _score_matrix(match, mismatch)
 
+    # small problems: exact full-matrix DP with numpy-vectorised rows (the
+    # common inter-anchor stitch is well under this bound)
+    if n * m <= 4_000_000:
+        return _nw_full_vec(q, r, S, gap_open, gap_extend)
+
     while True:
         res = _banded_nw(q, r, band, S, gap_open, gap_extend)
         if res is not None:
@@ -250,6 +255,72 @@ def extend_align(q: np.ndarray, r: np.ndarray, match=2, mismatch=4,
                 state = 'H'
     ops.reverse()
     return int(best), bi, bj, ops
+
+
+def _nw_full_vec(q, r, S, gap_open, gap_extend):
+    """Global affine NW with numpy-vectorised rows; within-row E via the
+    prefix-max identity (exact for gap_open >= gap_extend, the only regime
+    the pipeline uses -- see ops/sw.py)."""
+    n, m = len(q), len(r)
+    H = np.full((n + 1, m + 1), NEG, np.int64)
+    E = np.full((n + 1, m + 1), NEG, np.int64)
+    F = np.full((n + 1, m + 1), NEG, np.int64)
+    jj = np.arange(m + 1, dtype=np.int64)
+    H[0, 0] = 0
+    H[0, 1:] = -gap_open - (jj[1:] - 1) * gap_extend
+    E[0, 1:] = H[0, 1:]
+    sub = S[q[:, None], r[None, :]]
+    for i in range(1, n + 1):
+        H[i, 0] = -gap_open - (i - 1) * gap_extend
+        F[i, 0] = H[i, 0]
+        Frow = np.maximum(F[i - 1, 1:] - gap_extend, H[i - 1, 1:] - gap_open)
+        F[i, 1:] = Frow
+        diag = H[i - 1, :-1] + sub[i - 1]
+        hpre = np.concatenate([[H[i, 0]], np.maximum(diag, Frow)])
+        p = np.maximum.accumulate(hpre + jj * gap_extend)
+        Erow = np.empty(m + 1, np.int64)
+        Erow[0] = NEG
+        Erow[1:] = p[:-1] - gap_open - (jj[1:] - 1) * gap_extend
+        E[i] = Erow
+        H[i] = np.maximum(hpre, Erow)
+    score = int(H[n, m])
+
+    ops = []
+    i, j = n, m
+
+    def push(op):
+        if ops and ops[-1][1] == op:
+            ops[-1] = (ops[-1][0] + 1, op)
+        else:
+            ops.append((1, op))
+
+    state = 'H'
+    while i > 0 or j > 0:
+        if state == 'H':
+            if j > 0 and H[i, j] == E[i, j]:
+                state = 'E'
+            elif i > 0 and H[i, j] == F[i, j]:
+                state = 'F'
+            elif i > 0 and j > 0:
+                push(0); i -= 1; j -= 1
+            elif j > 0:
+                push(2); j -= 1
+            else:
+                push(1); i -= 1
+        elif state == 'E':
+            push(2)
+            stay = j > 1 and E[i, j] == E[i, j - 1] - gap_extend
+            j -= 1
+            if not stay:
+                state = 'H'
+        else:
+            push(1)
+            stay = i > 1 and F[i, j] == F[i - 1, j] - gap_extend
+            i -= 1
+            if not stay:
+                state = 'H'
+    ops.reverse()
+    return score, ops
 
 
 def _banded_nw(q, r, band, S, gap_open, gap_extend):

@@ -132,3 +132,18 @@ def test_sw_matches_reference_test_fixture():
     exp = sw_oracle(q, r, *params)
     assert (int(score[0]), int(q_end[0]), int(r_end[0])) == exp
     assert score[0] > 0
+
+
+def test_banded_global_cigar_matches_oracle(rng):
+    from ciri_long_tpu.ops.traceback import banded_global_cigar
+    from tests.oracles import nw_oracle, apply_cigar_score
+    for _ in range(10):
+        n = int(rng.integers(1, 80))
+        m = int(rng.integers(1, 80))
+        q = rng.integers(0, 4, n).astype(np.int8)
+        r = rng.integers(0, 4, m).astype(np.int8)
+        score, cigar = banded_global_cigar(q, r)
+        exp = nw_oracle(q, r, 2, 4, 4, 2)
+        assert score == exp, (n, m)
+        sc, qi, rj = apply_cigar_score(q, r, cigar, 2, 4, 4, 2)
+        assert sc == score and qi == n and rj == m

@@ -70,31 +70,50 @@ class GenomeAligner:
         if qlen < self.k:
             return []
         anchors = self._anchors(codes, qlen)
-        hits = []
+        # gather chains from both strands with original-coordinate query
+        # extents, so non-overlapping selection can run BEFORE the (much
+        # more expensive) stitching
+        cands = []
         for strand, (r, q) in anchors.items():
             if len(r) == 0:
                 continue
-            chains = self._chain(r, q)
             qc = codes if strand > 0 else revcomp_encoded(codes)
-            for idx, score in chains:
-                hit = self._stitch(r[idx], q[idx], qc, qlen, strand, score)
-                if hit is not None:
-                    hits.append(hit)
-        hits.sort(key=lambda h: h.score, reverse=True)
-        # non-overlapping (on query) selection: all selected are primary
+            for idx, score in self._chain(r, q):
+                qs, qe = int(q[idx[0]]), int(q[idx[-1]]) + self.k
+                if strand < 0:
+                    qs, qe = qlen - qe, qlen - qs
+                cands.append((score, qs, qe, strand, r, q, idx, qc))
+        cands.sort(key=lambda c: c[0], reverse=True)
+
         selected: List[Hit] = []
-        for h in hits:
-            keep = True
-            for s in selected:
-                ov = min(h.q_en, s.q_en) - max(h.q_st, s.q_st)
-                if ov > 0.5 * min(h.q_en - h.q_st, s.q_en - s.q_st):
-                    keep = False
-                    break
-            if keep:
-                h.is_primary = 1
-                selected.append(h)
+        spans = []
+        for score, qs, qe, strand, r, q, idx, qc in cands:
             if len(selected) >= MAX_HITS:
                 break
+            clash = False
+            for s_st, s_en in spans:
+                ov = min(qe, s_en) - max(qs, s_st)
+                if ov > 0.5 * min(qe - qs, s_en - s_st):
+                    clash = True
+                    break
+            if clash:
+                continue
+            hit = self._stitch(r[idx], q[idx], qc, qlen, strand, score)
+            if hit is None:
+                continue
+            # re-check with the stitched (extended) extent
+            clash = False
+            for s in selected:
+                ov = min(hit.q_en, s.q_en) - max(hit.q_st, s.q_st)
+                if ov > 0.5 * min(hit.q_en - hit.q_st, s.q_en - s.q_st):
+                    clash = True
+                    break
+            if clash:
+                continue
+            hit.is_primary = 1
+            selected.append(hit)
+            spans.append((hit.q_st, hit.q_en))
+        selected.sort(key=lambda h: h.score, reverse=True)
         return selected
 
     # ------------------------------------------------------------------

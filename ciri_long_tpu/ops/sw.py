@@ -157,37 +157,40 @@ class SWResult(NamedTuple):
     ref_end: np.ndarray
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def _sw_align_fused(query, ref, params: SWParams):
+    """Forward ends + reverse-pass begins in ONE jitted program (one
+    dispatch -- on remote-tunnel devices every dispatch costs an RTT)."""
+    B, Lq = query.shape
+    _, Lr = ref.shape
+    score, q_end, r_end = sw_score_ends_auto(query, ref, params)
+    rq = _reverse_prefix(query, q_end, Lq)
+    rr = _reverse_prefix(ref, r_end, Lr)
+    _, q_off, r_off = sw_score_ends_auto(rq, rr, params)
+    q_begin = q_end - q_off
+    r_begin = r_end - r_off
+    none = score <= 0
+    return (score, jnp.where(none, -1, q_begin), q_end,
+            jnp.where(none, -1, r_begin), r_end)
+
+
 def sw_align_batch(query, ref, params: SWParams) -> SWResult:
     """Batched SW with begin *and* end coordinates.
 
     Forward pass finds score and (q_end, r_end); a second pass on the
     reversed prefixes finds the begins -- the same strategy as the
     reference's reverse-pass (ssw.c:836-849), but batched: all reversals
-    happen as one gather on device.
+    happen as one gather on device, and both passes run in one dispatch.
 
     Inputs are [B, Lq] / [B, Lr] padded arrays (np or jnp).
     """
-    query = jnp.asarray(query)
-    ref = jnp.asarray(ref)
-    B, Lq = query.shape
-    _, Lr = ref.shape
-
-    score, q_end, r_end = sw_score_ends_auto(query, ref, params)
-
-    # Build reversed prefixes ending at (q_end, r_end):
-    #   rq[b, t] = query[b, q_end - t]  for t <= q_end else PAD
-    rq = _reverse_prefix(query, jnp.asarray(q_end), Lq)
-    rr = _reverse_prefix(ref, jnp.asarray(r_end), Lr)
-    score2, q_off, r_off = sw_score_ends_auto(rq, rr, params)
-
-    q_begin = q_end - q_off
-    r_begin = r_end - r_off
-    none = score <= 0
+    score, q_begin, q_end, r_begin, r_end = _sw_align_fused(
+        jnp.asarray(query), jnp.asarray(ref), params)
     return SWResult(
         score=np.asarray(score),
-        query_begin=np.asarray(jnp.where(none, -1, q_begin)),
+        query_begin=np.asarray(q_begin),
         query_end=np.asarray(q_end),
-        ref_begin=np.asarray(jnp.where(none, -1, r_begin)),
+        ref_begin=np.asarray(r_begin),
         ref_end=np.asarray(r_end),
     )
 

@@ -176,6 +176,10 @@ def extend_align(q: np.ndarray, r: np.ndarray, match=2, mismatch=4,
     decisions).  Greedy z-drop: rows stop contributing once the running best
     falls more than ``zdrop`` behind.
 
+    Most extensions either reach the sequence end quickly or z-drop within
+    tens of rows, so the DP first runs in a small window and only widens if
+    the best cell hits the window edge.
+
     Returns (score, q_len_used, r_len_used, cigar) -- the cigar covers
     q[0:q_len_used] vs r[0:r_len_used]; (0, 0, 0, []) if extension is
     immediately unprofitable.
@@ -185,39 +189,19 @@ def extend_align(q: np.ndarray, r: np.ndarray, match=2, mismatch=4,
     n, m = len(q), len(r)
     if n == 0 or m == 0:
         return 0, 0, 0, []
-    S = _score_matrix(match, mismatch)
-    H = np.full((n + 1, m + 1), NEG, np.int64)
-    E = np.full((n + 1, m + 1), NEG, np.int64)
-    F = np.full((n + 1, m + 1), NEG, np.int64)
-    H[0, 0] = 0
-    top = m
-    H[0, 1:] = -gap_open - np.arange(m) * gap_extend
-    E[0, 1:] = H[0, 1:]
-    jj = np.arange(m + 1, dtype=np.int64)
-    best, bi, bj = 0, 0, 0
-    for i in range(1, n + 1):
-        H[i, 0] = -gap_open - (i - 1) * gap_extend
-        F[i, 0] = H[i, 0]
-        Frow = np.maximum(F[i - 1, 1:] - gap_extend, H[i - 1, 1:] - gap_open)
-        F[i, 1:] = Frow
-        diag = H[i - 1, :-1] + S[q[i - 1]][r]
-        hpre = np.maximum(diag, Frow)
-        hpre = np.concatenate([[H[i, 0]], hpre])
-        p = np.maximum.accumulate(hpre + jj * gap_extend)
-        Erow = np.full(m + 1, NEG, np.int64)
-        Erow[1:] = p[:-1] - gap_open - (jj[1:] - 1) * gap_extend
-        E[i, 1:] = Erow[1:]
-        Hrow = np.maximum(hpre, Erow)
-        H[i] = Hrow
-        rb = int(Hrow.max())
-        if rb > best:
-            best = rb
-            bi = i
-            bj = int(np.argmax(Hrow))
-        elif best - rb > zdrop:
-            break
-    if best <= 0:
+
+    n1 = min(n, 192)
+    m1 = min(m, n1 + 64)
+    res = _extend_core(q[:n1], r[:m1], match, mismatch, gap_open,
+                       gap_extend, zdrop)
+    if res is None:
         return 0, 0, 0, []
+    best, bi, bj, H, E, F = res
+    if (bi >= n1 - 4 or bj >= m1 - 4) and (n > n1 or m > m1):
+        res = _extend_core(q, r, match, mismatch, gap_open, gap_extend, zdrop)
+        if res is None:
+            return 0, 0, 0, []
+        best, bi, bj, H, E, F = res
 
     ops = []
 
@@ -255,6 +239,47 @@ def extend_align(q: np.ndarray, r: np.ndarray, match=2, mismatch=4,
                 state = 'H'
     ops.reverse()
     return int(best), bi, bj, ops
+
+
+def _extend_core(q, r, match, mismatch, gap_open, gap_extend, zdrop):
+    """Row DP for extend_align; returns (best, bi, bj, H, E, F) or None.
+    Matrices are np.empty with only the touched region initialised (the
+    traceback never leaves the computed rows)."""
+    n, m = len(q), len(r)
+    S = _score_matrix(match, mismatch)
+    H = np.empty((n + 1, m + 1), np.int64)
+    E = np.empty((n + 1, m + 1), np.int64)
+    F = np.empty((n + 1, m + 1), np.int64)
+    jj = np.arange(m + 1, dtype=np.int64)
+    H[0, 0] = 0
+    H[0, 1:] = -gap_open - (jj[1:] - 1) * gap_extend
+    E[:, 0] = NEG
+    E[0, 1:] = H[0, 1:]
+    F[0, :] = NEG
+    best, bi, bj = 0, 0, 0
+    for i in range(1, n + 1):
+        H[i, 0] = -gap_open - (i - 1) * gap_extend
+        F[i, 0] = H[i, 0]
+        Frow = np.maximum(F[i - 1, 1:] - gap_extend, H[i - 1, 1:] - gap_open)
+        F[i, 1:] = Frow
+        diag = H[i - 1, :-1] + S[q[i - 1]][r]
+        hpre = np.concatenate([[H[i, 0]], np.maximum(diag, Frow)])
+        p = np.maximum.accumulate(hpre + jj * gap_extend)
+        Erow = E[i]
+        Erow[1:] = p[:-1] - gap_open - (jj[1:] - 1) * gap_extend
+        Hrow = np.maximum(hpre, Erow)
+        Hrow[0] = H[i, 0]
+        H[i] = Hrow
+        rb = int(Hrow.max())
+        if rb > best:
+            best = rb
+            bi = i
+            bj = int(np.argmax(Hrow))
+        elif best - rb > zdrop:
+            break
+    if best <= 0:
+        return None
+    return best, bi, bj, H, E, F
 
 
 def _nw_full_vec(q, r, S, gap_open, gap_extend):

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.int32(1 << 28)
+BIG = 1 << 28  # plain int: keep module import free of backend init
 
 
 @functools.partial(jax.jit, static_argnames=())

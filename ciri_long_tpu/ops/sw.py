@@ -40,7 +40,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = jnp.int32(-(1 << 28))
+# plain python int: a module-level jnp constant would initialise the XLA
+# backend at import time, which breaks jax.distributed.initialize ordering
+NEG = -(1 << 28)
 
 
 class SWParams(NamedTuple):
@@ -60,7 +62,7 @@ def _pair_score(q_codes, r_codes, match, mismatch):
     is_pad = (q_codes >= 5) | (r_codes >= 5)
     s = jnp.where(q_codes == r_codes, jnp.int32(match), jnp.int32(-mismatch))
     s = jnp.where(is_n, jnp.int32(0), s)
-    return jnp.where(is_pad, NEG, s)
+    return jnp.where(is_pad, jnp.int32(NEG), s)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

@@ -80,3 +80,22 @@ def test_native_codec_parity(tmp_path):
     # Genome loader should produce identical state through either path
     g = Genome(str(fa))
     assert g.seq("a", 0, 6) == "ACGTGG"
+
+
+def test_index_circ_bed(tmp_path):
+    from ciri_long_tpu.annot.gtf import index_circ
+    bed = tmp_path / "circ.bed"
+    bed.write_text("chr1\t100\t500\t+\nchr1\tbroken\tx\t+\nchr2\t50\t90\t-\n")
+    idx = index_circ(str(bed), None)
+    assert idx['chr1'][100]['+']['start'] == 1
+    assert idx['chr1'][500]['+']['end'] == 1
+    assert idx['chr2'][50]['-']['start'] == 1
+
+
+def test_index_circ_gtf(tmp_path):
+    from ciri_long_tpu.annot.gtf import index_circ
+    gtf = tmp_path / "circ.gtf"
+    gtf.write_text('chr3\tx\tcircRNA\t10\t90\t.\t-\t.\tcirc_id "c";\n')
+    idx = index_circ(str(gtf), None)
+    assert idx['chr3'][10]['-']['start'] == 1
+    assert idx['chr3'][90]['-']['end'] == 1

@@ -6,6 +6,7 @@ from ciri_long_tpu.annot.signal import (
     find_host_gene,
     find_overlap_exons,
     find_retained_introns,
+    search_splice_signal,
     sort_ss,
 )
 
@@ -13,5 +14,5 @@ __all__ = [
     "Feature", "index_annotation", "index_circ",
     "SPLICE_SIGNAL", "find_annotated_signal", "find_denovo_signal",
     "find_host_gene", "find_overlap_exons", "find_retained_introns",
-    "sort_ss",
+    "search_splice_signal", "sort_ss",
 ]

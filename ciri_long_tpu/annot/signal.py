@@ -239,6 +239,24 @@ def find_denovo_signal(ctx, contig, start, end, host_strand, tmp_signal,
     return None
 
 
+def search_splice_signal(ctx, contig, start, end, clip_base,
+                         search_length=10, shift_threshold=3):
+    """Combined annotated + de novo search returning (site, us_free,
+    ds_free) -- the legacy single-call interface (find_bsj.py:17-136,
+    retained by the reference for its commented-out recovery paths)."""
+    ss_site, us_free, ds_free, tmp_signal = find_annotated_signal(
+        ctx, contig, start, end, clip_base, search_length, shift_threshold)
+    if ss_site is not None:
+        return ss_site, us_free, ds_free
+    if start - search_length - us_free - 2 < 0 or \
+            end + search_length + ds_free + 2 > ctx.contig_len[contig]:
+        return None, us_free, ds_free
+    ss_site = find_denovo_signal(ctx, contig, start, end, None, tmp_signal,
+                                 us_free, ds_free, clip_base, search_length,
+                                 shift_threshold, False)
+    return ss_site, us_free, ds_free
+
+
 def find_host_gene(ctx, ctg, start, end) -> Optional[dict]:
     """Genes overlapping the candidate locus, keyed by strand
     (align.py:736-755)."""

@@ -63,10 +63,16 @@ def _sw_kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk,
     best_val[:] = jnp.zeros((btile, lrp), jnp.int32)
     best_i[:] = jnp.full((btile, lrp), -1, jnp.int32)
 
+    # loop-invariant hoists: reference-only masks and the gap ramps
+    r_is_n = r == 4
+    r_is_pad = r >= 5
+    jge = j_idx * gap_extend
+    e_bias = gap_open + (j_idx - 1) * gap_extend
+
     def step(i, q_col):
         # q_col: [BTILE, 1] current query base codes
-        is_n = (q_col == 4) | (r == 4)
-        is_pad = (q_col >= 5) | (r >= 5)
+        is_n = (q_col == 4) | r_is_n
+        is_pad = (q_col >= 5) | r_is_pad
         s = jnp.where(q_col == r, match, -mismatch)
         s = jnp.where(is_n, 0, s)
         s = jnp.where(is_pad, NEG, s)
@@ -76,9 +82,9 @@ def _sw_kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk,
         Hdiag = _shift_right(Hp, j_idx, 0)
         H0 = jnp.maximum(jnp.maximum(Hdiag + s, Fv), 0)
 
-        P = _cummax_lanes(H0 + j_idx * gap_extend, j_idx, lrp)
+        P = _cummax_lanes(H0 + jge, j_idx, lrp)
         Ps = _shift_right(P, j_idx, NEG)
-        E = Ps - gap_open - (j_idx - 1) * gap_extend
+        E = Ps - e_bias
         Hn = jnp.maximum(H0, E)
 
         better = Hn > best_val[:]

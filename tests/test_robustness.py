@@ -1,0 +1,98 @@
+"""Robustness and output-format contracts: gzipped input through the CLI,
+N-containing reads, empty inputs, and the exact record layouts downstream
+tools parse (find_bsj.py:363-366, collapse.py:54-58)."""
+
+import gzip
+import re
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from tests.test_pipeline_call import make_rolling_read
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def test_gzip_fastq_call(rng, tmp_path):
+    from ciri_long_tpu.cli.main import call
+
+    chr1 = list(rand_seq(rng, 20_000))
+    st, en = 9_000, 9_400
+    chr1[st - 2:st] = list("AG")
+    chr1[en:en + 2] = list("GT")
+    chr1 = "".join(chr1)
+    unit = chr1[st:en]
+    ref = tmp_path / "g.fa"
+    ref.write_text(">chr1\n{}\n".format(chr1))
+
+    reads = tmp_path / "reads.fq.gz"
+    with gzip.open(reads, "wt") as f:
+        for i in range(4):
+            seq = make_rolling_read(rng, unit, copies=4.0, rot=i * 37,
+                                    noise=0.01)
+            f.write("@r{} desc\n{}\n+\n{}\n".format(i, seq, "I" * len(seq)))
+    out = tmp_path / "out"
+    counts = call(SimpleNamespace(input=str(reads), output=str(out),
+                                  reference=str(ref), prefix="gz", gtf=None,
+                                  circ=None, threads=1, debug=False))
+    assert counts['bsj'] >= 3
+
+    # record format contract
+    header_re = re.compile(
+        r'^>\S+\t\S+:\d+-\d+\t(\+|-|NA)\t\S+\t\S+\t\d+\|\d+-\d+\t[\d;-]+$')
+    with open(out / "gz.cand_circ.fa") as f:
+        for line in f:
+            assert header_re.match(line.rstrip()), line
+            seq = f.readline().rstrip()
+            assert set(seq) <= set("ACGTN")
+
+
+def test_reads_with_n_bases(rng, tmp_path):
+    from ciri_long_tpu.ops.ccs import find_consensus
+
+    unit = rand_seq(rng, 300)
+    read = list(unit * 4)
+    for p in range(50, len(read), 97):
+        read[p] = 'N'
+    read = "".join(read)
+    seg, ccs = find_consensus(read)
+    # sparse Ns must not break period detection
+    assert seg is not None
+    assert abs(len(ccs) - 300) <= 10
+
+
+def test_empty_input_call_collapse(tmp_path):
+    from ciri_long_tpu.cli.main import call, collapse
+
+    ref = tmp_path / "g.fa"
+    ref.write_text(">chr1\n{}\n".format("ACGT" * 2500))
+    reads = tmp_path / "reads.fa"
+    reads.write_text("")
+    out = tmp_path / "out"
+    counts = call(SimpleNamespace(input=str(reads), output=str(out),
+                                  reference=str(ref), prefix="empty",
+                                  gtf=None, circ=None, threads=1, debug=False))
+    assert counts['bsj'] == 0
+    assert (out / "empty.cand_circ.fa").read_text() == ""
+
+    lst = tmp_path / "s.lst"
+    lst.write_text("S\t{}\n".format(out / "empty.cand_circ.fa"))
+    (out / "empty.low_confidence.fa").write_text("")
+    circ_cnt, iso_cnt = collapse(
+        SimpleNamespace(input=str(lst), output=str(out), reference=str(ref),
+                        prefix="empty", gtf=None, circ=None, threads=1,
+                        debug=False))
+    assert circ_cnt == 0 and iso_cnt == 0
+
+
+def test_version_and_help():
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-m", "ciri_long_tpu.cli.main", "--version"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0
+    assert "0.1.0" in out.stdout + out.stderr

@@ -1,0 +1,72 @@
+"""Device chaining kernel parity vs the host (C++/numpy) implementation."""
+
+import numpy as np
+import pytest
+
+from ciri_long_tpu.io.genome import Genome
+from ciri_long_tpu.models.aligner import GenomeAligner
+from ciri_long_tpu.ops.chain import backtrack_chains, chain_scores_batch
+
+
+def test_device_chain_matches_host(rng):
+    genome = Genome.from_dict({"c": "ACGT" * 500})
+    al = GenomeAligner(genome)
+
+    B, A = 4, 200
+    rs = np.zeros((B, A), np.int64)
+    qs = np.zeros((B, A), np.int64)
+    cs = np.zeros((B, A), np.int64)
+    val = np.zeros((B, A), bool)
+    host = []
+    for b in range(B):
+        n = int(rng.integers(50, A))
+        r = np.sort(rng.integers(0, 300_000, n)).astype(np.int64)
+        q = np.sort(rng.integers(0, 10_000, n)).astype(np.int64)
+        order = np.lexsort((q, r))
+        r, q = r[order], q[order]
+        ctg = (r // 150_000).astype(np.int64)
+        rs[b, :n] = r
+        qs[b, :n] = q
+        cs[b, :n] = ctg
+        val[b, :n] = True
+        # make padding non-chainable monotone garbage
+        rs[b, n:] = r[-1] + np.arange(A - n) * 1_000_000
+        f_h, pre_h = al._chain_dp(r, q, ctg, al.cfg.max_gap_ref, 5000)
+        host.append((n, f_h, pre_h))
+
+    f_d, pre_d = chain_scores_batch(rs, qs, cs, val, al.k, 64,
+                                    al.cfg.max_gap_ref, 5000)
+    f_d = np.asarray(f_d)
+    pre_d = np.asarray(pre_d)
+
+    for b, (n, f_h, pre_h) in enumerate(host):
+        np.testing.assert_allclose(f_d[b, :n], f_h, rtol=1e-5, atol=1e-4)
+        agree = (pre_d[b, :n] == pre_h).mean()
+        assert agree > 0.97, agree   # float32 ties may flip rare choices
+
+
+def test_backtrack_extracts_planted_chain(rng):
+    genome = Genome.from_dict({"c": "ACGT" * 500})
+    al = GenomeAligner(genome)
+    # one clean colinear chain plus noise anchors
+    n_chain = 30
+    r = 1000 + np.arange(n_chain) * 20
+    q = 500 + np.arange(n_chain) * 20
+    noise_r = rng.integers(50_000, 90_000, 20)
+    noise_q = rng.integers(8_000, 9_000, 20)
+    rr = np.concatenate([r, noise_r]).astype(np.int64)
+    qq = np.concatenate([q, noise_q]).astype(np.int64)
+    order = np.lexsort((qq, rr))
+    rr, qq = rr[order], qq[order]
+    A = len(rr)
+    rs = rr[None, :]
+    qs = qq[None, :]
+    cs = np.zeros((1, A), np.int64)
+    val = np.ones((1, A), bool)
+    f, pre = chain_scores_batch(rs, qs, cs, val, al.k)
+    chains = backtrack_chains(f, pre, val, al.min_chain_score,
+                              al.min_chain_anchors)[0]
+    assert chains
+    idx, score = chains[0]
+    assert len(idx) >= n_chain - 2
+    assert score >= 200

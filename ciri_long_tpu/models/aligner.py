@@ -26,7 +26,8 @@ from ciri_long_tpu.config import AlignerConfig, DEFAULT
 from ciri_long_tpu.io.genome import Genome
 from ciri_long_tpu.models.hits import Hit
 from ciri_long_tpu.models.minimizer import MinimizerIndex, minimizers
-from ciri_long_tpu.ops.traceback import banded_global_cigar, extend_align
+from ciri_long_tpu.ops.traceback import (banded_global_cigar, extend_align,
+                                         splice_junction_align)
 from ciri_long_tpu.utils.seq import encode_seq, revcomp_encoded
 
 MIN_INTRON = 30        # ref gap at least this long becomes an N op
@@ -251,30 +252,54 @@ class GenomeAligner:
 
         q_cur, r_cur = int(q[0]), int(r[0])
         for t in range(1, len(q)):
+            if int(q[t]) <= q_cur or int(r[t]) <= r_cur:
+                continue  # anchor swallowed by a widened splice window
             dq = int(q[t]) - q_cur
             dr = int(r[t]) - r_cur
+            if dr - dq >= MIN_INTRON:
+                # Widen the junction window past the flanking anchors:
+                # splice-site sliding ambiguity means an exact k-mer anchor
+                # can sit ON the junction (query '...CAG|' matches the
+                # genome on both the donor and the acceptor side) and pin
+                # the intron to the wrong boundary.  Trim up to k+6 bases
+                # of trailing M off the emitted cigar and absorb the next
+                # anchor's k-mer, then let the gapped splice aligner decide.
+                back = 0
+                limit = k + 6
+                while cigar and cigar[-1][1] == 0 and back < limit:
+                    l0, _ = cigar[-1]
+                    take = min(l0, limit - back)
+                    if take == l0:
+                        cigar.pop()
+                    else:
+                        cigar[-1] = (l0 - take, 0)
+                    back += take
+                fwd = k
+                q0, r0 = q_cur - back, r_cur - back
+                q1, r1 = int(q[t]) + fwd, int(r[t]) + fwd
+                sub = splice_junction_align(qc[q0:q1], gcodes[r0:r1],
+                                            dr - dq, bonus=self.SPLICE_BONUS)
+                for l, op in sub:
+                    emit(op, l)
+                q_cur, r_cur = q1, r1
+                continue
             if dq == dr:
                 emit(0, dq)
             elif dq == 0:
-                emit(3 if dr >= MIN_INTRON else 2, dr)
+                emit(2, dr)
             elif dr == 0:
                 emit(1, dq)
-            elif dr - dq >= MIN_INTRON:
-                left = self._splice_split(qc[q_cur:q_cur + dq],
-                                          gcodes[r_cur:r_cur + dq],
-                                          gcodes[r_cur + dr - dq:r_cur + dr])
-                emit(0, left)
-                emit(3, dr - dq)
-                emit(0, dq - left)
             else:
                 _, sub = banded_global_cigar(qc[q_cur:q_cur + dq],
                                              gcodes[r_cur:r_cur + dr])
                 for l, op in sub:
                     emit(op, l)
             q_cur, r_cur = int(q[t]), int(r[t])
-        emit(0, k)
-        q_cur += k
-        r_cur += k
+        if q_cur <= int(q[-1]):
+            tail_m = int(q[-1]) + k - q_cur
+            emit(0, tail_m)
+            q_cur += tail_m
+            r_cur += tail_m
 
         q_st, r_st = int(q[0]), int(r[0])
         q_en, r_en = q_cur, r_cur
@@ -327,18 +352,11 @@ class GenomeAligner:
                    cigar=cigar, score=score, mapq=60,
                    ctg_len=self.genome.contig_len[ctg])
 
-    @staticmethod
-    def _splice_split(qg, ref_left, ref_right):
-        """Choose where to put the intron inside a reference gap: maximise
-        ungapped matches of the query gap's prefix against the donor-side
-        flank plus its suffix against the acceptor-side flank."""
-        L = len(qg)
-        if L == 0:
-            return 0
-        left_m = np.concatenate([[0], np.cumsum(qg == ref_left[:L])])
-        right_eq = (qg == ref_right[-L:])[::-1]
-        right_m = np.concatenate([[0], np.cumsum(right_eq)])[::-1]
-        return int(np.argmax(left_m + right_m))
+    # canonical splice-motif bonus (in match units): GT..AG on the chain
+    # strand or its minus-strand image CT..AC.  Without it, sequencing
+    # noise can shift the intron by a few bases and the downstream
+    # GT-AG concordance checks (collapse.py:817-839) reject the isoform.
+    SPLICE_BONUS = 6
 
     @staticmethod
     def _count_matches(qc, gcodes, q_st, r_st, cigar):

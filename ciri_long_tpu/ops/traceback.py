@@ -282,6 +282,101 @@ def _extend_core(q, r, match, mismatch, gap_open, gap_extend, zdrop):
     return best, bi, bj, H, E, F
 
 
+def _nw_matrix(q, r, S, gap_open, gap_extend):
+    """Global-alignment prefix-score matrix H[a, j] = best score aligning
+    q[:a] to r[:j] (numpy-vectorised rows, same recurrences as
+    _nw_full_vec)."""
+    n, m = len(q), len(r)
+    H = np.full((n + 1, m + 1), NEG, np.int64)
+    F = np.full((n + 1, m + 1), NEG, np.int64)
+    jj = np.arange(m + 1, dtype=np.int64)
+    H[0, 0] = 0
+    H[0, 1:] = -gap_open - (jj[1:] - 1) * gap_extend
+    sub = S[q[:, None], r[None, :]] if n and m else np.zeros((n, m), np.int64)
+    for i in range(1, n + 1):
+        H[i, 0] = -gap_open - (i - 1) * gap_extend
+        F[i, 0] = H[i, 0]
+        Frow = np.maximum(F[i - 1, 1:] - gap_extend, H[i - 1, 1:] - gap_open)
+        F[i, 1:] = Frow
+        diag = H[i - 1, :-1] + sub[i - 1]
+        hpre = np.concatenate([[H[i, 0]], np.maximum(diag, Frow)])
+        p = np.maximum.accumulate(hpre + jj * gap_extend)
+        Erow = np.empty(m + 1, np.int64)
+        Erow[0] = NEG
+        Erow[1:] = p[:-1] - gap_open - (jj[1:] - 1) * gap_extend
+        H[i] = np.maximum(hpre, Erow)
+    return H
+
+
+def splice_junction_align(qg, ref_gap, intron_len, match=2, mismatch=4,
+                          gap_open=4, gap_extend=2, bonus=6):
+    """Place an intron of length ``intron_len`` inside ``ref_gap`` while
+    aligning the query gap ``qg`` across it WITH gaps (the ungapped
+    prefix/suffix vote misplaces junctions whenever the consensus carries
+    an indel near the boundary).
+
+    For every (query split a, ref split j): score = H_left[a, j] +
+    H_right[L-a, L-j] where the H matrices are global prefix-score
+    matrices of the donor/acceptor flanks; canonical splice motifs
+    (GT..AG or its minus-strand image CT..AC) at (j, j+G) earn ``bonus``.
+
+    Returns (cigar) covering qg against ref_gap including the N op.
+    """
+    qg = np.asarray(qg, np.int32)
+    ref_gap = np.asarray(ref_gap, np.int32)
+    L = len(qg)
+    G = int(intron_len)
+    if L == 0:
+        return [(G, 3)] if G else []
+    S = _score_matrix(match, mismatch)
+    ref_left = ref_gap[:L]
+    ref_right = ref_gap[G:]
+
+    Hl = _nw_matrix(qg, ref_left, S, gap_open, gap_extend)
+    Hr = _nw_matrix(qg[::-1], ref_right[::-1], S, gap_open, gap_extend)
+    M = Hl + Hr[::-1, ::-1]
+    col_best = M.max(axis=0)
+
+    if G >= 4:
+        don1 = ref_gap[0:L + 1]
+        don2 = ref_gap[1:L + 2]
+        acc1 = ref_gap[G - 2:G - 2 + L + 1]
+        acc2 = ref_gap[G - 1:G - 1 + L + 1]
+        gt_ag = (don1 == 2) & (don2 == 3) & (acc1 == 0) & (acc2 == 2)
+        ct_ac = (don1 == 1) & (don2 == 3) & (acc1 == 0) & (acc2 == 1)
+        col_best = col_best + bonus * (gt_ag | ct_ac)
+
+    j_star = int(np.argmax(col_best))
+    a_star = int(np.argmax(M[:, j_star]))
+
+    cigar = []
+
+    def emit(op, length):
+        if length <= 0:
+            return
+        if cigar and cigar[-1][1] == op:
+            cigar[-1] = (cigar[-1][0] + length, op)
+        else:
+            cigar.append((length, op))
+
+    if a_star > 0 or j_star > 0:
+        _, left_cig = banded_global_cigar(qg[:a_star], ref_left[:j_star],
+                                          match=match, mismatch=mismatch,
+                                          gap_open=gap_open,
+                                          gap_extend=gap_extend)
+        for l, op in left_cig:
+            emit(op, l)
+    emit(3, G)
+    if a_star < L or j_star < L:
+        _, right_cig = banded_global_cigar(qg[a_star:], ref_right[j_star:],
+                                           match=match, mismatch=mismatch,
+                                           gap_open=gap_open,
+                                           gap_extend=gap_extend)
+        for l, op in right_cig:
+            emit(op, l)
+    return cigar
+
+
 def _nw_full_vec(q, r, S, gap_open, gap_extend):
     """Global affine NW with numpy-vectorised rows; within-row E via the
     prefix-max identity (exact for gap_open >= gap_extend, the only regime

@@ -75,12 +75,18 @@ def simulate_linear(genome, rng, n=20, length=1200, sub=0.03, ins=0.015,
 
 def random_loci(genome, rng, n=5, n_exons=(1, 3), exon_len=(120, 400),
                 intron_len=(200, 2000)):
+    """Non-overlapping random circRNA loci: the genome's largest contig is
+    divided into n slots, one locus per slot."""
+    ctg = max(genome.names, key=lambda c: genome.contig_len[c])
+    clen = genome.contig_len[ctg]
+    slot = (clen - 2000) // max(1, n)
     loci = []
-    for _ in range(n):
-        ctg = genome.names[int(rng.integers(0, len(genome.names)))]
-        clen = genome.contig_len[ctg]
+    for t in range(n):
         k = int(rng.integers(n_exons[0], n_exons[1] + 1))
-        pos = int(rng.integers(1000, max(1001, clen - 20_000)))
+        span_max = k * exon_len[1] + (k - 1) * intron_len[1]
+        lo = 1000 + t * slot
+        hi = max(lo + 1, lo + slot - span_max - 100)
+        pos = int(rng.integers(lo, hi))
         exons = []
         for _ in range(k):
             el = int(rng.integers(exon_len[0], exon_len[1]))
@@ -89,6 +95,19 @@ def random_loci(genome, rng, n=5, n_exons=(1, 3), exon_len=(120, 400),
         strand = '+' if rng.random() < 0.5 else '-'
         loci.append((ctg, exons, strand))
     return loci
+
+
+def plant_splice_signals(chars, loci):
+    """Write canonical splice signals into a mutable genome (list of chars)
+    so the simulated loci carry GT-AG introns and BSJ signals on their
+    strand: '+' exons get AG|exon|GT, '-' exons get AC|exon|CT (the
+    plus-strand image of a minus-strand GT-AG)."""
+    for ctg, exons, strand in loci:
+        before, after = ('AG', 'GT') if strand == '+' else ('AC', 'CT')
+        for st, en in exons:
+            chars[st - 2:st] = list(before)
+            chars[en:en + 2] = list(after)
+    return chars
 
 
 def main():

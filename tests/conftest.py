@@ -23,10 +23,22 @@ if not os.environ.get("CIRI_TEST_TPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+import zlib
+
 import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(20260816)
+@pytest.fixture
+def rng(request):
+    """Per-test deterministic RNG: seeded from the test's nodeid so data is
+    reproducible AND independent of execution order (a shared session rng
+    made marginal tests flap when the suite composition changed)."""
+    seed = zlib.crc32(request.node.nodeid.encode()) ^ 20260816
+    return np.random.default_rng(seed)
+
+
+@pytest.fixture(scope="module")
+def module_rng(request):
+    seed = zlib.crc32(request.node.module.__name__.encode()) ^ 20260816
+    return np.random.default_rng(seed)

@@ -16,7 +16,8 @@ def rand_seq(rng, n):
 
 
 @pytest.fixture(scope="module")
-def toy(rng):
+def toy(module_rng):
+    rng = module_rng
     chr1 = rand_seq(rng, 60_000)
     chr2 = rand_seq(rng, 20_000)
     genome = Genome.from_dict({"chr1": chr1, "chr2": chr2})

@@ -20,7 +20,8 @@ EXONS = [(5_000, 5_300), (7_300, 7_600), (9_600, 9_900)]
 
 
 @pytest.fixture(scope="module")
-def world(rng, tmp_path_factory):
+def world(module_rng, tmp_path_factory):
+    rng = module_rng
     root = tmp_path_factory.mktemp("annot")
     chr1 = list(rand_seq(rng, 40_000))
     # intron splice signals (GT donors after exon ends, AG acceptors before

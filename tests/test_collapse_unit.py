@@ -65,7 +65,10 @@ def test_curate_junction_recovers_true_bsj(rng):
                              junc)
     assert scores
     best = scores[0]
-    assert (best[0], best[1]) == (st, en)
+    # junction homology can make (st+d, en+d) slides score-identical; any
+    # pure slide within 2 bp is the same circular sequence
+    slide = best[0] - st
+    assert abs(slide) <= 2 and best[1] - en == slide, best
     assert best[2] <= 0.05
 
 

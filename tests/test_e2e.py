@@ -21,7 +21,8 @@ CIRC_START, CIRC_END = 20_000, 20_520
 
 
 @pytest.fixture(scope="module")
-def dataset(rng, tmp_path_factory):
+def dataset(module_rng, tmp_path_factory):
+    rng = module_rng
     root = tmp_path_factory.mktemp("e2e")
     chr1 = list(rand_seq(rng, 50_000))
     chr1[CIRC_START - 2:CIRC_START] = list("AG")

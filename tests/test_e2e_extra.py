@@ -15,7 +15,8 @@ CIRC_START, CIRC_END = 15_000, 15_450
 
 
 @pytest.fixture(scope="module")
-def minus_world(rng, tmp_path_factory):
+def minus_world(module_rng, tmp_path_factory):
+    rng = module_rng
     root = tmp_path_factory.mktemp("minus")
     chr1 = list(rand_seq(rng, 40_000))
     # canonical GT-AG signals for a '-' strand circRNA: the de novo scan

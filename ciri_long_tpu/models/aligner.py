@@ -84,8 +84,11 @@ class GenomeAligner:
                 if strand < 0:
                     qs, qe = qlen - qe, qlen - qs
                 cands.append((score, qs, qe, strand, r, q, idx, qc))
-        cands.sort(key=lambda c: c[0], reverse=True)
+        return self._select_and_stitch(cands, qlen)
 
+    def _select_and_stitch(self, cands, qlen) -> List[Hit]:
+        """Non-overlap chain selection by extent, then stitch survivors."""
+        cands.sort(key=lambda c: c[0], reverse=True)
         selected: List[Hit] = []
         spans = []
         for score, qs, qe, strand, r, q, idx, qc in cands:
@@ -116,6 +119,67 @@ class GenomeAligner:
             spans.append((hit.q_st, hit.q_en))
         selected.sort(key=lambda h: h.score, reverse=True)
         return selected
+
+    # ------------------------------------------------------------------
+    def map_batch(self, seqs, max_anchors: int = 8192) -> List[List[Hit]]:
+        """Batched map(): anchors for the whole read batch are chained in
+        ONE device program (ops/chain.py), only backtrack + stitch stay
+        per-read on host.  This is the production path on TPU where the
+        batch amortises dispatch; results match map() row for row (up to
+        float32 tie-breaks in chain scores)."""
+        from ciri_long_tpu.ops.chain import backtrack_chains, chain_scores_batch
+
+        per_read = []
+        rows = []          # (read_idx, strand, r_global, q)
+        for bi, seq in enumerate(seqs):
+            codes = encode_seq(seq) if isinstance(seq, str) else np.asarray(seq, np.int8)
+            qlen = len(codes)
+            per_read.append((codes, qlen))
+            if qlen < self.k:
+                continue
+            anchors = self._anchors(codes, qlen)
+            for strand, (r, q) in anchors.items():
+                if len(r) == 0:
+                    continue
+                rows.append((bi, strand, r[:max_anchors], q[:max_anchors]))
+
+        results: List[List[Hit]] = [[] for _ in seqs]
+        if not rows:
+            return results
+
+        B2 = len(rows)
+        A = max(len(r) for _, _, r, _ in rows)
+        r_pad = np.zeros((B2, A), np.int32)
+        q_pad = np.zeros((B2, A), np.int32)
+        c_pad = np.full((B2, A), -1, np.int32)
+        valid = np.zeros((B2, A), bool)
+        for t, (bi, strand, r, q) in enumerate(rows):
+            n = len(r)
+            ctg_id = np.searchsorted(self._ctg_starts, r, side='right') - 1
+            local = r - self._ctg_starts[ctg_id]
+            r_pad[t, :n] = local
+            q_pad[t, :n] = q
+            c_pad[t, :n] = ctg_id
+            valid[t, :n] = True
+
+        f, pre = chain_scores_batch(r_pad, q_pad, c_pad, valid, self.k,
+                                    CHAIN_WINDOW, self.cfg.max_gap_ref, 5000)
+        chains = backtrack_chains(f, pre, valid, self.min_chain_score,
+                                  self.min_chain_anchors, 2 * MAX_HITS)
+
+        cands_by_read = {}
+        for t, (bi, strand, r, q) in enumerate(rows):
+            codes, qlen = per_read[bi]
+            qc = codes if strand > 0 else revcomp_encoded(codes)
+            for idx, score in chains[t]:
+                qs, qe = int(q[idx[0]]), int(q[idx[-1]]) + self.k
+                if strand < 0:
+                    qs, qe = qlen - qe, qlen - qs
+                cands_by_read.setdefault(bi, []).append(
+                    (score, qs, qe, strand, r, q, idx, qc))
+        for bi, cands in cands_by_read.items():
+            results[bi] = self._select_and_stitch(cands, per_read[bi][1])
+        return results
 
     # ------------------------------------------------------------------
     def _anchors(self, codes, qlen):

@@ -128,3 +128,24 @@ def test_short_mode(toy):
     assert hits
     h = hits[0]
     assert h.ctg == "chr1" and h.r_st == 8_000 and h.r_en == 8_090
+
+
+def test_map_batch_matches_map(toy, rng):
+    genome, aligner, chr1, chr2 = toy
+    reads = [
+        chr1[10_000:10_500],
+        revcomp(chr1[20_000:20_400]),
+        mutate(rng, chr1[30_000:31_000], sub=0.04, ins=0.02, dele=0.02),
+        "ACGT",                      # below k: no hits
+        chr2[3_000:3_600],
+        chr1[5_000:5_300] + chr1[7_300:7_600],   # spliced
+    ]
+    batched = aligner.map_batch(reads)
+    for read, hits_b in zip(reads, batched):
+        hits_s = aligner.map(read)
+        assert len(hits_b) == len(hits_s), read[:30]
+        for hb, hs in zip(hits_b, hits_s):
+            assert (hb.ctg, hb.strand, hb.q_st, hb.q_en, hb.r_st, hb.r_en,
+                    hb.mlen) == \
+                (hs.ctg, hs.strand, hs.q_st, hs.q_en, hs.r_st, hs.r_en,
+                 hs.mlen)

@@ -16,6 +16,7 @@ Output record format is byte-compatible with the reference
 """
 
 import logging
+import os
 from collections import Counter, defaultdict
 
 import numpy as np
@@ -227,15 +228,28 @@ def _call_circ_from_hit(ctx, read_id, segments, junc, circ, circ_hit,
             '{}|{}-{}'.format(junc, clip_base, len(circ)), segments, circ_seq)
 
 
+BATCH_MAP_MIN = 32
+
+
 def scan_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
-    """Per-read CCS scan (find_bsj.py:236-325)."""
+    """Per-read CCS scan (find_bsj.py:236-325).
+
+    The two per-read filter alignments (raw read + doubled consensus) run
+    as whole-chunk batched maps when the chunk is large enough -- one
+    device chaining program for all reads (models/aligner.py::map_batch)."""
     reads_cnt = defaultdict(int)
     ret = []
     short_reads = []
 
-    for read_id, segments, ccs, raw in chunk:
+    batched = len(chunk) >= BATCH_MAP_MIN and hasattr(ctx.aligner, 'map_batch')
+    if batched:
+        raw_hits_all = ctx.aligner.map_batch([c[3] for c in chunk])
+        ccs2_hits_all = ctx.aligner.map_batch([c[2] * 2 for c in chunk])
+
+    for ci, (read_id, segments, ccs, raw) in enumerate(chunk):
         # Filter 1: linearly-mapped raw reads (find_bsj.py:243-246)
-        raw_hit = get_primary_alignment(ctx.aligner.map(raw))
+        raw_hit = get_primary_alignment(
+            raw_hits_all[ci] if batched else ctx.aligner.map(raw))
         if raw_hit and raw_hit.mlen > max(len(raw) * cfg.linear_frac,
                                           len(raw) - cfg.linear_margin):
             continue
@@ -252,7 +266,8 @@ def scan_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
         if raw_hit and (raw_en < seg_st or raw_st > seg_en):
             continue
 
-        ccs_hit = get_primary_alignment(ctx.aligner.map(ccs * 2))
+        ccs_hit = get_primary_alignment(
+            ccs2_hits_all[ci] if batched else ctx.aligner.map(ccs * 2))
         if ccs_hit is None and len(ccs) < cfg.short_ccs_len:
             short_reads.append((read_id, segments, ccs, raw))
         if ccs_hit is None or seg_en - seg_st < ccs_hit.q_en - ccs_hit.q_st:
@@ -279,22 +294,80 @@ def scan_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
 def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
                    cfg=DEFAULT.call):
     """Scan all CCS reads, write {prefix}.cand_circ.fa
-    (find_bsj.py:328-372)."""
+    (find_bsj.py:328-372).
+
+    Resume is batch-granular (SURVEY.md §5): every finished chunk appends a
+    JSONL record (counters, short-read ids, output byte offset) to
+    tmp/{prefix}.scan.progress; a rerun over the same input skips finished
+    chunks after truncating any partial chunk's output."""
+    import json
+    import zlib
+
     prog = ProgressBar()
     reads_count = defaultdict(int)
     short_reads = []
 
     items = [[rid] + ccs_seq[rid] for rid in ccs_seq]
+    id_hash = zlib.crc32('\n'.join(ccs_seq).encode())
+    cand_path = '{}/{}.cand_circ.fa'.format(out_dir, prefix)
+    manifest_path = '{}/tmp/{}.scan.progress'.format(out_dir, prefix)
+
+    # --- resume bookkeeping ---
+    done_chunks = {}
+    resume_bytes = 0
+    try:
+        with open(manifest_path) as mf:
+            head = json.loads(mf.readline())
+            if head.get('hash') == id_hash and os.path.exists(cand_path):
+                for line in mf:
+                    rec = json.loads(line)
+                    done_chunks[rec['chunk']] = rec
+                if done_chunks:
+                    resume_bytes = max(r['cand_bytes']
+                                       for r in done_chunks.values())
+            else:
+                done_chunks = {}
+    except (OSError, ValueError):
+        done_chunks = {}
+
+    if done_chunks and os.path.getsize(cand_path) >= resume_bytes:
+        with open(cand_path, 'r+') as f:
+            f.truncate(resume_bytes)
+        out = open(cand_path, 'a')
+        manifest = open(manifest_path, 'a')
+    else:
+        done_chunks = {}
+        out = open(cand_path, 'w')
+        os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+        manifest = open(manifest_path, 'w')
+        manifest.write(json.dumps({'hash': id_hash, 'n': len(items)}) + '\n')
+        manifest.flush()
+
     done = 0
-    with open('{}/{}.cand_circ.fa'.format(out_dir, prefix), 'w') as out:
-        for i in range(0, len(items), cfg.ccs_chunk_size):
+    short_by_id = {it[0]: it for it in items}
+    with out, manifest:
+        for ci, i in enumerate(range(0, len(items), cfg.ccs_chunk_size)):
             chunk = items[i:i + cfg.ccs_chunk_size]
+            if ci in done_chunks:
+                rec = done_chunks[ci]
+                for key, value in rec['counts'].items():
+                    reads_count[key] += value
+                short_reads += [tuple(short_by_id[rid]) for rid in
+                                rec['short_ids'] if rid in short_by_id]
+                done += len(chunk)
+                continue
             tmp_cnt, tmp_short, ret = scan_ccs_chunk(ctx, chunk, is_canonical, cfg)
             for key, value in tmp_cnt.items():
                 reads_count[key] += value
             short_reads += tmp_short
             for rec in ret:
                 out.write('>{}\t{}\t{}\t{}\t{}\t{}\t{}\n{}\n'.format(*rec))
+            out.flush()
+            manifest.write(json.dumps({
+                'chunk': ci, 'counts': dict(tmp_cnt),
+                'short_ids': [s[0] for s in tmp_short],
+                'cand_bytes': out.tell()}) + '\n')
+            manifest.flush()
             done += len(chunk)
             prog.update(100 * done // max(1, len(items)))
     prog.update(100)

@@ -96,3 +96,62 @@ def test_version_and_help():
         capture_output=True, text=True, cwd="/root/repo")
     assert out.returncode == 0
     assert "0.1.0" in out.stdout + out.stderr
+
+
+def test_scan_chunk_resume(rng, tmp_path, monkeypatch):
+    """Batch-granular resume: killing the scan after one chunk and rerunning
+    must reuse the finished chunk and produce identical output."""
+    from ciri_long_tpu.config import CallConfig
+    from ciri_long_tpu.context import Context
+    from ciri_long_tpu.io.genome import Genome
+    from ciri_long_tpu.models.aligner import GenomeAligner
+    from ciri_long_tpu.ops.ccs import find_consensus
+    from ciri_long_tpu.pipeline import find_bsj as fb
+    from tests.test_pipeline_call import make_rolling_read
+    import dataclasses
+
+    chr1 = list(rand_seq(rng, 25_000))
+    st, en = 9_000, 9_400
+    chr1[st - 2:st] = list("AG")
+    chr1[en:en + 2] = list("GT")
+    chr1 = "".join(chr1)
+    unit = chr1[st:en]
+    genome = Genome.from_dict({"chr1": chr1})
+    ctx = Context(aligner=GenomeAligner(genome), genome=genome)
+
+    ccs_seq = {}
+    for i in range(6):
+        seq = make_rolling_read(rng, unit, copies=4.0, rot=i * 31, noise=0.01)
+        seg, ccs = find_consensus(seq)
+        assert ccs is not None
+        ccs_seq["r%d" % i] = [seg, ccs, seq]
+
+    cfg = dataclasses.replace(CallConfig(), ccs_chunk_size=2)
+    out_dir = str(tmp_path)
+    (tmp_path / "tmp").mkdir()
+
+    # full run for the golden output
+    cnt_full, short_full = fb.scan_ccs_reads(ctx, ccs_seq, True, out_dir,
+                                             "full", cfg)
+    golden = (tmp_path / "full.cand_circ.fa").read_text()
+
+    # interrupted run: raise after the first chunk
+    calls = {"n": 0}
+    orig = fb.scan_ccs_chunk
+
+    def bomb(ctx_, chunk, canon, cfg_):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+        return orig(ctx_, chunk, canon, cfg_)
+
+    monkeypatch.setattr(fb, "scan_ccs_chunk", bomb)
+    with pytest.raises(KeyboardInterrupt):
+        fb.scan_ccs_reads(ctx, ccs_seq, True, out_dir, "part", cfg)
+    monkeypatch.setattr(fb, "scan_ccs_chunk", orig)
+
+    # resumed run must skip chunk 0 and match the golden output
+    cnt_resume, short_resume = fb.scan_ccs_reads(ctx, ccs_seq, True, out_dir,
+                                                 "part", cfg)
+    assert (tmp_path / "part.cand_circ.fa").read_text() == golden
+    assert dict(cnt_resume) == dict(cnt_full)

@@ -37,18 +37,19 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _shift_right(x, j_idx, fill):
+def _shift_right(x, is_lane0, fill):
     rolled = pltpu.roll(x, 1, axis=1)
-    return jnp.where(j_idx == 0, fill, rolled)
+    return jnp.where(is_lane0, fill, rolled)
 
 
-def _cummax_lanes(x, j_idx, lrp):
-    """Inclusive running max along the lane axis via log-shifts."""
+def _cummax_lanes(x, masks):
+    """Inclusive running max along the lane axis via log-shifts; ``masks``
+    are the precomputed (j_idx >= k) wrap guards, hoisted out of the row
+    loop."""
     k = 1
-    while k < lrp:
+    for m in masks:
         sh = pltpu.roll(x, k, axis=1)
-        sh = jnp.where(j_idx >= k, sh, NEG)
-        x = jnp.maximum(x, sh)
+        x = jnp.maximum(x, jnp.where(m, sh, NEG))
         k *= 2
     return x
 
@@ -63,11 +64,18 @@ def _sw_kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk,
     best_val[:] = jnp.zeros((btile, lrp), jnp.int32)
     best_i[:] = jnp.full((btile, lrp), -1, jnp.int32)
 
-    # loop-invariant hoists: reference-only masks and the gap ramps
+    # loop-invariant hoists: reference-only masks, gap ramps, and the
+    # cummax wrap guards (one bool array per log-shift level)
     r_is_n = r == 4
     r_is_pad = r >= 5
     jge = j_idx * gap_extend
     e_bias = gap_open + (j_idx - 1) * gap_extend
+    is_lane0 = j_idx == 0
+    masks = []
+    k = 1
+    while k < lrp:
+        masks.append(j_idx >= k)
+        k *= 2
 
     def step(i, q_col):
         # q_col: [BTILE, 1] current query base codes
@@ -79,11 +87,11 @@ def _sw_kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk,
 
         Hp = H[:]
         Fv = jnp.maximum(F[:] - gap_extend, Hp - gap_open)
-        Hdiag = _shift_right(Hp, j_idx, 0)
+        Hdiag = _shift_right(Hp, is_lane0, 0)
         H0 = jnp.maximum(jnp.maximum(Hdiag + s, Fv), 0)
 
-        P = _cummax_lanes(H0 + jge, j_idx, lrp)
-        Ps = _shift_right(P, j_idx, NEG)
+        P = _cummax_lanes(H0 + jge, masks)
+        Ps = _shift_right(P, is_lane0, NEG)
         E = Ps - e_bias
         Hn = jnp.maximum(H0, E)
 

@@ -1,10 +1,34 @@
-"""Small host-side helpers (reference: utils.py:33-115)."""
+"""Small host-side helpers (reference: utils.py:15-115)."""
 
 import itertools
 import os
 import sys
+import threading
+import _thread as _low_thread
 from collections import defaultdict
 from operator import itemgetter
+
+
+def exit_after(s):
+    """Watchdog decorator: interrupt the main thread if the wrapped call
+    exceeds ``s`` seconds (reference utils.py:15-30; unused by the
+    reference pipeline but part of its public surface)."""
+    def outer(fn):
+        def inner(*args, **kwargs):
+            def quit_function():
+                sys.stderr.write('{} took too long\n'.format(fn.__name__))
+                sys.stderr.flush()
+                _low_thread.interrupt_main()
+
+            timer = threading.Timer(s, quit_function)
+            timer.start()
+            try:
+                result = fn(*args, **kwargs)
+            finally:
+                timer.cancel()
+            return result
+        return inner
+    return outer
 
 
 def check_file(file_name):

@@ -155,3 +155,19 @@ def test_scan_chunk_resume(rng, tmp_path, monkeypatch):
                                                  "part", cfg)
     assert (tmp_path / "part.cand_circ.fa").read_text() == golden
     assert dict(cnt_resume) == dict(cnt_full)
+
+
+def test_ssw_cli(tmp_path, capsys, monkeypatch):
+    from ciri_long_tpu.tools import ssw_cli
+    t = tmp_path / "t.fa"
+    q = tmp_path / "q.fa"
+    t.write_text(">seq1\nACGTACGTTGCA\n")
+    q.write_text(">q1\nCGTACGT\n")
+    monkeypatch.setattr("sys.argv", ["ssw", str(t), str(q), "--cigar"])
+    ssw_cli.main()
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out[0].startswith("query\ttarget")
+    fields = out[1].split("\t")
+    assert fields[0] == "q1" and fields[1] == "seq1"
+    assert int(fields[2]) == 14           # 7 exact matches * 2
+    assert fields[7] == "7M"

@@ -73,24 +73,26 @@ def sort_ss(sites, us, ds, clip_base):
     from operator import itemgetter
     get_ss = itemgetter(0, 1, 2, 3)
 
-    tmp_sites = set(sites)
+    # sorted: ties under the itemgetter keys must not depend on set
+    # iteration order (hash-seed nondeterminism in the reference)
+    tmp_sites = sorted(set(sites))
 
     clipped = [s for s in tmp_sites if -clip_base <= s[2] - s[3] <= clip_base]
     if clipped:
         return get_ss(sorted(clipped, key=itemgetter(6, 5, 4, 7))[0])
-    tmp_sites = tmp_sites - set(clipped)
+    tmp_sites = sorted(set(tmp_sites) - set(clipped))
 
     confident = [s for s in tmp_sites
                  if -us <= s[2] <= ds and -us <= s[3] <= ds]
     if confident:
         return get_ss(sorted(confident, key=itemgetter(5, 4, 6, 7))[0])
-    tmp_sites = tmp_sites - set(confident)
+    tmp_sites = sorted(set(tmp_sites) - set(confident))
 
     ambiguous = [s for s in tmp_sites
                  if -clip_base <= s[2] <= 0 <= s[3] <= clip_base]
     if ambiguous:
         return get_ss(sorted(ambiguous, key=itemgetter(4, 5, 6, 7))[0])
-    tmp_sites = tmp_sites - set(ambiguous)
+    tmp_sites = sorted(set(tmp_sites) - set(ambiguous))
 
     if tmp_sites:
         return get_ss(sorted(tmp_sites, key=itemgetter(4, 5, 6, 7))[0])

@@ -56,17 +56,43 @@ def edit_distance_batch_padded(a, b, alen, blen):
     return jnp.take_along_axis(D_last, blen[:, None], axis=1)[:, 0]
 
 
+_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _bucket(n):
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
 def edit_distance_batch(a, b, alen=None, blen=None):
-    """Host-friendly wrapper: numpy in, numpy out."""
+    """Host-friendly wrapper: numpy in, numpy out.  Batch and length
+    dimensions are padded onto a bucket ladder so varying cluster sizes
+    reuse a bounded set of compiled shapes."""
     a = np.asarray(a)
     b = np.asarray(b)
+    B = a.shape[0]
     if alen is None:
-        alen = np.full(a.shape[0], a.shape[1], np.int32)
+        alen = np.full(B, a.shape[1], np.int32)
     if blen is None:
-        blen = np.full(b.shape[0], b.shape[1], np.int32)
-    return np.asarray(edit_distance_batch_padded(
-        jnp.asarray(a), jnp.asarray(b),
-        jnp.asarray(alen, jnp.int32), jnp.asarray(blen, jnp.int32)))
+        blen = np.full(B, b.shape[1], np.int32)
+
+    Bp = _bucket(B)
+    La = _bucket(a.shape[1])
+    Lb = _bucket(b.shape[1])
+    ap = np.full((Bp, La), 5, a.dtype)
+    bp = np.full((Bp, Lb), 5, b.dtype)
+    ap[:B, :a.shape[1]] = a
+    bp[:B, :b.shape[1]] = b
+    al = np.zeros(Bp, np.int32)
+    bl = np.zeros(Bp, np.int32)
+    al[:B] = alen
+    bl[:B] = blen
+    out = np.asarray(edit_distance_batch_padded(
+        jnp.asarray(ap), jnp.asarray(bp),
+        jnp.asarray(al, jnp.int32), jnp.asarray(bl, jnp.int32)))
+    return out[:B]
 
 
 def edit_distance(x: str, y: str) -> int:

@@ -62,11 +62,28 @@ def _bucket(n):
     return n
 
 
+def _pad_rows(arr, rows):
+    """Pad the batch dimension with PAD-only rows so batch sizes land on a
+    bounded bucket ladder -- every distinct shape is a fresh XLA/Mosaic
+    compile, and cluster sizes vary per cluster."""
+    if arr.shape[0] >= rows:
+        return arr
+    pad = np.full((rows - arr.shape[0], arr.shape[1]), 5, arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
 def _sw_many_vs_many(queries, refs, params=JUNC_SW):
-    """Batched SW of per-row (query, ref) code pairs; returns SWResult."""
+    """Batched SW of per-row (query, ref) code pairs; returns SWResult.
+    Both the length and the batch dimensions are bucketed."""
+    B = len(queries)
+    Bp = _bucket(B)
     q, _ = pad_encoded(queries, max_len=_bucket(max(len(x) for x in queries)))
     r, _ = pad_encoded(refs, max_len=_bucket(max(len(x) for x in refs)))
-    return sw_align_batch(q, r, params)
+    res = sw_align_batch(_pad_rows(q, Bp), _pad_rows(r, Bp), params)
+    from ciri_long_tpu.ops.sw import SWResult
+    return SWResult(score=res.score[:B], query_begin=res.query_begin[:B],
+                    query_end=res.query_end[:B], ref_begin=res.ref_begin[:B],
+                    ref_end=res.ref_end[:B])
 
 
 def _sw_one_vs_many(query, refs, params=JUNC_SW):
@@ -183,7 +200,10 @@ def cluster_reads(cand_reads, cfg=DEFAULT.collapse):
                     tmp_end = circ_end[contig][j]
                     tmp = set(tmp_start) & set(tmp_end)
                     if tmp:
-                        tmp_reads += tmp
+                        # sorted: set iteration order is hash-seed dependent
+                        # (reference collapse.py:140-142 is nondeterministic
+                        # here); deterministic order is a stated goal
+                        tmp_reads += sorted(tmp)
             for i in tmp_reads:
                 reads_itered[i] = 1
             reads_cluster.append(sorted([cand_reads[i] for i in tmp_reads],
@@ -389,8 +409,9 @@ def correct_cluster(ctx, cluster, is_debug=False, max_cluster=200,
         is_lariat = 0
         if retained_introns is not None and overlap_exons is None:
             is_lariat = 1
-            retained_introns = set(sum([i for _, i in retained_introns.items()], []))
-            retained_strand = set(i[2] for i in retained_introns)
+            retained_introns = sorted(
+                set(sum([i for _, i in retained_introns.items()], [])))
+            retained_strand = sorted(set(i[2] for i in retained_introns))
             tmp_circ = []
             for intron_start, intron_end, intron_strand in retained_introns:
                 if abs(intron_start - circ_start) > 50 or abs(intron_end - circ_end) > 50:
@@ -676,7 +697,7 @@ def curate_cirexons(ctx, circ, cluster, cfg=DEFAULT.collapse):
             for i in tmp_st:
                 convert_st[i] = circ.start
         aval_st = []
-        for i in set(tmp_st):
+        for i in sorted(set(tmp_st)):
             i_ss = ctx.genome.seq(circ.contig, i - 3, i - 1)
             if circ.strand == '+' and i_ss == 'AG':
                 aval_st.append(i)
@@ -696,7 +717,7 @@ def curate_cirexons(ctx, circ, cluster, cfg=DEFAULT.collapse):
             for i in tmp_en:
                 convert_en[i] = circ.end
         aval_en = []
-        for i in set(tmp_en):
+        for i in sorted(set(tmp_en)):
             i_ss = ctx.genome.seq(circ.contig, i, i + 2)
             if circ.strand == '+' and i_ss == 'GT':
                 aval_en.append(i)

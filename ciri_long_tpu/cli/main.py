@@ -124,11 +124,22 @@ def call(args):
 
     logger.info('Step 2.2 - Recover short CCS reads')
     with timer.stage('recover_ccs', items=len(short_seq)):
-        short_ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx,
-                                   short_mode=True)
-        short_ctx.genome = ctx.genome  # share the packed genome
-        tmp_cnt = recover_ccs_reads(short_ctx, short_seq, is_canonical,
-                                    out_dir, prefix)
+        if short_seq:
+            from ciri_long_tpu.models.aligner import GenomeAligner
+            from ciri_long_tpu.context import Context
+            # reuse the packed genome; only the denser short-read index is
+            # built, and only when there is anything to recover
+            short_ctx = Context(
+                aligner=GenomeAligner(ctx.genome, short_mode=True),
+                genome=ctx.genome, gtf_index=gtf_idx,
+                intron_index=intron_idx, ss_index=ss_idx)
+            tmp_cnt = recover_ccs_reads(short_ctx, short_seq, is_canonical,
+                                        out_dir, prefix)
+        else:
+            # the reference still truncates/creates nothing here; keep the
+            # append semantics by ensuring the file exists
+            open('{}/{}.cand_circ.fa'.format(out_dir, prefix), 'a').close()
+            tmp_cnt = {}
     for key, value in tmp_cnt.items():
         reads_count[key] += value
 

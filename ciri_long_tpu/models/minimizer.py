@@ -33,16 +33,19 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def kmer_hashes(codes: np.ndarray, k: int, valid_mask=None):
-    """Canonical k-mer hash and strand for every k-mer start position.
+    """Canonical k-mer identity and strand for every k-mer start position.
 
-    Returns (hash u64 [L-k+1], strand u8 [L-k+1], ok bool [L-k+1]);
-    strand 0 = forward k-mer is canonical, 1 = reverse complement is.
+    Returns (code u32 [L-k+1], mixed u64 [L-k+1], strand u8, ok bool):
+    ``code`` is the exact canonical 2k-bit k-mer (the stored/lookup key;
+    fits u32 for k <= 15), ``mixed`` its splitmix finalisation used only
+    for winnowing selection.  strand 0 = forward k-mer is canonical.
     """
     L = len(codes)
     n = L - k + 1
     if n <= 0:
         z = np.zeros(0)
-        return z.astype(np.uint64), z.astype(np.uint8), z.astype(bool)
+        return (z.astype(np.uint32), z.astype(np.uint64),
+                z.astype(np.uint8), z.astype(bool))
     c = codes.astype(np.int64)
     base_ok = codes < 4
     if valid_mask is not None:
@@ -60,20 +63,20 @@ def kmer_hashes(codes: np.ndarray, k: int, valid_mask=None):
                 << np.uint64(2 * t))
     strand = (rev < fwd).astype(np.uint8)
     canon = np.minimum(fwd, rev)
-    h = _mix64(canon)
-    return h, strand, ok
+    return canon.astype(np.uint32), _mix64(canon), strand, ok
 
 
 def minimizers(codes: np.ndarray, k: int, w: int, valid_mask=None):
-    """Winnowed minimizers: positions p whose hash equals the minimum of at
-    least one w-window of k-mer hashes (all ties kept).
+    """Winnowed minimizers: positions p whose MIXED hash equals the minimum
+    of at least one w-window (all ties kept, as minimap2 does).
 
-    Returns (hash u64, pos i64, strand u8) arrays.
+    Returns (code u32, pos i64, strand u8) arrays -- codes are the exact
+    canonical k-mers, which is what the index stores and looks up.
     """
-    h, strand, ok = kmer_hashes(codes, k, valid_mask)
+    code, h, strand, ok = kmer_hashes(codes, k, valid_mask)
     n = len(h)
     if n == 0:
-        return h, np.zeros(0, np.int64), strand
+        return code, np.zeros(0, np.int64), strand
     INF = np.uint64(0xffffffffffffffff)
     hh = np.where(ok, h, INF)
     if n < w:
@@ -86,20 +89,27 @@ def minimizers(codes: np.ndarray, k: int, w: int, valid_mask=None):
         sl = hh[t:t + n - w + 1]
         flag[t:t + n - w + 1] |= (sl == m) & (sl != INF)
     pos = np.nonzero(flag)[0].astype(np.int64)
-    return h[pos], pos, strand[pos]
+    return code[pos], pos, strand[pos]
 
 
 class MinimizerIndex(NamedTuple):
-    """Sorted-by-hash minimizer table over the packed genome."""
+    """Sorted-by-code minimizer table over the packed genome.
+
+    Memory layout is production-scale minded: 9 bytes per minimizer
+    (u32 canonical code + u32 global position + u8 strand) -- a human
+    genome at w=5 is ~9 GB/host.  Genomes above 4.29 Gb would need u64
+    positions (asserted at build)."""
     k: int
     w: int
-    hashes: np.ndarray   # u64, sorted
-    pos: np.ndarray      # i64 global genome coordinate of k-mer start
+    codes: np.ndarray    # u32 canonical k-mers, sorted
+    pos: np.ndarray      # u32 global genome coordinate of k-mer start
     strand: np.ndarray   # u8
 
     @classmethod
     def build(cls, genome, k: int, w: int) -> "MinimizerIndex":
-        h, pos, strand = minimizers(genome.codes, k, w)
+        assert len(genome.codes) < (1 << 32), \
+            "genomes above 4.29 Gb need a u64-position index"
+        code, pos, strand = minimizers(genome.codes, k, w)
         # k-mers must not span contig boundaries: drop any whose start lies
         # within the last k-1 bases of a contig
         keep = np.ones(len(pos), bool)
@@ -108,12 +118,13 @@ class MinimizerIndex(NamedTuple):
             ln = genome.contig_len[name]
             bad = (pos > off + ln - k) & (pos < off + ln)
             keep &= ~bad
-        h, pos, strand = h[keep], pos[keep], strand[keep]
-        order = np.argsort(h, kind='stable')
-        return cls(k, w, h[order], pos[order], strand[order])
+        code, pos, strand = code[keep], pos[keep], strand[keep]
+        order = np.argsort(code, kind='stable')
+        return cls(k, w, code[order], pos[order].astype(np.uint32),
+                   strand[order])
 
-    def lookup(self, query_hashes: np.ndarray):
-        """Ranges [lo, hi) into the sorted table for each query hash."""
-        lo = np.searchsorted(self.hashes, query_hashes, side='left')
-        hi = np.searchsorted(self.hashes, query_hashes, side='right')
+    def lookup(self, query_codes: np.ndarray):
+        """Ranges [lo, hi) into the sorted table for each query k-mer."""
+        lo = np.searchsorted(self.codes, query_codes, side='left')
+        hi = np.searchsorted(self.codes, query_codes, side='right')
         return lo, hi

@@ -137,15 +137,29 @@ def _sw_kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk,
     out_ref[:] = out
 
 
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _fit_btile(lqp, lrp, requested):
+    """Largest batch tile whose working set fits the VMEM budget; long
+    references shrink the tile.  Accounts for the 4 scratch rows, the
+    double-buffered in/out blocks AND ~6 step-live temporaries (the
+    compiler allocates those on the same scoped stack)."""
+    per_row = 4 * (12 * lrp + 2 * lqp + 4 * LANES)
+    fit = max(8, (VMEM_BUDGET // per_row) // 8 * 8)
+    return int(min(requested, fit))
+
+
 @functools.partial(jax.jit, static_argnames=("params", "interpret", "btile"))
 def sw_score_ends_pallas(query, ref, params, interpret=False, btile=BTILE):
     """Same contract as ops.sw.sw_score_ends, on the Pallas TPU kernel."""
     assert params.gap_open >= params.gap_extend
     B, Lq = query.shape
     _, Lr = ref.shape
-    Bp = _round_up(B, btile)
     LqP = _round_up(Lq, LANES)
     LrP = _round_up(Lr, LANES)
+    btile = _fit_btile(LqP, LrP, btile)
+    Bp = _round_up(B, btile)
 
     q = jnp.pad(query.astype(jnp.int32), ((0, Bp - B), (0, LqP - Lq)),
                 constant_values=5)

@@ -171,3 +171,29 @@ def test_ssw_cli(tmp_path, capsys, monkeypatch):
     assert fields[0] == "q1" and fields[1] == "seq1"
     assert int(fields[2]) == 14           # 7 exact matches * 2
     assert fields[7] == "7M"
+
+
+def test_genomic_tandem_repeat_not_called(rng, tmp_path):
+    """A linear read over a genomic satellite looks like a rolling circle to
+    the CCS detector; the linear-mapping filter (find_bsj.py:243-246) must
+    reject it."""
+    from ciri_long_tpu.cli.main import call
+
+    unit = rand_seq(rng, 300)
+    chr1 = rand_seq(rng, 9_000) + unit * 6 + rand_seq(rng, 9_000)
+    ref = tmp_path / "g.fa"
+    ref.write_text(">chr1\n{}\n".format(chr1))
+
+    reads = tmp_path / "reads.fa"
+    with open(reads, "w") as f:
+        # linear reads spanning the satellite plus flanks
+        for i in range(3):
+            st = 8_800 - i * 50
+            f.write(">sat{}\n{}\n".format(i, chr1[st:st + 2_300]))
+    out = tmp_path / "out"
+    counts = call(SimpleNamespace(input=str(reads), output=str(out),
+                                  reference=str(ref), prefix="sat", gtf=None,
+                                  circ=None, threads=1, debug=False))
+    # the CCS stage may flag them, but no BSJ call may survive
+    assert counts['bsj'] == 0
+    assert (out / "sat.cand_circ.fa").read_text() == ""

@@ -27,7 +27,13 @@ def main():
     ap.add_argument('--genome-kb', type=int, default=1000)
     ap.add_argument('--loci', type=int, default=8)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--backend', default=None, choices=['cpu'],
+                    help='force the CPU backend (this box pre-registers a '
+                         'remote TPU; env vars cannot override it)')
     args = ap.parse_args()
+    if args.backend == 'cpu':
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     from ciri_long_tpu.cli.main import call
     from ciri_long_tpu.io.genome import Genome

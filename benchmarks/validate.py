@@ -108,9 +108,15 @@ def main():
     ap.add_argument('--genome-kb', type=int, default=1000)
     ap.add_argument('--loci', type=int, default=8)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--backend', default=None, choices=['cpu'],
+                    help='force the CPU backend (this box pre-registers a '
+                         'remote TPU; env vars cannot override it)')
     ap.add_argument('--noise', type=float, default=0.02)
     ap.add_argument('--tol', type=int, default=5)
     args = ap.parse_args()
+    if args.backend == 'cpu':
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     print(json.dumps(run(reads=args.reads, genome_kb=args.genome_kb,
                          loci=args.loci, seed=args.seed, noise=args.noise,
                          tol=args.tol)))

@@ -147,25 +147,47 @@ class GenomeAligner:
         if not rows:
             return results
 
-        B2 = len(rows)
-        A = max(len(r) for _, _, r, _ in rows)
-        r_pad = np.zeros((B2, A), np.int32)
-        q_pad = np.zeros((B2, A), np.int32)
-        c_pad = np.full((B2, A), -1, np.int32)
-        valid = np.zeros((B2, A), bool)
-        for t, (bi, strand, r, q) in enumerate(rows):
-            n = len(r)
-            ctg_id = np.searchsorted(self._ctg_starts, r, side='right') - 1
-            local = r - self._ctg_starts[ctg_id]
-            r_pad[t, :n] = local
-            q_pad[t, :n] = q
-            c_pad[t, :n] = ctg_id
-            valid[t, :n] = True
+        import jax
+        if jax.default_backend() == 'cpu':
+            # no device to amortise onto: the C++ chain core beats the
+            # XLA-on-CPU scan; keep the shared backtrack/stitch path
+            chains = []
+            for bi, strand, r, q in rows:
+                ctg_id = np.searchsorted(self._ctg_starts, r, side='right') - 1
+                f, pre = self._chain_dp(r, q, ctg_id, self.cfg.max_gap_ref,
+                                        5000)
+                chains.append(backtrack_chains(
+                    f[None, :], pre[None, :],
+                    np.ones((1, len(r)), bool), self.min_chain_score,
+                    self.min_chain_anchors, 2 * MAX_HITS)[0])
+        else:
+            # bucket both dims: every distinct shape is a fresh compile
+            def _bucket(n, ladder):
+                for b in ladder:
+                    if n <= b:
+                        return b
+                return n
+            B2 = _bucket(len(rows), (8, 16, 32, 64, 128, 256, 512, 1024))
+            A = _bucket(max(len(r) for _, _, r, _ in rows),
+                        (256, 512, 1024, 2048, 4096, 8192, 16384))
+            r_pad = np.zeros((B2, A), np.int32)
+            q_pad = np.zeros((B2, A), np.int32)
+            c_pad = np.full((B2, A), -1, np.int32)
+            valid = np.zeros((B2, A), bool)
+            for t, (bi, strand, r, q) in enumerate(rows):
+                n = len(r)
+                ctg_id = np.searchsorted(self._ctg_starts, r, side='right') - 1
+                local = r - self._ctg_starts[ctg_id]
+                r_pad[t, :n] = local
+                q_pad[t, :n] = q
+                c_pad[t, :n] = ctg_id
+                valid[t, :n] = True
 
-        f, pre = chain_scores_batch(r_pad, q_pad, c_pad, valid, self.k,
-                                    CHAIN_WINDOW, self.cfg.max_gap_ref, 5000)
-        chains = backtrack_chains(f, pre, valid, self.min_chain_score,
-                                  self.min_chain_anchors, 2 * MAX_HITS)
+            f, pre = chain_scores_batch(r_pad, q_pad, c_pad, valid, self.k,
+                                        CHAIN_WINDOW, self.cfg.max_gap_ref,
+                                        5000)
+            chains = backtrack_chains(f, pre, valid, self.min_chain_score,
+                                      self.min_chain_anchors, 2 * MAX_HITS)
 
         cands_by_read = {}
         for t, (bi, strand, r, q) in enumerate(rows):

@@ -37,7 +37,7 @@ from ciri_long_tpu.utils.seq import decode_seq, encode_seq
 K = 11                 # k-mer size for lag voting
 MIN_PERIOD = 30        # circRNAs shorter than ~30 bp are dropped anyway
 MIN_UNITS = 2.0        # need at least ~2 copies to call a repeat
-MAX_POA_UNITS = 24     # cap consensus cost on very deep rolling circles
+MAX_POA_UNITS = 12     # voting accuracy saturates ~8-10 units deep
 
 
 def _kmer_codes(codes: np.ndarray, k: int = K) -> Tuple[np.ndarray, np.ndarray]:

@@ -145,6 +145,12 @@ def banded_global_cigar(q: np.ndarray, r: np.ndarray, band=None,
         band = abs(n - m) + 16
     S = _score_matrix(match, mismatch)
 
+    # native banded core with band doubling (the hot host path: CCS unit
+    # consensus, inter-anchor stitches)
+    native = _nw_native(q, r, band, match, mismatch, gap_open, gap_extend)
+    if native is not None:
+        return native
+
     # small problems: exact full-matrix DP with numpy-vectorised rows (the
     # common inter-anchor stitch is well under this bound)
     if n * m <= 4_000_000:
@@ -282,6 +288,41 @@ def _extend_core(q, r, match, mismatch, gap_open, gap_extend, zdrop):
     return best, bi, bj, H, E, F
 
 
+def _decode_cigar_u32(buf):
+    arr = np.frombuffer(buf, np.uint32)
+    return [(int(x >> 4), int(x & 0xf)) for x in arr]
+
+
+def _nw_native(q, r, band, match, mismatch, gap_open, gap_extend):
+    """C++ banded NW (native/nwcore.cpp) with band doubling until the score
+    is stable; None when the extension is unavailable."""
+    try:
+        from ciri_long_tpu import _nwcore
+    except ImportError:
+        return None
+    n, m = len(q), len(r)
+    qb = np.ascontiguousarray(q, np.uint8).tobytes()
+    rb = np.ascontiguousarray(r, np.uint8).tobytes()
+    big = max(n, m)
+
+    def run(b):
+        return _nwcore.nw_banded(qb, rb, int(b), match, mismatch,
+                                 gap_open, gap_extend)
+
+    res = run(band)
+    while True:
+        if band >= big:
+            if res is None:
+                res = run(big)
+            return (None if res is None
+                    else (int(res[0]), _decode_cigar_u32(res[1])))
+        nxt_band = min(2 * band, big)
+        nxt = run(nxt_band)
+        if res is not None and nxt is not None and nxt[0] == res[0]:
+            return int(res[0]), _decode_cigar_u32(res[1])
+        band, res = nxt_band, nxt
+
+
 def _nw_matrix(q, r, S, gap_open, gap_extend):
     """Global-alignment prefix-score matrix H[a, j] = best score aligning
     q[:a] to r[:j] (numpy-vectorised rows, same recurrences as
@@ -382,14 +423,14 @@ def _nw_full_vec(q, r, S, gap_open, gap_extend):
     prefix-max identity (exact for gap_open >= gap_extend, the only regime
     the pipeline uses -- see ops/sw.py)."""
     n, m = len(q), len(r)
-    H = np.full((n + 1, m + 1), NEG, np.int64)
-    E = np.full((n + 1, m + 1), NEG, np.int64)
-    F = np.full((n + 1, m + 1), NEG, np.int64)
-    jj = np.arange(m + 1, dtype=np.int64)
+    H = np.full((n + 1, m + 1), NEG, np.int32)
+    E = np.full((n + 1, m + 1), NEG, np.int32)
+    F = np.full((n + 1, m + 1), NEG, np.int32)
+    jj = np.arange(m + 1, dtype=np.int32)
     H[0, 0] = 0
     H[0, 1:] = -gap_open - (jj[1:] - 1) * gap_extend
     E[0, 1:] = H[0, 1:]
-    sub = S[q[:, None], r[None, :]]
+    sub = S[q[:, None], r[None, :]].astype(np.int32)
     for i in range(1, n + 1):
         H[i, 0] = -gap_open - (i - 1) * gap_extend
         F[i, 0] = H[i, 0]
@@ -398,7 +439,7 @@ def _nw_full_vec(q, r, S, gap_open, gap_extend):
         diag = H[i - 1, :-1] + sub[i - 1]
         hpre = np.concatenate([[H[i, 0]], np.maximum(diag, Frow)])
         p = np.maximum.accumulate(hpre + jj * gap_extend)
-        Erow = np.empty(m + 1, np.int64)
+        Erow = np.empty(m + 1, np.int32)
         Erow[0] = NEG
         Erow[1:] = p[:-1] - gap_open - (jj[1:] - 1) * gap_extend
         E[i] = Erow

@@ -1,0 +1,176 @@
+// _nwcore: native banded global alignment with traceback.
+//
+// The host-side pairwise workhorse behind ops/traceback.py: unit-vs-
+// representative consensus alignment (CCS stage), inter-anchor stitching
+// and the splice flank matrices all reduce to small global affine-gap
+// alignments.  The numpy row-vectorised DP pays ~20 us of interpreter
+// overhead per row; this core runs the sheared-band DP at C++ speed.
+//
+// Semantics mirror ops/traceback.py::_banded_nw / _nw_full_vec exactly:
+//   - scores: match / -mismatch over codes 0..3, N (4) scores 0,
+//     PAD (5) poisons; gap of length L costs open + (L-1)*extend
+//   - global alignment of ALL of q to ALL of r
+//   - returns None (Py_None) when the band cannot connect the corners,
+//     so the Python wrapper can double the band and retry.
+//
+// Cigar ops: 0=M 1=I (consumes q) 2=D (consumes r), encoded as
+// uint32 (length << 4 | op).
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int32_t kNeg = -(1 << 28);
+
+inline int32_t cell_score(uint8_t a, uint8_t b, int32_t match,
+                          int32_t mismatch) {
+  if (a >= 5 || b >= 5) return kNeg;
+  if (a == 4 || b == 4) return 0;
+  return a == b ? match : -mismatch;
+}
+
+// Sheared band: for row i, valid columns j in [lo(i), hi(i)] with
+// |j - i*m/n| bounded; we use the simple |j - i| <= band + |n - m| window
+// around the main diagonal, matching the numpy fallback's reachability.
+PyObject* py_nw_banded(PyObject*, PyObject* args) {
+  Py_buffer qb, rb;
+  int band;
+  int match, mismatch, gap_open, gap_extend;
+  if (!PyArg_ParseTuple(args, "y*y*iiiii", &qb, &rb, &band, &match,
+                        &mismatch, &gap_open, &gap_extend)) {
+    return nullptr;
+  }
+  const uint8_t* q = static_cast<const uint8_t*>(qb.buf);
+  const uint8_t* r = static_cast<const uint8_t*>(rb.buf);
+  const int64_t n = qb.len;
+  const int64_t m = rb.len;
+
+  // band measured around the shifted diagonal (handles n != m)
+  const int64_t lo_off = std::min<int64_t>(0, m - n) - band;
+  const int64_t hi_off = std::max<int64_t>(0, m - n) + band;
+  const int64_t W = hi_off - lo_off + 1;
+
+  std::vector<int32_t> H, E, F;
+  bool feasible = true;
+  Py_BEGIN_ALLOW_THREADS
+  H.assign((n + 1) * W, kNeg);
+  E.assign((n + 1) * W, kNeg);
+  F.assign((n + 1) * W, kNeg);
+  auto T = [&](int64_t i, int64_t j) { return i * W + (j - i - lo_off); };
+  auto in_band = [&](int64_t i, int64_t j) {
+    return j >= 0 && j <= m && (j - i) >= lo_off && (j - i) <= hi_off;
+  };
+
+  H[T(0, 0)] = 0;
+  for (int64_t j = 1; j <= m && in_band(0, j); ++j) {
+    H[T(0, j)] = -gap_open - static_cast<int32_t>(j - 1) * gap_extend;
+    E[T(0, j)] = H[T(0, j)];
+  }
+  for (int64_t i = 1; i <= n; ++i) {
+    const int64_t jlo = std::max<int64_t>(0, i + lo_off);
+    const int64_t jhi = std::min<int64_t>(m, i + hi_off);
+    if (jlo > jhi) { feasible = false; break; }
+    if (jlo == 0) {
+      H[T(i, 0)] = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
+      F[T(i, 0)] = H[T(i, 0)];
+    }
+    for (int64_t j = std::max<int64_t>(1, jlo); j <= jhi; ++j) {
+      const int32_t hl = in_band(i, j - 1) ? H[T(i, j - 1)] : kNeg;
+      const int32_t el = in_band(i, j - 1) ? E[T(i, j - 1)] : kNeg;
+      const int32_t hu = in_band(i - 1, j) ? H[T(i - 1, j)] : kNeg;
+      const int32_t fu = in_band(i - 1, j) ? F[T(i - 1, j)] : kNeg;
+      const int32_t hd = in_band(i - 1, j - 1) ? H[T(i - 1, j - 1)] : kNeg;
+      const int32_t e = std::max(el - gap_extend, hl - gap_open);
+      const int32_t f = std::max(fu - gap_extend, hu - gap_open);
+      const int32_t d = hd + cell_score(q[i - 1], r[j - 1], match, mismatch);
+      E[T(i, j)] = e;
+      F[T(i, j)] = f;
+      H[T(i, j)] = std::max(d, std::max(e, f));
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  auto T2 = [&](int64_t i, int64_t j) { return i * W + (j - i - lo_off); };
+  auto in_band2 = [&](int64_t i, int64_t j) {
+    return j >= 0 && j <= m && (j - i) >= lo_off && (j - i) <= hi_off;
+  };
+
+  if (!feasible || !in_band2(n, m) || H[T2(n, m)] <= kNeg / 2) {
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&rb);
+    Py_RETURN_NONE;
+  }
+  const int32_t score = H[T2(n, m)];
+
+  // traceback (same 3-state machine as the numpy fallback)
+  std::vector<uint32_t> ops;
+  auto push = [&](uint32_t op) {
+    if (!ops.empty() && (ops.back() & 0xfu) == op) {
+      ops.back() += 1u << 4;
+    } else {
+      ops.push_back((1u << 4) | op);
+    }
+  };
+  int64_t i = n, j = m;
+  int state = 0;  // 0=H 1=E 2=F
+  while (i > 0 || j > 0) {
+    if (state == 0) {
+      if (j > 0 && in_band2(i, j) && H[T2(i, j)] == E[T2(i, j)]) {
+        state = 1;
+      } else if (i > 0 && in_band2(i, j) && H[T2(i, j)] == F[T2(i, j)]) {
+        state = 2;
+      } else if (i > 0 && j > 0) {
+        push(0); --i; --j;
+      } else if (j > 0) {
+        push(2); --j;
+      } else {
+        push(1); --i;
+      }
+    } else if (state == 1) {
+      push(2);
+      const bool stay = j > 1 && in_band2(i, j - 1) &&
+          E[T2(i, j)] == E[T2(i, j - 1)] - gap_extend;
+      --j;
+      if (!stay) state = 0;
+    } else {
+      push(1);
+      const bool stay = i > 1 && in_band2(i - 1, j) &&
+          F[T2(i, j)] == F[T2(i - 1, j)] - gap_extend;
+      --i;
+      if (!stay) state = 0;
+    }
+  }
+  std::reverse(ops.begin(), ops.end());
+
+  PyObject* cig = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(ops.data()),
+      static_cast<Py_ssize_t>(ops.size() * sizeof(uint32_t)));
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&rb);
+  if (cig == nullptr) return nullptr;
+  PyObject* out = Py_BuildValue("(iN)", score, cig);
+  return out;
+}
+
+PyMethodDef kMethods[] = {
+    {"nw_banded", py_nw_banded, METH_VARARGS,
+     "nw_banded(q, r, band, match, mismatch, gap_open, gap_extend) -> "
+     "(score, cigar_u32_bytes) or None if the band is infeasible"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef kModule = {
+    PyModuleDef_HEAD_INIT, "_nwcore",
+    "native banded global alignment with traceback", -1, kMethods,
+    nullptr, nullptr, nullptr, nullptr,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__nwcore() { return PyModule_Create(&kModule); }

@@ -15,12 +15,18 @@ chaincore = Extension(
     extra_compile_args=['-O3', '-std=c++17'],
 )
 
+nwcore = Extension(
+    'ciri_long_tpu._nwcore',
+    sources=['native/nwcore.cpp'],
+    extra_compile_args=['-O3', '-std=c++17'],
+)
+
 setup(
     name='ciri-long-tpu',
     version=__version__,
     description='TPU-native circular RNA identification from Nanopore long reads',
     packages=find_packages(include=['ciri_long_tpu', 'ciri_long_tpu.*']),
-    ext_modules=[fastxcodec, chaincore],
+    ext_modules=[fastxcodec, chaincore, nwcore],
     python_requires='>=3.10',
     install_requires=[
         'jax',

@@ -196,6 +196,16 @@ def extend_align(q: np.ndarray, r: np.ndarray, match=2, mismatch=4,
     if n == 0 or m == 0:
         return 0, 0, 0, []
 
+    try:
+        from ciri_long_tpu import _nwcore
+        score, qi, rj, cig = _nwcore.extend(
+            np.ascontiguousarray(q, np.uint8).tobytes(),
+            np.ascontiguousarray(r, np.uint8).tobytes(),
+            match, mismatch, gap_open, gap_extend, zdrop)
+        return int(score), int(qi), int(rj), _decode_cigar_u32(cig)
+    except ImportError:
+        pass
+
     n1 = min(n, 192)
     m1 = min(m, n1 + 64)
     res = _extend_core(q[:n1], r[:m1], match, mismatch, gap_open,
@@ -373,8 +383,21 @@ def splice_junction_align(qg, ref_gap, intron_len, match=2, mismatch=4,
     ref_left = ref_gap[:L]
     ref_right = ref_gap[G:]
 
-    Hl = _nw_matrix(qg, ref_left, S, gap_open, gap_extend)
-    Hr = _nw_matrix(qg[::-1], ref_right[::-1], S, gap_open, gap_extend)
+    try:
+        from ciri_long_tpu import _nwcore
+
+        def _pm(a, b):
+            buf = _nwcore.prefix_matrix(
+                np.ascontiguousarray(a, np.uint8).tobytes(),
+                np.ascontiguousarray(b, np.uint8).tobytes(),
+                match, mismatch, gap_open, gap_extend)
+            return np.frombuffer(buf, np.int32).reshape(len(a) + 1,
+                                                        len(b) + 1)
+        Hl = _pm(qg, ref_left)
+        Hr = _pm(qg[::-1], ref_right[::-1])
+    except ImportError:
+        Hl = _nw_matrix(qg, ref_left, S, gap_open, gap_extend)
+        Hr = _nw_matrix(qg[::-1], ref_right[::-1], S, gap_open, gap_extend)
     M = Hl + Hr[::-1, ::-1]
     col_best = M.max(axis=0)
 

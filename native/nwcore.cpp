@@ -158,10 +158,181 @@ PyObject* py_nw_banded(PyObject*, PyObject* args) {
   return out;
 }
 
+// Extension alignment anchored at (0,0) with z-drop; returns
+// (best, q_used, r_used, cigar) -- the C++ twin of
+// ops/traceback.py::extend_align (same tie/state semantics).
+PyObject* py_extend(PyObject*, PyObject* args) {
+  Py_buffer qb, rb;
+  int match, mismatch, gap_open, gap_extend, zdrop;
+  if (!PyArg_ParseTuple(args, "y*y*iiiii", &qb, &rb, &match, &mismatch,
+                        &gap_open, &gap_extend, &zdrop)) {
+    return nullptr;
+  }
+  const uint8_t* q = static_cast<const uint8_t*>(qb.buf);
+  const uint8_t* r = static_cast<const uint8_t*>(rb.buf);
+  const int64_t n = qb.len;
+  const int64_t m = rb.len;
+
+  std::vector<int32_t> H, E, F;
+  int32_t best = 0;
+  int64_t bi = 0, bj = 0;
+  Py_BEGIN_ALLOW_THREADS
+  const int64_t Wm = m + 1;
+  H.assign((n + 1) * Wm, kNeg);
+  E.assign((n + 1) * Wm, kNeg);
+  F.assign((n + 1) * Wm, kNeg);
+  H[0] = 0;
+  for (int64_t j = 1; j <= m; ++j) {
+    H[j] = -gap_open - static_cast<int32_t>(j - 1) * gap_extend;
+    E[j] = H[j];
+  }
+  for (int64_t i = 1; i <= n; ++i) {
+    int32_t* Hi = &H[i * Wm];
+    int32_t* Ei = &E[i * Wm];
+    int32_t* Fi = &F[i * Wm];
+    const int32_t* Hp = &H[(i - 1) * Wm];
+    const int32_t* Fp = &F[(i - 1) * Wm];
+    Hi[0] = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
+    Fi[0] = Hi[0];
+    int32_t row_best = Hi[0];
+    for (int64_t j = 1; j <= m; ++j) {
+      const int32_t e = std::max(Ei[j - 1] - gap_extend, Hi[j - 1] - gap_open);
+      const int32_t f = std::max(Fp[j] - gap_extend, Hp[j] - gap_open);
+      const int32_t d =
+          Hp[j - 1] + cell_score(q[i - 1], r[j - 1], match, mismatch);
+      Ei[j] = e;
+      Fi[j] = f;
+      Hi[j] = std::max(d, std::max(e, f));
+      if (Hi[j] > row_best) row_best = Hi[j];
+    }
+    if (row_best > best) {
+      best = row_best;
+      bi = i;
+      for (int64_t j = 0; j <= m; ++j) {
+        if (Hi[j] == row_best) { bj = j; break; }
+      }
+    } else if (best - row_best > zdrop) {
+      break;
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  if (best <= 0) {
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&rb);
+    return Py_BuildValue("(iiiy#)", 0, 0, 0, "", (Py_ssize_t)0);
+  }
+
+  const int64_t Wm = m + 1;
+  std::vector<uint32_t> ops;
+  auto push = [&](uint32_t op) {
+    if (!ops.empty() && (ops.back() & 0xfu) == op) {
+      ops.back() += 1u << 4;
+    } else {
+      ops.push_back((1u << 4) | op);
+    }
+  };
+  int64_t i = bi, j = bj;
+  int state = 0;
+  while (i > 0 || j > 0) {
+    if (state == 0) {
+      if (j > 0 && H[i * Wm + j] == E[i * Wm + j]) {
+        state = 1;
+      } else if (i > 0 && H[i * Wm + j] == F[i * Wm + j]) {
+        state = 2;
+      } else if (i > 0 && j > 0) {
+        push(0); --i; --j;
+      } else if (j > 0) {
+        push(2); --j;
+      } else {
+        push(1); --i;
+      }
+    } else if (state == 1) {
+      push(2);
+      const bool stay =
+          j > 1 && E[i * Wm + j] == E[i * Wm + j - 1] - gap_extend;
+      --j;
+      if (!stay) state = 0;
+    } else {
+      push(1);
+      const bool stay =
+          i > 1 && F[i * Wm + j] == F[(i - 1) * Wm + j] - gap_extend;
+      --i;
+      if (!stay) state = 0;
+    }
+  }
+  std::reverse(ops.begin(), ops.end());
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&rb);
+  return Py_BuildValue("(iLLy#)", (int)best, (long long)bi, (long long)bj,
+                       reinterpret_cast<const char*>(ops.data()),
+                       (Py_ssize_t)(ops.size() * sizeof(uint32_t)));
+}
+
+// Global-alignment prefix-score matrix H[(n+1)*(m+1)] as int32 bytes
+// (ops/traceback.py::_nw_matrix twin, for splice_junction_align).
+PyObject* py_prefix_matrix(PyObject*, PyObject* args) {
+  Py_buffer qb, rb;
+  int match, mismatch, gap_open, gap_extend;
+  if (!PyArg_ParseTuple(args, "y*y*iiii", &qb, &rb, &match, &mismatch,
+                        &gap_open, &gap_extend)) {
+    return nullptr;
+  }
+  const uint8_t* q = static_cast<const uint8_t*>(qb.buf);
+  const uint8_t* r = static_cast<const uint8_t*>(rb.buf);
+  const int64_t n = qb.len;
+  const int64_t m = rb.len;
+  const int64_t Wm = m + 1;
+
+  PyObject* out = PyBytes_FromStringAndSize(
+      nullptr, (Py_ssize_t)((n + 1) * Wm * sizeof(int32_t)));
+  if (out == nullptr) {
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&rb);
+    return nullptr;
+  }
+  int32_t* H = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(out));
+  Py_BEGIN_ALLOW_THREADS
+  std::vector<int32_t> Erow(Wm, kNeg), Fcol((size_t)n + 1, kNeg);
+  std::vector<int32_t> Fprev(Wm, kNeg), Fcur(Wm, kNeg);
+  H[0] = 0;
+  for (int64_t j = 1; j <= m; ++j) {
+    H[j] = -gap_open - static_cast<int32_t>(j - 1) * gap_extend;
+  }
+  std::vector<int32_t> Eprev(Wm, kNeg);
+  for (int64_t j = 1; j <= m; ++j) Eprev[j] = H[j];
+  for (int64_t i = 1; i <= n; ++i) {
+    int32_t* Hi = &H[i * Wm];
+    const int32_t* Hp = &H[(i - 1) * Wm];
+    Hi[0] = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
+    Fcur[0] = Hi[0];
+    int32_t e = kNeg;
+    for (int64_t j = 1; j <= m; ++j) {
+      e = std::max(e - gap_extend, Hi[j - 1] - gap_open);
+      const int32_t f = std::max(Fprev[j] - gap_extend, Hp[j] - gap_open);
+      Fcur[j] = f;
+      const int32_t d =
+          Hp[j - 1] + cell_score(q[i - 1], r[j - 1], match, mismatch);
+      Hi[j] = std::max(d, std::max(e, f));
+    }
+    std::swap(Fprev, Fcur);
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&rb);
+  return out;
+}
+
 PyMethodDef kMethods[] = {
     {"nw_banded", py_nw_banded, METH_VARARGS,
      "nw_banded(q, r, band, match, mismatch, gap_open, gap_extend) -> "
      "(score, cigar_u32_bytes) or None if the band is infeasible"},
+    {"extend", py_extend, METH_VARARGS,
+     "extend(q, r, match, mismatch, gap_open, gap_extend, zdrop) -> "
+     "(score, q_used, r_used, cigar_u32_bytes)"},
+    {"prefix_matrix", py_prefix_matrix, METH_VARARGS,
+     "prefix_matrix(q, r, match, mismatch, gap_open, gap_extend) -> "
+     "int32 H[(n+1)*(m+1)] bytes"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -84,9 +84,37 @@ def _gap_row(n, o1, e1, o2, e2):
     return g
 
 
+def _align_to_graph_native(g: _Graph, seq: np.ndarray, m, x, o1, e1, o2, e2):
+    """C++ twin of _align_to_graph (native/poacore.cpp): same DP, same
+    traceback tie order, rank indices mapped back to node ids here."""
+    from ciri_long_tpu import _poacore
+
+    order = g.topo_order()
+    rank = {v: i for i, v in enumerate(order)}
+    bases = bytes(bytearray(g.base[v] for v in order))
+    offs = np.zeros(len(order) + 1, np.int32)
+    preds: List[int] = []
+    for i, v in enumerate(order):
+        for p in g.in_edges[v]:
+            preds.append(rank[p] + 1)
+        offs[i + 1] = len(preds)
+    score, buf = _poacore.align_graph(
+        bases, offs.tobytes(), np.asarray(preds, np.int32).tobytes(),
+        np.ascontiguousarray(seq, np.uint8).tobytes(),
+        m, x, o1, e1, o2, e2)
+    pairs = np.frombuffer(buf, np.int32).reshape(-1, 2)
+    aln = [(order[r] if r >= 0 else None, int(j) if j >= 0 else None)
+           for r, j in pairs]
+    return int(score), aln
+
+
 def _align_to_graph(g: _Graph, seq: np.ndarray, m, x, o1, e1, o2, e2):
     """Align seq (codes) to graph; returns the alignment as a list of
     (node_or_None, seqpos_or_None) pairs in order."""
+    try:
+        return _align_to_graph_native(g, seq, m, x, o1, e1, o2, e2)
+    except ImportError:
+        pass
     order = g.topo_order()
     rank = {v: i for i, v in enumerate(order)}
     V = len(order)

@@ -1,0 +1,307 @@
+"""SW Pallas kernel experiment harness (GCUPS tuning, ROADMAP #4).
+
+Runs ONE variant configuration on the default device with the same
+on-device fori_loop timing methodology as bench.py, then prints a JSON
+line.  Variants are flag-composable so winners can be combined:
+
+  python misc/kexp.py --btile 64                 # tile sweep
+  python misc/kexp.py --nomask7 --btile 32       # drop 7 wrap masks
+  python misc/kexp.py --packbest --tworow ...
+
+Correctness of every variant is asserted against ops/sw.py's oracle
+scan implementation on a small random batch before timing.
+"""
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+NEG = -(1 << 28)
+BIG = 1 << 28
+LANES = 128
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def build_kernel(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
+                 gap_open, gap_extend, nomask7, packbest, tworow):
+    def _shift_right(x, is_lane0, fill):
+        rolled = pltpu.roll(x, 1, axis=1)
+        return jnp.where(is_lane0, fill, rolled)
+
+    def kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk):
+        r = r_ref[:]
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lrp), 1)
+
+        H[:] = jnp.zeros((btile, lrp), jnp.int32)
+        F[:] = jnp.full((btile, lrp), NEG, jnp.int32)
+        if packbest:
+            # packed (score << 13) | (8191 - i); score>=0 so 0-init is the
+            # "no positive cell" floor with i undefined (masked later)
+            best_val[:] = jnp.zeros((btile, lrp), jnp.int32)
+        else:
+            best_val[:] = jnp.zeros((btile, lrp), jnp.int32)
+            best_i[:] = jnp.full((btile, lrp), -1, jnp.int32)
+
+        r_is_n = r == 4
+        r_is_pad = r >= 5
+        jge = j_idx * gap_extend
+        e_bias = gap_open + (j_idx - 1) * gap_extend
+        is_lane0 = j_idx == 0
+
+        if nomask7:
+            # poison pad lanes in the prefix-scan input so levels 1..64
+            # wrap harmlessly (requires >=64 trailing pad lanes); the
+            # poison rides the existing bias add for free
+            jge_pois = jnp.where(r_is_pad, NEG, jge)
+            masks = []
+            k = 128
+            while k < lrp:
+                masks.append(j_idx >= k)
+                k *= 2
+        else:
+            jge_pois = jge
+            masks = []
+            k = 1
+            while k < lrp:
+                masks.append(j_idx >= k)
+                k *= 2
+
+        def cummax(x):
+            if nomask7:
+                k = 1
+                while k < 128:
+                    x = jnp.maximum(x, pltpu.roll(x, k, axis=1))
+                    k *= 2
+                k = 128
+                for m in masks:
+                    sh = pltpu.roll(x, k, axis=1)
+                    x = jnp.maximum(x, jnp.where(m, sh, NEG))
+                    k *= 2
+            else:
+                k = 1
+                for m in masks:
+                    sh = pltpu.roll(x, k, axis=1)
+                    x = jnp.maximum(x, jnp.where(m, sh, NEG))
+                    k *= 2
+            return x
+
+        def step(i, q_col):
+            is_n = (q_col == 4) | r_is_n
+            is_pad = (q_col >= 5) | r_is_pad
+            s = jnp.where(q_col == r, match, -mismatch)
+            s = jnp.where(is_n, 0, s)
+            s = jnp.where(is_pad, NEG, s)
+
+            Hp = H[:]
+            Fv = jnp.maximum(F[:] - gap_extend, Hp - gap_open)
+            Hdiag = _shift_right(Hp, is_lane0, 0)
+            H0 = jnp.maximum(jnp.maximum(Hdiag + s, Fv), 0)
+
+            P = cummax(H0 + jge_pois)
+            Ps = _shift_right(P, is_lane0, NEG)
+            E = Ps - e_bias
+            Hn = jnp.maximum(H0, E)
+
+            if packbest:
+                pack = Hn * 8192 + (8191 - i)
+                best_val[:] = jnp.maximum(best_val[:], pack)
+            else:
+                better = Hn > best_val[:]
+                best_val[:] = jnp.where(better, Hn, best_val[:])
+                best_i[:] = jnp.where(better, i, best_i[:])
+            H[:] = Hn
+            F[:] = Fv
+
+        if tworow:
+            def chunk_body(c, _):
+                base = pl.multiple_of(c * LANES, LANES)
+                qblk[:] = q_ref[:, pl.ds(base, LANES)]
+
+                def inner(t, _):
+                    step(c * LANES + 2 * t, qblk[:, 0:1])
+                    step(c * LANES + 2 * t + 1, qblk[:, 1:2])
+                    qblk[:] = pltpu.roll(qblk[:], LANES - 2, axis=1)
+                    return 0
+
+                jax.lax.fori_loop(0, LANES // 2, inner, 0)
+                return 0
+        else:
+            def chunk_body(c, _):
+                base = pl.multiple_of(c * LANES, LANES)
+                qblk[:] = q_ref[:, pl.ds(base, LANES)]
+
+                def inner(t, _):
+                    step(c * LANES + t, qblk[:, 0:1])
+                    qblk[:] = pltpu.roll(qblk[:], LANES - 1, axis=1)
+                    return 0
+
+                jax.lax.fori_loop(0, LANES, inner, 0)
+                return 0
+
+        jax.lax.fori_loop(0, lqp // LANES, chunk_body, 0)
+
+        if packbest:
+            pk = best_val[:]
+            bv = pk // 8192
+            bi = 8191 - (pk & 8191)
+        else:
+            bv = best_val[:]
+            bi = best_i[:]
+        best = jnp.max(bv, axis=1, keepdims=True)
+        isbest = bv == best
+        jstar = jnp.min(jnp.where(isbest, j_idx, BIG), axis=1, keepdims=True)
+        istar = jnp.min(jnp.where(isbest & (j_idx == jstar), bi, BIG),
+                        axis=1, keepdims=True)
+
+        found = best > 0
+        score = jnp.where(found, best, 0)
+        iout = jnp.where(found, istar, -1)
+        jout = jnp.where(found, jstar, -1)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+        out = jnp.where(lane == 0, score,
+                        jnp.where(lane == 1, iout,
+                                  jnp.where(lane == 2, jout, 0)))
+        out_ref[:] = out
+
+    return kernel
+
+
+def make_call(args, params):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    match, mismatch, gap_open, gap_extend = params
+    btile = args.btile
+
+    @functools.partial(jax.jit, static_argnames=())
+    def call(query, ref):
+        B, Lq = query.shape
+        _, Lr = ref.shape
+        LqP = _round_up(Lq, LANES)
+        LrP = _round_up(Lr, LANES)
+        if args.nomask7 and LrP - Lr < 64:
+            LrP += LANES
+        Bp = _round_up(B, btile)
+
+        q = jnp.pad(query.astype(jnp.int32), ((0, Bp - B), (0, LqP - Lq)),
+                    constant_values=5)
+        r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrP - Lr)),
+                    constant_values=5)
+
+        kernel = build_kernel(
+            jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrp=LrP,
+            match=match, mismatch=mismatch, gap_open=gap_open,
+            gap_extend=gap_extend, nomask7=args.nomask7,
+            packbest=args.packbest, tworow=args.tworow)
+
+        scratch = [
+            pltpu.VMEM((btile, LrP), jnp.int32),   # H
+            pltpu.VMEM((btile, LrP), jnp.int32),   # F
+            pltpu.VMEM((btile, LrP), jnp.int32),   # best_val / pack
+            pltpu.VMEM((btile, LrP), jnp.int32),   # best_i (unused if pack)
+            pltpu.VMEM((btile, LANES), jnp.int32),
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // btile,),
+            in_specs=[
+                pl.BlockSpec((btile, LqP), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((btile, LrP), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((btile, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, LANES), jnp.int32),
+            scratch_shapes=scratch,
+            cost_estimate=pl.CostEstimate(
+                flops=int(25 * Bp * LqP * LrP),
+                bytes_accessed=int(4 * Bp * (LqP + LrP + LANES)),
+                transcendentals=0),
+        )(q, r)
+        return out[:B, 0], out[:B, 1], out[:B, 2]
+
+    return call
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--btile", type=int, default=32)
+    ap.add_argument("--nomask7", action="store_true")
+    ap.add_argument("--packbest", action="store_true")
+    ap.add_argument("--tworow", action="store_true")
+    ap.add_argument("--B", type=int, default=512)
+    ap.add_argument("--Lq", type=int, default=1024)
+    ap.add_argument("--Lr", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--skipcheck", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from ciri_long_tpu.ops.sw import SWParams, sw_score_ends
+
+    params = (10, 4, 8, 2)
+    call = make_call(args, params)
+
+    rng = np.random.default_rng(0)
+
+    if not args.skipcheck:
+        # correctness vs the XLA-scan oracle on a small batch (includes
+        # N/pad lanes via odd lengths)
+        qs = rng.integers(0, 5, (args.btile, 300)).astype(np.int8)
+        rs = rng.integers(0, 5, (args.btile, 517)).astype(np.int8)
+        got = [np.asarray(x) for x in call(qs, rs)]
+        want = [np.asarray(x) for x in
+                sw_score_ends(jnp.asarray(qs), jnp.asarray(rs),
+                              SWParams(*params))]
+        for g, w, name in zip(got, want, ("score", "q_end", "r_end")):
+            if not np.array_equal(g, w):
+                bad = np.nonzero(g != w)[0][:5]
+                raise SystemExit(
+                    f"MISMATCH {name} at rows {bad}: got {g[bad]} "
+                    f"want {w[bad]}")
+
+    B, Lq, Lr = args.B, args.Lq, args.Lr
+    q = rng.integers(0, 4, (B, Lq)).astype(np.int8)
+    r = rng.integers(0, 4, (B, Lr)).astype(np.int8)
+    qd = jax.device_put(q)
+    rd = jax.device_put(r)
+    n_iter = args.iters
+
+    @jax.jit
+    def loop(qx, rx):
+        def body(_, carry):
+            score, _, _ = call(carry, rx)
+            return (qx + (score[:, None] * 0).astype(jnp.int8))
+        final = jax.lax.fori_loop(0, n_iter, body, qx)
+        return call(final, rx)[0]
+
+    np.asarray(loop(qd, rd))
+    t0 = time.perf_counter()
+    np.asarray(loop(qd, rd))
+    dt = time.perf_counter() - t0
+    total = n_iter + 1
+
+    cells = B * Lq * Lr * total
+    gcups = cells / dt / 1e9
+    print(json.dumps({
+        "variant": {k: getattr(args, k) for k in
+                    ("btile", "nomask7", "packbest", "tworow")},
+        "gcups": round(gcups, 2),
+        "seconds": round(dt, 3),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

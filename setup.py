@@ -21,12 +21,18 @@ nwcore = Extension(
     extra_compile_args=['-O3', '-std=c++17'],
 )
 
+poacore = Extension(
+    'ciri_long_tpu._poacore',
+    sources=['native/poacore.cpp'],
+    extra_compile_args=['-O3', '-std=c++17'],
+)
+
 setup(
     name='ciri-long-tpu',
     version=__version__,
     description='TPU-native circular RNA identification from Nanopore long reads',
     packages=find_packages(include=['ciri_long_tpu', 'ciri_long_tpu.*']),
-    ext_modules=[fastxcodec, chaincore, nwcore],
+    ext_modules=[fastxcodec, chaincore, nwcore, poacore],
     python_requires='>=3.10',
     install_requires=[
         'jax',

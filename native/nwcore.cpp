@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -161,6 +162,16 @@ PyObject* py_nw_banded(PyObject*, PyObject* args) {
 // Extension alignment anchored at (0,0) with z-drop; returns
 // (best, q_used, r_used, cigar) -- the C++ twin of
 // ops/traceback.py::extend_align (same tie/state semantics).
+//
+// Banded: row i computes columns [max(1, i-W), min(m, i+drift+W)] with
+// drift = max(0, m-n) and W = kExtBand; kNeg sentinels one cell outside
+// each band edge stand in for the uncomputed region, so no full-matrix
+// initialisation is needed (the memset used to cost as much as the DP).
+// Exact whenever the optimal path drifts < W off the main diagonal --
+// always true for the clip re-alignments this serves (<=10% indel noise
+// over <=~1 kb clips).
+constexpr int64_t kExtBand = 128;
+
 PyObject* py_extend(PyObject*, PyObject* args) {
   Py_buffer qb, rb;
   int match, mismatch, gap_open, gap_extend, zdrop;
@@ -173,29 +184,55 @@ PyObject* py_extend(PyObject*, PyObject* args) {
   const int64_t n = qb.len;
   const int64_t m = rb.len;
 
-  std::vector<int32_t> H, E, F;
+  const int64_t Wm = m + 1;
+  std::unique_ptr<int32_t[]> Hb(new int32_t[(n + 1) * Wm]);
+  std::unique_ptr<int32_t[]> Eb(new int32_t[(n + 1) * Wm]);
+  std::unique_ptr<int32_t[]> Fb(new int32_t[(n + 1) * Wm]);
+  int32_t* H = Hb.get();
+  int32_t* E = Eb.get();
+  int32_t* F = Fb.get();
   int32_t best = 0;
   int64_t bi = 0, bj = 0;
+  int64_t last_row = 0;
   Py_BEGIN_ALLOW_THREADS
-  const int64_t Wm = m + 1;
-  H.assign((n + 1) * Wm, kNeg);
-  E.assign((n + 1) * Wm, kNeg);
-  F.assign((n + 1) * Wm, kNeg);
+  const int64_t drift = std::max<int64_t>(0, m - n);
+  auto hi_of = [&](int64_t i) { return std::min(m, i + drift + kExtBand); };
+
+  const int64_t hi0 = hi_of(0);
   H[0] = 0;
-  for (int64_t j = 1; j <= m; ++j) {
+  E[0] = kNeg;
+  F[0] = kNeg;
+  for (int64_t j = 1; j <= hi0; ++j) {
     H[j] = -gap_open - static_cast<int32_t>(j - 1) * gap_extend;
     E[j] = H[j];
+    F[j] = kNeg;
+  }
+  if (hi0 < m) {
+    H[hi0 + 1] = kNeg;
+    E[hi0 + 1] = kNeg;
+    F[hi0 + 1] = kNeg;
   }
   for (int64_t i = 1; i <= n; ++i) {
+    const int64_t lo = std::max<int64_t>(1, i - kExtBand);
+    const int64_t hi = hi_of(i);
     int32_t* Hi = &H[i * Wm];
     int32_t* Ei = &E[i * Wm];
     int32_t* Fi = &F[i * Wm];
     const int32_t* Hp = &H[(i - 1) * Wm];
     const int32_t* Fp = &F[(i - 1) * Wm];
-    Hi[0] = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
-    Fi[0] = Hi[0];
-    int32_t row_best = Hi[0];
-    for (int64_t j = 1; j <= m; ++j) {
+    int32_t row_best;
+    if (lo == 1) {
+      Hi[0] = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
+      Fi[0] = Hi[0];
+      Ei[0] = kNeg;
+      row_best = Hi[0];
+    } else {
+      Hi[lo - 1] = kNeg;
+      Ei[lo - 1] = kNeg;
+      Fi[lo - 1] = kNeg;
+      row_best = kNeg;
+    }
+    for (int64_t j = lo; j <= hi; ++j) {
       const int32_t e = std::max(Ei[j - 1] - gap_extend, Hi[j - 1] - gap_open);
       const int32_t f = std::max(Fp[j] - gap_extend, Hp[j] - gap_open);
       const int32_t d =
@@ -205,16 +242,23 @@ PyObject* py_extend(PyObject*, PyObject* args) {
       Hi[j] = std::max(d, std::max(e, f));
       if (Hi[j] > row_best) row_best = Hi[j];
     }
+    if (hi < m) {
+      Hi[hi + 1] = kNeg;
+      Ei[hi + 1] = kNeg;
+      Fi[hi + 1] = kNeg;
+    }
+    last_row = i;
     if (row_best > best) {
       best = row_best;
       bi = i;
-      for (int64_t j = 0; j <= m; ++j) {
+      for (int64_t j = (lo == 1 ? 0 : lo); j <= hi; ++j) {
         if (Hi[j] == row_best) { bj = j; break; }
       }
     } else if (best - row_best > zdrop) {
       break;
     }
   }
+  (void)last_row;
   Py_END_ALLOW_THREADS
 
   if (best <= 0) {
@@ -223,7 +267,6 @@ PyObject* py_extend(PyObject*, PyObject* args) {
     return Py_BuildValue("(iiiy#)", 0, 0, 0, "", (Py_ssize_t)0);
   }
 
-  const int64_t Wm = m + 1;
   std::vector<uint32_t> ops;
   auto push = [&](uint32_t op) {
     if (!ops.empty() && (ops.back() & 0xfu) == op) {

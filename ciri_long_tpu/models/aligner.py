@@ -219,18 +219,15 @@ class GenomeAligner:
         qpos, qstrand = qpos[keep], qstrand[keep]
         counts = (hi - lo).astype(np.int64)
         total = int(counts.sum())
-        r_all = np.empty(total, np.int64)
-        rs_all = np.empty(total, np.uint8)
-        q_all = np.empty(total, np.int64)
-        qs_all = np.empty(total, np.uint8)
-        o = 0
-        for i in range(len(lo)):
-            c = counts[i]
-            r_all[o:o + c] = self.index.pos[lo[i]:hi[i]]
-            rs_all[o:o + c] = self.index.strand[lo[i]:hi[i]]
-            q_all[o:o + c] = qpos[i]
-            qs_all[o:o + c] = qstrand[i]
-            o += c
+        # gather the variable [lo, hi) ranges in one vectorised pass:
+        # idx = lo_i + (output position - start of run i)
+        starts = np.cumsum(counts) - counts
+        idx = (np.repeat(lo, counts)
+               + np.arange(total, dtype=np.int64) - np.repeat(starts, counts))
+        r_all = self.index.pos[idx]
+        rs_all = self.index.strand[idx]
+        q_all = np.repeat(qpos, counts)
+        qs_all = np.repeat(qstrand, counts)
         same = rs_all == qs_all
         # '+' anchors
         out[1] = (r_all[same], q_all[same])

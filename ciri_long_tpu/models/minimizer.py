@@ -73,6 +73,16 @@ def minimizers(codes: np.ndarray, k: int, w: int, valid_mask=None):
     Returns (code u32, pos i64, strand u8) arrays -- codes are the exact
     canonical k-mers, which is what the index stores and looks up.
     """
+    if valid_mask is None:
+        try:
+            from ciri_long_tpu import _chaincore
+            cb, pb, sb = _chaincore.sketch(
+                np.ascontiguousarray(codes, np.uint8).tobytes(), k, w)
+            return (np.frombuffer(cb, np.uint32),
+                    np.frombuffer(pb, np.int64),
+                    np.frombuffer(sb, np.uint8))
+        except ImportError:
+            pass
     code, h, strand, ok = kmer_hashes(codes, k, valid_mask)
     n = len(h)
     if n == 0:

@@ -94,9 +94,114 @@ PyObject* py_chain(PyObject*, PyObject* args) {
   return tup;
 }
 
+// Winnowed-minimizer sketch, the C++ twin of models/minimizer.py::
+// minimizers (the minimap2 mm_sketch role, all window ties kept).
+// Two monotone-deque passes give the numpy semantics in O(n):
+//   m[s]  = min(hh[s..s+w-1])            (sliding min over hashes)
+//   M[p]  = max(m[s] : window s covers p) (sliding max over window minima)
+//   flag[p] = hh[p] != INF && hh[p] == M[p]
+// since m[s] <= hh[p] whenever s covers p, equality with the max is
+// equivalent to "hh[p] equals SOME covering window's minimum".
+PyObject* py_sketch(PyObject*, PyObject* args) {
+  Py_buffer cb;
+  int k, w;
+  if (!PyArg_ParseTuple(args, "y*ii", &cb, &k, &w)) return nullptr;
+  const uint8_t* codes = static_cast<const uint8_t*>(cb.buf);
+  const int64_t L = cb.len;
+  const int64_t n = L - k + 1;
+
+  std::vector<uint32_t> out_code;
+  std::vector<int64_t> out_pos;
+  std::vector<uint8_t> out_strand;
+  Py_BEGIN_ALLOW_THREADS
+  if (n > 0) {
+    constexpr uint64_t kInf = ~0ull;
+    std::vector<uint64_t> hh(n);
+    std::vector<uint32_t> canon(n);
+    std::vector<uint8_t> strand(n);
+    const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+    uint64_t fwd = 0, rev = 0;
+    int64_t last_bad = -1;
+    for (int64_t p = 0; p < L; ++p) {
+      const uint8_t b = codes[p];
+      const uint64_t bb = (b < 4) ? b : 0;
+      if (b >= 4) last_bad = p;
+      fwd = ((fwd << 2) | bb) & mask;
+      rev = (rev >> 2) | ((3ull - bb) << (2 * (k - 1)));
+      const int64_t s = p - k + 1;  // window start
+      if (s < 0) continue;
+      const bool ok = last_bad < s;
+      const uint64_t cn = fwd < rev ? fwd : rev;
+      canon[s] = static_cast<uint32_t>(cn);
+      strand[s] = fwd <= rev ? 0 : 1;
+      if (ok) {
+        // splitmix64-style finalizer, same constants as _mix64
+        uint64_t x = cn;
+        x ^= x >> 33;
+        x *= 0xff51afd7ed558ccdull;
+        x ^= x >> 33;
+        x *= 0xc4ceb9fe1a85ec53ull;
+        x ^= x >> 33;
+        hh[s] = x;
+      } else {
+        hh[s] = kInf;
+      }
+    }
+    const int64_t ww = (n < w) ? (n > 0 ? n : 1) : w;
+    const int64_t nm = n - ww + 1;
+    std::vector<uint64_t> m(nm);
+    std::vector<int64_t> dq(n);
+    {  // sliding min of hh, width ww
+      int64_t head = 0, tail = 0;
+      for (int64_t p = 0; p < n; ++p) {
+        while (tail > head && hh[dq[tail - 1]] >= hh[p]) --tail;
+        dq[tail++] = p;
+        if (dq[head] <= p - ww) ++head;
+        if (p >= ww - 1) m[p - ww + 1] = hh[dq[head]];
+      }
+    }
+    {  // sliding max of m over the covering-window range, then flag
+      int64_t head = 0, tail = 0;
+      for (int64_t p = 0; p < n; ++p) {
+        const int64_t s_new = p;  // windows s <= p enter as p grows
+        if (s_new < nm) {
+          while (tail > head && m[dq[tail - 1]] <= m[s_new]) --tail;
+          dq[tail++] = s_new;
+        }
+        const int64_t s_min = p - ww + 1;  // windows below this stop covering
+        while (head < tail && dq[head] < s_min) ++head;
+        if (head < tail && hh[p] != kInf && hh[p] == m[dq[head]]) {
+          out_code.push_back(canon[p]);
+          out_pos.push_back(p);
+          out_strand.push_back(strand[p]);
+        }
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&cb);
+  // y# with a null pointer (empty vector) builds None, not b"": route
+  // empties through a valid zero-length buffer
+  static const char kEmpty[1] = {0};
+  auto buf = [&](const void* p, size_t sz) {
+    return p == nullptr ? kEmpty : static_cast<const char*>(p);
+  };
+  return Py_BuildValue(
+      "(y#y#y#)",
+      buf(out_code.data(), out_code.size()),
+      (Py_ssize_t)(out_code.size() * sizeof(uint32_t)),
+      buf(out_pos.data(), out_pos.size()),
+      (Py_ssize_t)(out_pos.size() * sizeof(int64_t)),
+      buf(out_strand.data(), out_strand.size()),
+      (Py_ssize_t)out_strand.size());
+}
+
 PyMethodDef kMethods[] = {
     {"chain", py_chain, METH_VARARGS,
      "chain(r, q, ctg, k, window, max_gap_r, max_gap_q) -> (f, pre) bytes"},
+    {"sketch", py_sketch, METH_VARARGS,
+     "sketch(codes, k, w) -> (canon_u32, pos_i64, strand_u8) bytes"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -103,6 +103,8 @@ def _elect_period(lags: np.ndarray, L: int) -> Optional[int]:
 
 def _anchor_boundaries(km, pos, period: int, L: int):
     """Pick the anchor k-mer and lay out unit boundaries across the read."""
+    if len(km) == 0:
+        return None
     order = np.lexsort((pos, km))
     km_s, pos_s = km[order], pos[order]
     # run-length encode k-mer groups
@@ -110,18 +112,21 @@ def _anchor_boundaries(km, pos, period: int, L: int):
     ends = np.concatenate([starts[1:], [len(km_s)]])
     tol = max(6, int(0.08 * period))
 
-    best_score, best_occ = -1, None
-    for s, e in zip(starts, ends):
-        occ = pos_s[s:e]
-        if len(occ) < 2:
-            continue
-        d = np.diff(occ)
-        score = int(np.sum(np.abs(d - period) <= tol))
-        if score > best_score or (score == best_score and best_occ is not None
-                                  and occ[0] < best_occ[0]):
-            best_score, best_occ = score, occ
-    if best_occ is None or best_score < 1:
+    # score every k-mer group in one pass: within-group position deltas
+    # that land within tol of the period, segment-summed via cumsum
+    same = km_s[1:] == km_s[:-1]
+    d = pos_s[1:] - pos_s[:-1]
+    good = same & (np.abs(d - period) <= tol)
+    cs = np.concatenate([[0], np.cumsum(good)])
+    scores = cs[ends - 1] - cs[starts]          # sum of good[s:e-1]
+    scores[ends - starts < 2] = -1
+    best_score = int(scores.max()) if len(scores) else -1
+    if best_score < 1:
         return None
+    # ties: smallest first occurrence, then first group in k-mer order
+    tied = np.nonzero(scores == best_score)[0]
+    gi = tied[np.argmin(pos_s[starts[tied]])]
+    best_occ = pos_s[starts[gi]:ends[gi]]
 
     # keep the longest chain of period-spaced occurrences
     occ = [int(best_occ[0])]

@@ -28,8 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 28)
 BIG = 1 << 28
-# 32-row stripes won the v5e sweep (8: 6.9 / 32: 41.9 GCUPS end-to-end)
-BTILE = 32
+# 64-row stripes won the v5e sweep (32: 244.8 / 64: 260.9 GCUPS on the
+# B=512 x 1024 x 4096 bench config; 128 hit multi-minute Mosaic compiles)
+BTILE = 64
 LANES = 128
 
 
@@ -137,7 +138,7 @@ def _sw_kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk,
     out_ref[:] = out
 
 
-VMEM_BUDGET = 10 * 1024 * 1024
+VMEM_BUDGET = 20 * 1024 * 1024
 
 
 def _fit_btile(lqp, lrp, requested):

@@ -125,3 +125,58 @@ def sharded_pipeline_step(mesh, reads, query, ref, params=SWParams(),
                           max_lag=128):
     step = make_pipeline_step(mesh, params, max_lag)
     return step(jnp.asarray(reads), jnp.asarray(query), jnp.asarray(ref))
+
+
+# ----------------------------------------------------------------------
+# Candidate-record merge.  The reference appends per-chunk candidate
+# circRNAs to a shared file from pool workers (find_bsj.py:473) and the
+# driver accumulates counters (main.py:81-94); the TPU-native equivalent
+# keeps fixed-shape candidate records on device and merges them with one
+# all_gather over the reads axis -- every host then holds the full
+# replicated record table, and the host-side pipeline filters the valid
+# rows (SURVEY.md §2 parallelism table, ROADMAP item 5).
+
+CAND_FIELDS = 6  # read_id, ctg_id, start, end, strand, score
+
+
+def make_candidate_gather(mesh):
+    """Jitted (records [B, CAND_FIELDS] i32, valid [B] bool) ->
+    (all_records [B_total, CAND_FIELDS], all_valid [B_total], n_valid):
+    records DP-sharded in, replicated out via all_gather riding ICI."""
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(READS_AXIS, None), P(READS_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+    def gather(rec_shard, valid_shard):
+        all_rec = jax.lax.all_gather(rec_shard, READS_AXIS, tiled=True)
+        all_valid = jax.lax.all_gather(valid_shard, READS_AXIS, tiled=True)
+        n = jax.lax.psum(jnp.sum(valid_shard.astype(jnp.int32)), READS_AXIS)
+        # replicate across the lag axis too so the outputs are truly
+        # unsharded on the full mesh
+        n = jax.lax.pmax(n, LAG_AXIS)
+        return all_rec, all_valid, n
+
+    return jax.jit(gather)
+
+
+def gather_candidates(mesh, records, valid):
+    """Merge per-shard candidate records into one replicated table and
+    return the valid rows on host (read-id sorted for determinism).
+    Batches that do not divide the reads axis are padded with invalid
+    rows (same bucketing contract as sharded_sw)."""
+    dp = mesh.shape[READS_AXIS]
+    records = np.asarray(records, np.int32)
+    valid = np.asarray(valid, bool)
+    pad = (-len(records)) % dp
+    if pad:
+        records = np.pad(records, ((0, pad), (0, 0)))
+        valid = np.pad(valid, (0, pad))
+    rec = jnp.asarray(records, jnp.int32)
+    val = jnp.asarray(valid, bool)
+    all_rec, all_valid, n = make_candidate_gather(mesh)(rec, val)
+    rec_h = np.asarray(all_rec)[np.asarray(all_valid)]
+    order = np.lexsort(tuple(rec_h[:, c] for c in
+                             range(rec_h.shape[1] - 1, -1, -1)))
+    return rec_h[order], int(n)

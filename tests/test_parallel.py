@@ -72,3 +72,45 @@ def test_graft_entry_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_gather_candidates_merge(rng):
+    """All-gather candidate-record merge (ROADMAP 5): per-shard records
+    merge into one replicated, deterministically-sorted table -- the
+    device-side analog of the reference's shared cand_circ.fa append
+    (find_bsj.py:473)."""
+    from ciri_long_tpu.parallel.mesh import (CAND_FIELDS, gather_candidates,
+                                             make_mesh)
+
+    mesh = make_mesh()
+    B = 32
+    rec = rng.integers(0, 1000, (B, CAND_FIELDS)).astype(np.int32)
+    rec[:, 0] = np.arange(B)            # read ids
+    valid = rng.random(B) < 0.6
+    merged, n = gather_candidates(mesh, rec, valid)
+    assert n == int(valid.sum())
+    want = rec[valid]
+    order = np.lexsort(tuple(want[:, c] for c in
+                             range(want.shape[1] - 1, -1, -1)))
+    np.testing.assert_array_equal(merged, want[order])
+
+
+def test_gather_candidates_cohort(rng):
+    """Cohort flavour: two samples' record tables merged in sequence give
+    the same result regardless of shard layout (multi-sample collapse
+    input, reference collapse.py:37-71)."""
+    from ciri_long_tpu.parallel.mesh import (CAND_FIELDS, gather_candidates,
+                                             make_mesh)
+
+    mesh = make_mesh()
+    tables = []
+    for sample in range(2):
+        rec = rng.integers(0, 100, (16, CAND_FIELDS)).astype(np.int32)
+        rec[:, 0] = sample * 1000 + np.arange(16)
+        valid = rng.random(16) < 0.7
+        merged, n = gather_candidates(mesh, rec, valid)
+        assert len(merged) == n
+        tables.append(merged)
+    cohort = np.concatenate(tables)
+    # every sample's valid records present exactly once
+    assert len(np.unique(cohort[:, 0])) == len(cohort)

@@ -27,6 +27,7 @@ def main():
     ap.add_argument('--genome-kb', type=int, default=1000)
     ap.add_argument('--loci', type=int, default=8)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--threads', type=int, default=1)
     ap.add_argument('--backend', default=None, choices=['cpu'],
                     help='force the CPU backend (this box pre-registers a '
                          'remote TPU; env vars cannot override it)')
@@ -64,7 +65,8 @@ def main():
         t0 = time.perf_counter()
         counts = call(SimpleNamespace(input=reads_path, output=out_dir,
                                       reference=ref, prefix='bench', gtf=None,
-                                      circ=None, threads=1, debug=False))
+                                      circ=None, threads=args.threads,
+                                      debug=False))
         dt = time.perf_counter() - t0
         total = n_circ + n_lin
         summary = json.load(open(os.path.join(out_dir, 'bench.json')))

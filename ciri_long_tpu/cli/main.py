@@ -263,7 +263,7 @@ def main():
                              default=None,
                              help='Additional circRNA annotation in bed/gtf format, (optional)')
     call_parser.add_argument('-t', '--threads', dest='threads', metavar='INT',
-                             default=os.cpu_count(),
+                             type=int, default=os.cpu_count(),
                              help='Device batch size / host worker threads')
     call_parser.add_argument('--debug', dest='debug', default=False,
                              action='store_true',
@@ -291,7 +291,8 @@ def main():
                                  default=None,
                                  help='Additional circRNA annotation in bed/gtf format, (optional)')
     collapse_parser.add_argument('-t', '--threads', dest='threads',
-                                 metavar='INT', default=os.cpu_count(),
+                                 metavar='INT', type=int,
+                                 default=os.cpu_count(),
                                  help='Device batch size / host worker threads')
     collapse_parser.add_argument('--debug', dest='debug', default=False,
                                  action='store_true',

@@ -28,6 +28,126 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def build_kernel_r3(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
+                    gap_open, gap_extend):
+    """Rank-3 layout [btile, NB, 128]: the r axis split block-major so the
+    within-block prefix max uses in-register lane rotates (no cross-tile
+    blends) and the cross-block carry is a short scan along the sublane
+    axis.  Same contract as the rank-2 kernel."""
+    NB = lrp // LANES
+
+    def kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk):
+        r = r_ref[:].reshape(btile, NB, LANES)
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, NB, LANES), 2)
+        b_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, NB, LANES), 1)
+        j_idx = b_idx * LANES + l_idx
+
+        H[:] = jnp.zeros((btile, NB, LANES), jnp.int32)
+        F[:] = jnp.full((btile, NB, LANES), NEG, jnp.int32)
+        best_val[:] = jnp.zeros((btile, NB, LANES), jnp.int32)
+        best_i[:] = jnp.full((btile, NB, LANES), -1, jnp.int32)
+
+        r_is_n = r == 4
+        r_is_pad = r >= 5
+        jge = j_idx * gap_extend
+        e_bias = gap_open + (j_idx - 1) * gap_extend
+        is_j0 = j_idx == 0
+        is_l0 = l_idx == 0
+        lane_masks = [l_idx >= k for k in (1, 2, 4, 8, 16, 32, 64)]
+        block_masks = []
+        k = 1
+        while k < NB:
+            block_masks.append(b_idx >= k)
+            k *= 2
+
+        def shift1(x, fill):
+            # global shift right by one j: in-tile rotate, block-boundary
+            # lane fixed from the previous block's lane 127
+            t = pltpu.roll(x, 1, axis=2)
+            tb = pltpu.roll(t, 1, axis=1)
+            y = jnp.where(is_l0, tb, t)
+            return jnp.where(is_j0, fill, y)
+
+        def prefix_max(y):
+            # inclusive cummax over the flattened (NB*128) axis
+            for k, m in zip((1, 2, 4, 8, 16, 32, 64), lane_masks):
+                sh = pltpu.roll(y, k, axis=2)
+                y = jnp.maximum(y, jnp.where(m, sh, NEG))
+            # inclusive within-block cummax leaves the block max at lane
+            # 127 -- a static slice, no cross-lane reduction needed
+            bmax = y[:, :, LANES - 1:LANES]
+            k = 1
+            for m in block_masks:
+                sh = pltpu.roll(bmax, k, axis=1)
+                bmax = jnp.maximum(bmax, jnp.where(m[:, :, :1], sh, NEG))
+            # bmax is now the inclusive block-scan; carry for block b is
+            # the scan value at b-1
+            carry = pltpu.roll(bmax, 1, axis=1)
+            carry = jnp.where(b_idx[:, :, :1] == 0, NEG, carry)
+            return jnp.maximum(y, carry)
+
+        def step(i, q_col):
+            qc = q_col.reshape(btile, 1, 1)
+            is_n = (qc == 4) | r_is_n
+            is_pad = (qc >= 5) | r_is_pad
+            s = jnp.where(qc == r, match, -mismatch)
+            s = jnp.where(is_n, 0, s)
+            s = jnp.where(is_pad, NEG, s)
+
+            Hp = H[:]
+            Fv = jnp.maximum(F[:] - gap_extend, Hp - gap_open)
+            Hdiag = shift1(Hp, 0)
+            H0 = jnp.maximum(jnp.maximum(Hdiag + s, Fv), 0)
+
+            P = prefix_max(H0 + jge)
+            Ps = shift1(P, NEG)
+            E = Ps - e_bias
+            Hn = jnp.maximum(H0, E)
+
+            better = Hn > best_val[:]
+            best_val[:] = jnp.where(better, Hn, best_val[:])
+            best_i[:] = jnp.where(better, i, best_i[:])
+            H[:] = Hn
+            F[:] = Fv
+
+        def chunk_body(c, _):
+            base = pl.multiple_of(c * LANES, LANES)
+            qblk[:] = q_ref[:, pl.ds(base, LANES)]
+
+            def inner(t, _):
+                step(c * LANES + t, qblk[:, 0:1])
+                qblk[:] = pltpu.roll(qblk[:], LANES - 1, axis=1)
+                return 0
+
+            jax.lax.fori_loop(0, LANES, inner, 0)
+            return 0
+
+        jax.lax.fori_loop(0, lqp // LANES, chunk_body, 0)
+
+        bv = best_val[:]
+        bi = best_i[:]
+        best_b = jnp.max(bv, axis=2, keepdims=True)
+        best = jnp.max(best_b, axis=1, keepdims=True)
+        isbest = bv == best
+        jstar = jnp.min(jnp.where(isbest, j_idx, BIG), axis=(1, 2),
+                        keepdims=True)
+        istar = jnp.min(jnp.where(isbest & (j_idx == jstar), bi, BIG),
+                        axis=(1, 2), keepdims=True)
+
+        found = best > 0
+        score = jnp.where(found, best, 0)[:, 0, :]
+        iout = jnp.where(found, istar, -1)[:, 0, :]
+        jout = jnp.where(found, jstar, -1)[:, 0, :]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+        out = jnp.where(lane == 0, score,
+                        jnp.where(lane == 1, iout,
+                                  jnp.where(lane == 2, jout, 0)))
+        out_ref[:] = out
+
+    return kernel
+
+
 def build_kernel(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
                  gap_open, gap_extend, nomask7, packbest, tworow):
     def _shift_right(x, is_lane0, fill):
@@ -188,7 +308,9 @@ def make_call(args, params):
         _, Lr = ref.shape
         LqP = _round_up(Lq, LANES)
         LrP = _round_up(Lr, LANES)
-        if args.nomask7 and LrP - Lr < 64:
+        # levels 1..64 cumulatively shift real values 127 lanes into the
+        # tail, so the unmasked wrap needs >=127 poisoned trailing lanes
+        if args.nomask7 and LrP - Lr < 127:
             LrP += LANES
         Bp = _round_up(B, btile)
 
@@ -197,17 +319,25 @@ def make_call(args, params):
         r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrP - Lr)),
                     constant_values=5)
 
-        kernel = build_kernel(
-            jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrp=LrP,
-            match=match, mismatch=mismatch, gap_open=gap_open,
-            gap_extend=gap_extend, nomask7=args.nomask7,
-            packbest=args.packbest, tworow=args.tworow)
+        if args.r3:
+            kernel = build_kernel_r3(
+                jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrp=LrP,
+                match=match, mismatch=mismatch, gap_open=gap_open,
+                gap_extend=gap_extend)
+            st = (btile, LrP // LANES, LANES)
+        else:
+            kernel = build_kernel(
+                jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrp=LrP,
+                match=match, mismatch=mismatch, gap_open=gap_open,
+                gap_extend=gap_extend, nomask7=args.nomask7,
+                packbest=args.packbest, tworow=args.tworow)
+            st = (btile, LrP)
 
         scratch = [
-            pltpu.VMEM((btile, LrP), jnp.int32),   # H
-            pltpu.VMEM((btile, LrP), jnp.int32),   # F
-            pltpu.VMEM((btile, LrP), jnp.int32),   # best_val / pack
-            pltpu.VMEM((btile, LrP), jnp.int32),   # best_i (unused if pack)
+            pltpu.VMEM(st, jnp.int32),   # H
+            pltpu.VMEM(st, jnp.int32),   # F
+            pltpu.VMEM(st, jnp.int32),   # best_val / pack
+            pltpu.VMEM(st, jnp.int32),   # best_i (unused if pack)
             pltpu.VMEM((btile, LANES), jnp.int32),
         ]
         out = pl.pallas_call(
@@ -239,6 +369,7 @@ def main():
     ap.add_argument("--nomask7", action="store_true")
     ap.add_argument("--packbest", action="store_true")
     ap.add_argument("--tworow", action="store_true")
+    ap.add_argument("--r3", action="store_true")
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--Lq", type=int, default=1024)
     ap.add_argument("--Lr", type=int, default=4096)
@@ -296,7 +427,7 @@ def main():
     gcups = cells / dt / 1e9
     print(json.dumps({
         "variant": {k: getattr(args, k) for k in
-                    ("btile", "nomask7", "packbest", "tworow")},
+                    ("btile", "nomask7", "packbest", "tworow", "r3")},
         "gcups": round(gcups, 2),
         "seconds": round(dt, 3),
         "backend": jax.default_backend(),

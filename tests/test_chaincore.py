@@ -39,3 +39,43 @@ def test_native_chain_matches_python(rng):
 
     np.testing.assert_allclose(f_native, f_py, rtol=0, atol=1e-9)
     np.testing.assert_array_equal(pre_native, pre_py)
+
+
+def test_native_sketch_matches_numpy(rng):
+    """chaincore.sketch vs the numpy winnowing path: identical canonical
+    codes, positions and strands (all ties kept, minimap2-style)."""
+    import builtins
+
+    from ciri_long_tpu.models import minimizer as mz
+
+    orig = builtins.__import__
+
+    def block(name, *a, **k):
+        if name == 'ciri_long_tpu' and a and a[2] and '_chaincore' in (a[2] or ()):
+            raise ImportError
+        return orig(name, *a, **k)
+
+    for _ in range(25):
+        L = int(rng.integers(1, 2000))
+        codes = rng.integers(0, 4, L).astype(np.int8)
+        if rng.random() < .4:
+            codes[rng.integers(0, L, max(1, L // 50))] = 4
+        k = int(rng.integers(5, 16))
+        w = int(rng.integers(1, 12))
+        nat = mz.minimizers(codes, k, w)
+        builtins.__import__ = block
+        try:
+            ref = mz.minimizers(codes, k, w)
+        finally:
+            builtins.__import__ = orig
+        for a, b in zip(nat, ref):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_native_sketch_degenerate():
+    from ciri_long_tpu.models.minimizer import minimizers
+
+    for codes in (np.zeros(0, np.int8), np.array([0, 1, 2], np.int8),
+                  np.full(100, 4, np.int8)):
+        out = minimizers(codes, 15, 5)
+        assert all(len(x) == 0 for x in out)

@@ -32,3 +32,36 @@ def test_edit_distance_batch_empty_rows():
     d = edit_distance_batch(a, b, alen, blen)
     assert int(d[0]) == 3
     assert int(d[1]) == 2
+
+
+def test_banded_native_extend_matches_fallback(rng):
+    """nwcore.extend (128-banded) vs the Python extend DP: identical
+    (score, q_used, r_used) while the optimal path stays in band."""
+    import builtins
+
+    import ciri_long_tpu.ops.traceback as tb
+
+    orig = builtins.__import__
+
+    def block(name, *a, **k):
+        if name == 'ciri_long_tpu' and a and a[2] and '_nwcore' in (a[2] or ()):
+            raise ImportError
+        return orig(name, *a, **k)
+
+    for _ in range(40):
+        n = int(rng.integers(1, 180))
+        m = int(rng.integers(1, 180))
+        q = rng.integers(0, 4, n).astype(np.uint8)
+        r = q.copy() if rng.random() < .3 else \
+            rng.integers(0, 4, m).astype(np.uint8)
+        if len(r) and rng.random() < .5:
+            idx = rng.integers(0, len(r), max(1, len(r) // 10))
+            r = r.copy()
+            r[idx] = rng.integers(0, 4, len(idx))
+        nat = tb.extend_align(q, r)
+        builtins.__import__ = block
+        try:
+            py = tb.extend_align(q, r)
+        finally:
+            builtins.__import__ = orig
+        assert nat[:3] == py[:3]

@@ -64,3 +64,38 @@ def test_poa_codes_roundtrip():
     cons, _ = poa(seqs)
     assert isinstance(cons, np.ndarray)
     assert np.array_equal(cons, seqs[0])
+
+
+def test_native_poa_matches_numpy(rng):
+    """poacore.align_graph vs the numpy graph DP: identical (score, aln)
+    through incremental graph fusion (native/poacore.cpp)."""
+    import importlib
+
+    poa_mod = importlib.import_module('ciri_long_tpu.ops.poa')
+    sc = (10, -4, -8, -2, -24, -1)
+    for _ in range(15):
+        base = rng.integers(0, 4, rng.integers(10, 120)).astype(np.int8)
+        g = poa_mod._Graph()
+        prev = None
+        for b in base:
+            cur = g.new_node(int(b))
+            g.support[cur] += 1
+            if prev is not None:
+                g.add_edge(prev, cur)
+            prev = cur
+        for _ in range(int(rng.integers(1, 6))):
+            s = base.copy()
+            idx = rng.integers(0, len(s), max(1, len(s) // 12))
+            s[idx] = rng.integers(0, 4, len(idx))
+            if rng.random() < .4 and len(s) > 5:
+                s = np.delete(s, rng.integers(1, len(s) - 1))
+            nat = poa_mod._align_to_graph_native(g, s.astype(np.int8), *sc)
+            saved = poa_mod._align_to_graph_native
+            poa_mod._align_to_graph_native = \
+                lambda *a, **k: (_ for _ in ()).throw(ImportError())
+            try:
+                ref = poa_mod._align_to_graph(g, s.astype(np.int8), *sc)
+            finally:
+                poa_mod._align_to_graph_native = saved
+            assert nat == ref
+            poa_mod._fuse(g, s.astype(np.int8), nat[1])

@@ -117,8 +117,11 @@ def call(args):
     logger.info('Step 2.1 - Find circRNAs from CCS reads')
     with timer.stage('scan_ccs', items=len(ccs_seq)):
         ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx)
-        tmp_cnt, short_seq = scan_ccs_reads(ctx, ccs_seq, is_canonical,
-                                            out_dir, prefix)
+        idx_file = out_dir + '/tmp/ss.idx'
+        tmp_cnt, short_seq = scan_ccs_reads(
+            ctx, ccs_seq, is_canonical, out_dir, prefix,
+            threads=args.threads, ref_fasta=ref_fasta,
+            idx_file=idx_file if os.path.exists(idx_file) else None)
     for key, value in tmp_cnt.items():
         reads_count[key] += value
 

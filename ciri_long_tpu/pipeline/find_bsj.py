@@ -291,15 +291,57 @@ def scan_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
     return reads_cnt, short_reads, ret
 
 
+_WORKER_CTX = None
+
+
+def _scan_worker_init(ref_fasta, idx_file):
+    """Spawn-pool initializer: build a per-worker Context from file paths
+    (the role of the reference's fork-inherited env.py globals, but in a
+    clean interpreter).  Workers force the CPU jax backend so they never
+    queue on the (single) remote TPU."""
+    global _WORKER_CTX
+    import pickle
+
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+    from ciri_long_tpu.context import Context
+    from ciri_long_tpu.io.genome import Genome
+    from ciri_long_tpu.models.aligner import GenomeAligner
+
+    genome = Genome(ref_fasta)
+    aligner = GenomeAligner(genome)
+    gtf_idx = intron_idx = ss_idx = None
+    if idx_file and os.path.exists(idx_file):
+        with open(idx_file, 'rb') as f:
+            gtf_idx, intron_idx, ss_idx = pickle.load(f)
+    _WORKER_CTX = Context(aligner=aligner, genome=genome, gtf_index=gtf_idx,
+                          intron_index=intron_idx, ss_index=ss_idx)
+
+
+def _scan_worker_chunk(payload):
+    chunk, is_canonical, cfg = payload
+    return scan_ccs_chunk(_WORKER_CTX, chunk, is_canonical, cfg)
+
+
 def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
-                   cfg=DEFAULT.call):
+                   cfg=DEFAULT.call, threads=1, ref_fasta=None,
+                   idx_file=None):
     """Scan all CCS reads, write {prefix}.cand_circ.fa
     (find_bsj.py:328-372).
 
     Resume is batch-granular (SURVEY.md §5): every finished chunk appends a
     JSONL record (counters, short-read ids, output byte offset) to
     tmp/{prefix}.scan.progress; a rerun over the same input skips finished
-    chunks after truncating any partial chunk's output."""
+    chunks after truncating any partial chunk's output.
+
+    threads > 1 (with ref_fasta given) fans pending chunks over a SPAWN
+    pool -- each worker builds its own Context in a clean interpreter and
+    forces the CPU backend; results are consumed in submission order so
+    the output file and resume manifest are byte-identical to a serial
+    run.  NOTE: spawn re-imports __main__, so scripts that call the
+    pipeline directly need the standard ``if __name__ == '__main__':``
+    guard (the installed CIRI-long-tpu console script has one)."""
     import json
     import zlib
 
@@ -343,33 +385,56 @@ def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
         manifest.write(json.dumps({'hash': id_hash, 'n': len(items)}) + '\n')
         manifest.flush()
 
+    all_chunks = [(ci, items[i:i + cfg.ccs_chunk_size]) for ci, i in
+                  enumerate(range(0, len(items), cfg.ccs_chunk_size))]
+    pending = [(ci, chunk) for ci, chunk in all_chunks
+               if ci not in done_chunks]
+
+    pool = result_iter = None
+    if threads > 1 and ref_fasta is not None and len(pending) > 1:
+        import multiprocessing
+        ctx_mp = multiprocessing.get_context('spawn')
+        pool = ctx_mp.Pool(min(threads, len(pending)), _scan_worker_init,
+                           (ref_fasta, idx_file))
+        result_iter = pool.imap(_scan_worker_chunk,
+                                [(chunk, is_canonical, cfg)
+                                 for _, chunk in pending])
+
     done = 0
     short_by_id = {it[0]: it for it in items}
-    with out, manifest:
-        for ci, i in enumerate(range(0, len(items), cfg.ccs_chunk_size)):
-            chunk = items[i:i + cfg.ccs_chunk_size]
-            if ci in done_chunks:
-                rec = done_chunks[ci]
-                for key, value in rec['counts'].items():
+    try:
+        with out, manifest:
+            for ci, chunk in all_chunks:
+                if ci in done_chunks:
+                    rec = done_chunks[ci]
+                    for key, value in rec['counts'].items():
+                        reads_count[key] += value
+                    short_reads += [tuple(short_by_id[rid]) for rid in
+                                    rec['short_ids'] if rid in short_by_id]
+                    done += len(chunk)
+                    continue
+                if result_iter is not None:
+                    tmp_cnt, tmp_short, ret = next(result_iter)
+                else:
+                    tmp_cnt, tmp_short, ret = scan_ccs_chunk(
+                        ctx, chunk, is_canonical, cfg)
+                for key, value in tmp_cnt.items():
                     reads_count[key] += value
-                short_reads += [tuple(short_by_id[rid]) for rid in
-                                rec['short_ids'] if rid in short_by_id]
+                short_reads += tmp_short
+                for rec in ret:
+                    out.write('>{}\t{}\t{}\t{}\t{}\t{}\t{}\n{}\n'.format(*rec))
+                out.flush()
+                manifest.write(json.dumps({
+                    'chunk': ci, 'counts': dict(tmp_cnt),
+                    'short_ids': [s[0] for s in tmp_short],
+                    'cand_bytes': out.tell()}) + '\n')
+                manifest.flush()
                 done += len(chunk)
-                continue
-            tmp_cnt, tmp_short, ret = scan_ccs_chunk(ctx, chunk, is_canonical, cfg)
-            for key, value in tmp_cnt.items():
-                reads_count[key] += value
-            short_reads += tmp_short
-            for rec in ret:
-                out.write('>{}\t{}\t{}\t{}\t{}\t{}\t{}\n{}\n'.format(*rec))
-            out.flush()
-            manifest.write(json.dumps({
-                'chunk': ci, 'counts': dict(tmp_cnt),
-                'short_ids': [s[0] for s in tmp_short],
-                'cand_bytes': out.tell()}) + '\n')
-            manifest.flush()
-            done += len(chunk)
-            prog.update(100 * done // max(1, len(items)))
+                prog.update(100 * done // max(1, len(items)))
+    finally:
+        if pool is not None:
+            pool.terminate()
+            pool.join()
     prog.update(100)
     return reads_count, short_reads
 

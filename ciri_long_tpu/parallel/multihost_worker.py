@@ -71,6 +71,34 @@ def main():
     print('MULTIHOST_RESULT pid={} got={} expected={}'.format(
         args.process_id, got, expected), flush=True)
     assert got == expected
+
+    # --- candidate-record merge across processes (ROADMAP 5): each
+    # process contributes DISTINCT records; after the all_gather every
+    # process must hold the full replicated table (the cross-host analog
+    # of the reference's shared cand_circ.fa append, find_bsj.py:473) ---
+    from ciri_long_tpu.parallel.mesh import (CAND_FIELDS, READS_AXIS,
+                                             make_candidate_gather,
+                                             make_mesh)
+    gmesh = make_mesh()
+    rows_local = 6
+    rec = np.zeros((rows_local, CAND_FIELDS), np.int32)
+    rec[:, 0] = 1000 * args.process_id + np.arange(rows_local)
+    rec[:, 5] = 7 + args.process_id
+    valid = np.ones(rows_local, bool)
+    valid[-1] = False
+    gshard = NamedSharding(gmesh, P(READS_AXIS, None))
+    vshard = NamedSharding(gmesh, P(READS_AXIS))
+    rec_g = jax.make_array_from_process_local_data(gshard, rec)
+    val_g = jax.make_array_from_process_local_data(vshard, valid)
+    all_rec, all_valid, n = make_candidate_gather(gmesh)(rec_g, val_g)
+    merged = np.asarray(all_rec)[np.asarray(all_valid)]
+    ids = sorted(merged[:, 0].tolist())
+    want = sorted([1000 * p + i for p in range(args.num_processes)
+                   for i in range(rows_local - 1)])
+    print('MULTIHOST_GATHER pid={} n={} ids_ok={}'.format(
+        args.process_id, int(np.asarray(n).reshape(-1)[0]),
+        ids == want), flush=True)
+    assert ids == want
     jax.distributed.shutdown()
 
 

@@ -51,3 +51,7 @@ def test_two_process_psum():
         line = [l for l in out.splitlines() if "MULTIHOST_RESULT" in l][0]
         fields = dict(kv.split("=") for kv in line.split()[1:])
         assert fields["got"] == fields["expected"]
+        gline = [l for l in out.splitlines() if "MULTIHOST_GATHER" in l][0]
+        gfields = dict(kv.split("=") for kv in gline.split()[1:])
+        assert gfields["ids_ok"] == "True"
+        assert gfields["n"] == "10"   # 2 processes x (6 - 1 invalid) rows

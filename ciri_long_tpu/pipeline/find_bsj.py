@@ -304,6 +304,15 @@ def _scan_worker_init(ref_fasta, idx_file):
 
     import jax
     jax.config.update('jax_platforms', 'cpu')
+    # share one persistent compile cache across workers: each spawn
+    # worker would otherwise re-jit every bucketed map_batch shape
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ['JAX_COMPILATION_CACHE_DIR'])
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
+    except AttributeError:
+        pass
 
     from ciri_long_tpu.context import Context
     from ciri_long_tpu.io.genome import Genome

@@ -36,8 +36,13 @@ def build_kernel_r3(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
     axis.  Same contract as the rank-2 kernel."""
     NB = lrp // LANES
 
+    def bcast(x2, shape, dims):
+        # rank-2 -> rank-3 without ever materialising a unit-minor rank-3
+        # value (those crash this Mosaic's layout inference)
+        return jax.lax.broadcast_in_dim(x2, shape, dims)
+
     def kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk):
-        r = r_ref[:].reshape(btile, NB, LANES)
+        r = r_ref[:]   # pre-shaped [btile, NB, LANES] block
         l_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, NB, LANES), 2)
         b_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, NB, LANES), 1)
         j_idx = b_idx * LANES + l_idx
@@ -73,21 +78,21 @@ def build_kernel_r3(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
             for k, m in zip((1, 2, 4, 8, 16, 32, 64), lane_masks):
                 sh = pltpu.roll(y, k, axis=2)
                 y = jnp.maximum(y, jnp.where(m, sh, NEG))
-            # inclusive within-block cummax leaves the block max at lane
-            # 127 -- a static slice, no cross-lane reduction needed
-            bmax = y[:, :, LANES - 1:LANES]
+            # block max broadcast to all lanes, staying rank-2 until the
+            # final full-shape broadcast
+            bmax = bcast(jnp.max(y, axis=2), (btile, NB, LANES), (0, 1))
             k = 1
             for m in block_masks:
                 sh = pltpu.roll(bmax, k, axis=1)
-                bmax = jnp.maximum(bmax, jnp.where(m[:, :, :1], sh, NEG))
+                bmax = jnp.maximum(bmax, jnp.where(m, sh, NEG))
             # bmax is now the inclusive block-scan; carry for block b is
             # the scan value at b-1
             carry = pltpu.roll(bmax, 1, axis=1)
-            carry = jnp.where(b_idx[:, :, :1] == 0, NEG, carry)
+            carry = jnp.where(b_idx == 0, NEG, carry)
             return jnp.maximum(y, carry)
 
         def step(i, q_col):
-            qc = q_col.reshape(btile, 1, 1)
+            qc = bcast(q_col, (btile, NB, LANES), (0, 1))
             is_n = (qc == 4) | r_is_n
             is_pad = (qc >= 5) | r_is_pad
             s = jnp.where(qc == r, match, -mismatch)
@@ -126,18 +131,19 @@ def build_kernel_r3(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
 
         bv = best_val[:]
         bi = best_i[:]
-        best_b = jnp.max(bv, axis=2, keepdims=True)
-        best = jnp.max(best_b, axis=1, keepdims=True)
-        isbest = bv == best
-        jstar = jnp.min(jnp.where(isbest, j_idx, BIG), axis=(1, 2),
-                        keepdims=True)
-        istar = jnp.min(jnp.where(isbest & (j_idx == jstar), bi, BIG),
-                        axis=(1, 2), keepdims=True)
+        best = jnp.max(jnp.max(bv, axis=1), axis=1, keepdims=True)  # [bt,1]
+        isbest = bv == bcast(best, (btile, NB, LANES), (0, 2))
+        jstar = jnp.min(jnp.min(jnp.where(isbest, j_idx, BIG), axis=1),
+                        axis=1, keepdims=True)                       # [bt,1]
+        jstar3 = bcast(jstar, (btile, NB, LANES), (0, 2))
+        istar = jnp.min(jnp.min(
+            jnp.where(isbest & (j_idx == jstar3), bi, BIG), axis=1),
+            axis=1, keepdims=True)                                   # [bt,1]
 
         found = best > 0
-        score = jnp.where(found, best, 0)[:, 0, :]
-        iout = jnp.where(found, istar, -1)[:, 0, :]
-        jout = jnp.where(found, jstar, -1)[:, 0, :]
+        score = jnp.where(found, best, 0)
+        iout = jnp.where(found, istar, -1)
+        jout = jnp.where(found, jstar, -1)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
         out = jnp.where(lane == 0, score,
@@ -340,14 +346,21 @@ def make_call(args, params):
             pltpu.VMEM(st, jnp.int32),   # best_i (unused if pack)
             pltpu.VMEM((btile, LANES), jnp.int32),
         ]
+        if args.r3:
+            r = r.reshape(Bp, LrP // LANES, LANES)
+            r_spec = pl.BlockSpec((btile, LrP // LANES, LANES),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        else:
+            r_spec = pl.BlockSpec((btile, LrP), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             kernel,
             grid=(Bp // btile,),
             in_specs=[
                 pl.BlockSpec((btile, LqP), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((btile, LrP), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                r_spec,
             ],
             out_specs=pl.BlockSpec((btile, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),

@@ -148,8 +148,10 @@ def call(args):
 
     logger.info('Step 3 - Find circRNAs with partial structure')
     with timer.stage('scan_raw'):
-        tmp_cnt, _short = scan_raw_reads(ctx, in_file, is_canonical,
-                                         out_dir, prefix)
+        tmp_cnt, _short = scan_raw_reads(
+            ctx, in_file, is_canonical, out_dir, prefix,
+            threads=args.threads, ref_fasta=ref_fasta,
+            idx_file=idx_file if os.path.exists(idx_file) else None)
     for key, value in tmp_cnt.items():
         reads_count[key] += value
 

@@ -619,10 +619,18 @@ def scan_raw_chunk(ctx, chunk, is_canonical, circ_reads, cfg=DEFAULT.call):
     return reads_cnt, ret, short_reads
 
 
+def _raw_worker_chunk(payload):
+    chunk, is_canonical, circ_reads, cfg = payload
+    return scan_raw_chunk(_WORKER_CTX, chunk, is_canonical, circ_reads, cfg)
+
+
 def scan_raw_reads(ctx, in_file, is_canonical, out_dir, prefix,
-                   cfg=DEFAULT.call):
+                   cfg=DEFAULT.call, threads=1, ref_fasta=None,
+                   idx_file=None):
     """Partial-read pass driver; writes {prefix}.low_confidence.fa
-    (find_bsj.py:623-718)."""
+    (find_bsj.py:623-718).  threads > 1 uses the same spawn-pool pattern
+    as scan_ccs_reads (the reference pools this pass too,
+    find_bsj.py:662); results drain in submission order."""
     from ciri_long_tpu.io.fastx import read_fastx
 
     circ_reads = {}
@@ -636,27 +644,42 @@ def scan_raw_reads(ctx, in_file, is_canonical, out_dir, prefix,
     reads_cnt = defaultdict(int)
     short_reads = []
 
-    chunk = []
-    n_done = 0
-    with open('{}/{}.low_confidence.fa'.format(out_dir, prefix), 'w') as out:
-        def flush(chunk):
-            nonlocal short_reads
-            tmp_cnt, tmp_ret, tmp_short = scan_raw_chunk(
-                ctx, chunk, is_canonical, circ_reads, cfg)
-            for key, value in tmp_cnt.items():
-                reads_cnt[key] += value
-            short_reads += tmp_short
-            for rec in tmp_ret:
-                out.write('>{}\t{}\t{}\t{}\t{}\t{}\t{}\n{}\n'.format(*rec))
+    items = list(read_fastx(in_file))
+    chunks = [items[i:i + cfg.raw_chunk_size]
+              for i in range(0, len(items), cfg.raw_chunk_size)]
 
-        for read_id, seq in read_fastx(in_file):
-            chunk.append((read_id, seq))
-            if len(chunk) == cfg.raw_chunk_size:
-                flush(chunk)
-                chunk = []
-                n_done += cfg.raw_chunk_size
-                prog.update(min(99, n_done // 100))
-        if chunk:
-            flush(chunk)
+    pool = result_iter = None
+    # spawn cost (~1-2 s/worker for interpreter + genome + index) only
+    # pays off with several chunks of raw work per worker
+    if threads > 1 and ref_fasta is not None and len(chunks) >= 2 * threads:
+        import multiprocessing
+        ctx_mp = multiprocessing.get_context('spawn')
+        pool = ctx_mp.Pool(min(threads, len(chunks)), _scan_worker_init,
+                           (ref_fasta, idx_file))
+        result_iter = pool.imap(
+            _raw_worker_chunk,
+            [(c, is_canonical, circ_reads, cfg) for c in chunks])
+
+    n_done = 0
+    try:
+        with open('{}/{}.low_confidence.fa'.format(out_dir, prefix),
+                  'w') as out:
+            for ci, chunk in enumerate(chunks):
+                if result_iter is not None:
+                    tmp_cnt, tmp_ret, tmp_short = next(result_iter)
+                else:
+                    tmp_cnt, tmp_ret, tmp_short = scan_raw_chunk(
+                        ctx, chunk, is_canonical, circ_reads, cfg)
+                for key, value in tmp_cnt.items():
+                    reads_cnt[key] += value
+                short_reads += tmp_short
+                for rec in tmp_ret:
+                    out.write('>{}\t{}\t{}\t{}\t{}\t{}\t{}\n{}\n'.format(*rec))
+                n_done += len(chunk)
+                prog.update(min(99, 100 * n_done // max(1, len(items))))
+    finally:
+        if pool is not None:
+            pool.terminate()
+            pool.join()
     prog.update(100)
     return reads_cnt, short_reads

@@ -223,8 +223,11 @@ def collapse(args):
         with timer.stage('cluster', items=len(cand_reads)):
             reads_cluster = collapse_mod.cluster_reads(cand_reads)
             logger.info('Circular reads clusters: {}'.format(len(reads_cluster)))
+            idx_file = out_dir + '/tmp/ss.idx'
             circ_num, corrected_reads = collapse_mod.correct_reads(
-                ctx, reads_cluster)
+                ctx, reads_cluster, threads=args.threads,
+                ref_fasta=ref_fasta,
+                idx_file=idx_file if os.path.exists(idx_file) else None)
         with open(corrected_file, 'wb') as pkl:
             pickle.dump([circ_num, corrected_reads], pkl, -1)
         logger.info('Corrected clusters: {}, {}/{}/{}/{} annotated/denovo/'

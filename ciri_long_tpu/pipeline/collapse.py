@@ -23,6 +23,7 @@ Deliberate, documented deviations from the reference:
     Annotated/Denovo counters are truthful.
 """
 
+import os
 import logging
 from collections import Counter, defaultdict, namedtuple
 from pathlib import Path
@@ -46,8 +47,12 @@ from ciri_long_tpu.utils.seq import (compress_seq, encode_seq, get_junc_seq,
 
 LOGGER = logging.getLogger('CIRI-long')
 
-READ = namedtuple('Read', 'read_id circ_id strand cirexon ss clip segments seq sample type')
-CIRC = namedtuple('Circ', 'contig start end strand')
+READ = namedtuple('READ', 'read_id circ_id strand cirexon ss clip segments seq sample type')
+CIRC = namedtuple('CIRC', 'contig start end strand')
+# typenames must match the attribute names for spawn-pool pickling;
+# aliases keep corrected.pkl files from before the rename loadable
+Read = READ
+Circ = CIRC
 
 JUNC_SW = SWParams(JUNC_SCORE.match, JUNC_SCORE.mismatch,
                    JUNC_SCORE.gap_open, JUNC_SCORE.gap_extend)
@@ -911,20 +916,87 @@ def check_isoforms(ctx, circ, isoforms):
     return sum(concordance) > 0
 
 
-def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse):
-    """Cluster-correction driver (collapse.py:842-868)."""
+_COLLAPSE_CTX = None
+
+
+def _collapse_worker_init(ref_fasta, idx_file):
+    """Spawn-pool initializer for the correction pass (the reference
+    pools correct_chunk at collapse.py:848); workers force the CPU jax
+    backend and share the persistent compile cache."""
+    global _COLLAPSE_CTX
+    import pickle
+
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ['JAX_COMPILATION_CACHE_DIR'])
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
+    except AttributeError:
+        pass
+
+    from ciri_long_tpu.context import Context
+    from ciri_long_tpu.io.genome import Genome
+
+    genome = Genome(ref_fasta)
+    gtf_idx = intron_idx = ss_idx = None
+    if idx_file and os.path.exists(idx_file):
+        with open(idx_file, 'rb') as f:
+            gtf_idx, intron_idx, ss_idx = pickle.load(f)
+    _COLLAPSE_CTX = Context(aligner=None, genome=genome, gtf_index=gtf_idx,
+                            intron_index=intron_idx, ss_index=ss_idx)
+
+
+def _collapse_worker_chunk(payload):
+    chunk, max_cluster = payload
+    return correct_chunk(_COLLAPSE_CTX, chunk, max_cluster)
+
+
+def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
+                  ref_fasta=None, idx_file=None):
+    """Cluster-correction driver (collapse.py:842-868).  threads > 1
+    fans cluster chunks over a spawn pool (reference collapse.py:848);
+    results drain in submission order so corrected_reads ordering and
+    the counters match a serial run exactly."""
     prog = ProgressBar()
     prog.update(0)
     circ_num = defaultdict(int)
     corrected_reads = []
     n = len(reads_cluster)
-    for i in range(0, n, cfg.cluster_chunk_size):
-        chunk = reads_cluster[i:i + cfg.cluster_chunk_size]
-        tmp_cluster, tmp_num = correct_chunk(ctx, chunk, cfg.max_cluster)
-        corrected_reads += tmp_cluster
-        for key in tmp_num:
-            circ_num[key] += tmp_num[key]
-        prog.update(100 * min(i + len(chunk), n) // max(1, n))
+    # individual clusters are heavy (batched POA + SW curation), so when
+    # pooling use finer chunks (~4 per worker) for load balance
+    cs = cfg.cluster_chunk_size
+    if threads > 1:
+        cs = max(1, min(cs, -(-n // (4 * threads))))
+    chunks = [reads_cluster[i:i + cs] for i in range(0, n, cs)]
+
+    pool = result_iter = None
+    if threads > 1 and ref_fasta is not None and len(chunks) > 1:
+        import multiprocessing
+        ctx_mp = multiprocessing.get_context('spawn')
+        pool = ctx_mp.Pool(min(threads, len(chunks)), _collapse_worker_init,
+                           (ref_fasta, idx_file))
+        result_iter = pool.imap(_collapse_worker_chunk,
+                                [(c, cfg.max_cluster) for c in chunks])
+
+    done = 0
+    try:
+        for chunk in chunks:
+            if result_iter is not None:
+                tmp_cluster, tmp_num = next(result_iter)
+            else:
+                tmp_cluster, tmp_num = correct_chunk(ctx, chunk,
+                                                     cfg.max_cluster)
+            corrected_reads += tmp_cluster
+            for key in tmp_num:
+                circ_num[key] += tmp_num[key]
+            done += len(chunk)
+            prog.update(100 * done // max(1, n))
+    finally:
+        if pool is not None:
+            pool.terminate()
+            pool.join()
     prog.update(100)
     return circ_num, corrected_reads
 

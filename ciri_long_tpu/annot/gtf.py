@@ -43,7 +43,7 @@ class Feature:
 
 def index_annotation(gtf_path):
     """Build gtf/intron/splice-site indices from a GTF file."""
-    LOGGER.info('Loading annotation gtf ..')
+    LOGGER.info('Indexing annotation GTF')
     gtf_index = defaultdict(dict)
     intron_index = defaultdict(dict)
     ss_index = tree()
@@ -87,7 +87,7 @@ def index_circ(circ_file, circ_ss_idx):
         circ_ss_idx = tree()
 
     if circ_path.suffix == '.gtf':
-        LOGGER.info('Loading additional circRNA gtf ..')
+        LOGGER.info('Merging user circRNA GTF into splice-site index')
         with open(circ_path, 'r') as f:
             for line in f:
                 if line.startswith('#'):
@@ -97,7 +97,7 @@ def index_circ(circ_file, circ_ss_idx):
                 circ_ss_idx[feat.contig][feat.start][feat.strand]['start'] = 1
                 circ_ss_idx[feat.contig][feat.end][feat.strand]['end'] = 1
     elif circ_path.suffix == '.bed':
-        LOGGER.info('Loading additional circRNA bed ..')
+        LOGGER.info('Merging user circRNA bed into splice-site index')
         n_skip = 0
         with open(circ_path, 'r') as f:
             for line in f:
@@ -112,7 +112,7 @@ def index_circ(circ_file, circ_ss_idx):
                 circ_ss_idx[contig][start][strand]['start'] = 1
                 circ_ss_idx[contig][end][strand]['end'] = 1
         if n_skip:
-            LOGGER.warning('Skipping {} lines in bed file'.format(n_skip))
+            LOGGER.warning('{} malformed bed lines ignored'.format(n_skip))
     else:
         sys.exit('{} is not a valid bed/gtf file'.format(str(circ_path)))
 

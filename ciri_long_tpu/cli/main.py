@@ -35,7 +35,7 @@ def _load_or_build_index(out_dir, gtf_file, circ_file, logger):
 
     idx_file = out_dir + '/tmp/ss.idx'
     if os.path.exists(idx_file):
-        logger.info('Loading pre-built splice site index from: {}'.format(idx_file))
+        logger.info('reusing splice-site index: {}'.format(idx_file))
         with open(idx_file, 'rb') as idx:
             gtf_idx, intron_idx, ss_idx = pickle.load(idx)
         return gtf_idx, intron_idx, ss_idx
@@ -78,11 +78,11 @@ def call(args):
 
     logger = get_logger('CIRI-long', fname='{}/{}.log'.format(out_dir, prefix),
                         verbosity=debugging)
-    logger.info('----------------- Input paramters ------------------')
-    logger.info('Input reads: ' + os.path.basename(in_file))
-    logger.info('Output directory: ' + os.path.basename(out_dir))
+    logger.info('=== run configuration ===')
+    logger.info('reads: ' + os.path.basename(in_file))
+    logger.info('output dir: ' + os.path.basename(out_dir))
     logger.info('Device batch size: {}'.format(args.threads))
-    logger.info('----------------- Calling circRNAs -----------------')
+    logger.info('=== call stage ===')
 
     timer = StageTimer()
     reads_count = defaultdict(int)
@@ -91,7 +91,7 @@ def call(args):
     ccs_fa = '{}/tmp/{}.ccs.fa'.format(out_dir, prefix)
     raw_fa = '{}/tmp/{}.raw.fa'.format(out_dir, prefix)
     if not debugging and os.path.exists(ccs_fa) and os.path.exists(raw_fa):
-        logger.info('Step 1 - Loading circRNA candidates in previous run')
+        logger.info('[1/4] consensus: resuming from tmp/ ccs artifacts')
         ccs_seq = load_ccs_reads(out_dir, prefix)
         reads_count['consensus'] = len(ccs_seq)
     else:
@@ -102,8 +102,8 @@ def call(args):
         reads_count['consensus'] = ro_reads
 
     if 'total' in reads_count:
-        logger.info('Total Reads: {}'.format(reads_count['total']))
-    logger.info('Cyclic Consensus Reads: {}'.format(reads_count['consensus']))
+        logger.info('reads in: {}'.format(reads_count['total']))
+    logger.info('reads with cyclic consensus: {}'.format(reads_count['consensus']))
 
     # splice-site / annotation index
     gtf_idx, intron_idx, ss_idx = _load_or_build_index(
@@ -114,7 +114,7 @@ def call(args):
         import jax
         jax.profiler.start_trace(profile_dir)
 
-    logger.info('Step 2.1 - Find circRNAs from CCS reads')
+    logger.info('[2/4] scanning consensus reads for BSJs')
     with timer.stage('scan_ccs', items=len(ccs_seq)):
         ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx)
         idx_file = out_dir + '/tmp/ss.idx'
@@ -125,7 +125,7 @@ def call(args):
     for key, value in tmp_cnt.items():
         reads_count[key] += value
 
-    logger.info('Step 2.2 - Recover short CCS reads')
+    logger.info('[3/4] recovering short consensus reads')
     with timer.stage('recover_ccs', items=len(short_seq)):
         if short_seq:
             from ciri_long_tpu.models.aligner import GenomeAligner
@@ -136,8 +136,10 @@ def call(args):
                 aligner=GenomeAligner(ctx.genome, short_mode=True),
                 genome=ctx.genome, gtf_index=gtf_idx,
                 intron_index=intron_idx, ss_index=ss_idx)
-            tmp_cnt = recover_ccs_reads(short_ctx, short_seq, is_canonical,
-                                        out_dir, prefix)
+            tmp_cnt = recover_ccs_reads(
+                short_ctx, short_seq, is_canonical, out_dir, prefix,
+                threads=args.threads, ref_fasta=ref_fasta,
+                idx_file=idx_file if os.path.exists(idx_file) else None)
         else:
             # the reference still truncates/creates nothing here; keep the
             # append semantics by ensuring the file exists
@@ -146,7 +148,7 @@ def call(args):
     for key, value in tmp_cnt.items():
         reads_count[key] += value
 
-    logger.info('Step 3 - Find circRNAs with partial structure')
+    logger.info('[4/4] scanning raw reads for partial BSJs')
     with timer.stage('scan_raw'):
         tmp_cnt, _short = scan_raw_reads(
             ctx, in_file, is_canonical, out_dir, prefix,
@@ -160,18 +162,18 @@ def call(args):
         jax.profiler.stop_trace()
         logger.info('Device trace written to {}'.format(profile_dir))
 
-    logger.info('Raw unmapped: {}'.format(reads_count['raw_unmapped']))
-    logger.info('CCS mapped: {}'.format(reads_count['ccs_mapped']))
-    logger.info('BSJ: {}'.format(reads_count['bsj']))
-    logger.info('Splice signal: {}'.format(reads_count['signal']))
-    logger.info('Partial reads: {}'.format(reads_count['partial']))
+    logger.info('non-linear raw reads: {}'.format(reads_count['raw_unmapped']))
+    logger.info('mapped consensus reads: {}'.format(reads_count['ccs_mapped']))
+    logger.info('BSJ calls: {}'.format(reads_count['bsj']))
+    logger.info('calls with splice signal: {}'.format(reads_count['signal']))
+    logger.info('partial calls from raw reads: {}'.format(reads_count['partial']))
 
     summary = dict(reads_count)
     summary['timing'] = timer.as_dict()
     with open('{}/{}.json'.format(out_dir, prefix), 'w') as f:
         json.dump(summary, f)
 
-    logger.info('Calling circRNAs finished!')
+    logger.info('call stage done')
     return reads_count
 
 
@@ -196,10 +198,10 @@ def collapse(args):
 
     logger = get_logger('CIRI-long', fname='{}/{}.log'.format(out_dir, prefix),
                         verbosity=debugging)
-    logger.info('----------------- Input paramters ------------------')
-    logger.info('Input reads: ' + os.path.basename(in_file))
-    logger.info('Output directory: ' + os.path.basename(out_dir))
-    logger.info('-------------- Collapse circular reads -------------')
+    logger.info('=== run configuration ===')
+    logger.info('reads: ' + os.path.basename(in_file))
+    logger.info('output dir: ' + os.path.basename(out_dir))
+    logger.info('=== collapse stage ===')
 
     timer = StageTimer()
     gtf_idx, intron_idx, ss_idx = _load_or_build_index(
@@ -215,14 +217,14 @@ def collapse(args):
 
     corrected_file = '{}/tmp/{}.corrected.pkl'.format(out_dir, prefix)
     if not debugging and os.path.exists(corrected_file):
-        logger.info('Step 1 - Loading clustered circular reads in previous run')
+        logger.info('[1/2] resuming corrected clusters from tmp/')
         with open(corrected_file, 'rb') as pkl:
             circ_num, corrected_reads = pickle.load(pkl)
     else:
-        logger.info('Step 1 - Clustering candidate circular reads')
+        logger.info('[1/2] clustering + correcting candidate reads')
         with timer.stage('cluster', items=len(cand_reads)):
             reads_cluster = collapse_mod.cluster_reads(cand_reads)
-            logger.info('Circular reads clusters: {}'.format(len(reads_cluster)))
+            logger.info('BSJ clusters: {}'.format(len(reads_cluster)))
             idx_file = out_dir + '/tmp/ss.idx'
             circ_num, corrected_reads = collapse_mod.correct_reads(
                 ctx, reads_cluster, threads=args.threads,
@@ -237,12 +239,12 @@ def collapse(args):
                         circ_num['High confidence lariat'],
                         circ_num['Unknown signal']))
 
-    logger.info('Step 2 - Calculating expression matrix')
+    logger.info('[2/2] writing expression / isoform matrices')
     with timer.stage('exp_mtx'):
         circ_cnt, iso_cnt = collapse_mod.cal_exp_mtx(
             ctx, cand_reads, corrected_reads, out_dir, prefix)
-    logger.info('Final circRNAs: {}, isoforms: {}'.format(circ_cnt, iso_cnt))
-    logger.info('Correction of Back-Spliced Junctions finished!')
+    logger.info('circRNAs: {}  isoforms: {}'.format(circ_cnt, iso_cnt))
+    logger.info('collapse stage done')
     return circ_cnt, iso_cnt
 
 

@@ -148,9 +148,11 @@ class GenomeAligner:
             return results
 
         import jax
-        if jax.default_backend() == 'cpu':
+        if jax.default_backend() == 'cpu' and not getattr(
+                self, 'force_device_chain', False):
             # no device to amortise onto: the C++ chain core beats the
             # XLA-on-CPU scan; keep the shared backtrack/stitch path
+            # (force_device_chain pins the device branch for parity tests)
             chains = []
             for bi, strand, r, q in rows:
                 ctg_id = np.searchsorted(self._ctg_starts, r, side='right') - 1

@@ -294,11 +294,13 @@ def scan_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
 _WORKER_CTX = None
 
 
-def _scan_worker_init(ref_fasta, idx_file):
+def _scan_worker_init(ref_fasta, idx_file, short_mode=False):
     """Spawn-pool initializer: build a per-worker Context from file paths
     (the role of the reference's fork-inherited env.py globals, but in a
     clean interpreter).  Workers force the CPU jax backend so they never
-    queue on the (single) remote TPU."""
+    queue on the (single) remote TPU.  ``short_mode`` selects the denser
+    short-read index for the recovery pass (reference BWA ont2d,
+    find_bsj.py:457)."""
     global _WORKER_CTX
     import pickle
 
@@ -319,7 +321,7 @@ def _scan_worker_init(ref_fasta, idx_file):
     from ciri_long_tpu.models.aligner import GenomeAligner
 
     genome = Genome(ref_fasta)
-    aligner = GenomeAligner(genome)
+    aligner = GenomeAligner(genome, short_mode=short_mode)
     gtf_idx = intron_idx = ss_idx = None
     if idx_file and os.path.exists(idx_file):
         with open(idx_file, 'rb') as f:
@@ -454,11 +456,16 @@ def recover_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
     reads_cnt = defaultdict(int)
     ret = []
 
-    for read_id, segments, ccs, raw in chunk:
+    batched = len(chunk) >= BATCH_MAP_MIN and hasattr(ctx.aligner, 'map_batch')
+    if batched:
+        ccs2_hits_all = ctx.aligner.map_batch([c[2] * 2 for c in chunk])
+
+    for ci, (read_id, segments, ccs, raw) in enumerate(chunk):
         seg_st = int(segments.split(';')[0].split('-')[0])
         seg_en = int(segments.split(';')[-1].split('-')[1])
 
-        ccs_hit = get_primary_alignment(ctx.aligner.map(ccs * 2))
+        ccs_hit = get_primary_alignment(
+            ccs2_hits_all[ci] if batched else ctx.aligner.map(ccs * 2))
         if ccs_hit is None or seg_en - seg_st < ccs_hit.q_en - ccs_hit.q_st:
             continue
 
@@ -480,23 +487,54 @@ def recover_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
     return reads_cnt, ret
 
 
+def _recover_worker_chunk(payload):
+    chunk, is_canonical, cfg = payload
+    return recover_ccs_chunk(_WORKER_CTX, chunk, is_canonical, cfg)
+
+
 def recover_ccs_reads(ctx, short_reads, is_canonical, out_dir, prefix,
-                      cfg=DEFAULT.call):
+                      cfg=DEFAULT.call, threads=1, ref_fasta=None,
+                      idx_file=None):
     """Recovery pass driver; appends to {prefix}.cand_circ.fa
-    (find_bsj.py:451-490)."""
+    (find_bsj.py:451-490).  threads > 1 fans chunks over the same spawn
+    pool as the scan pass (the reference pools this pass at
+    find_bsj.py:462); workers build a short-mode aligner index.  Results
+    drain in submission order, so the output bytes match a serial run."""
     prog = ProgressBar()
     prog.update(0)
     reads_count = defaultdict(int)
-    with open('{}/{}.cand_circ.fa'.format(out_dir, prefix), 'a') as out:
-        for i in range(0, len(short_reads), cfg.ccs_chunk_size):
-            chunk = short_reads[i:i + cfg.ccs_chunk_size]
-            tmp_cnt, ret = recover_ccs_chunk(ctx, chunk, is_canonical, cfg)
-            for key, value in tmp_cnt.items():
-                reads_count[key] += value
-            for rec in ret:
-                out.write('>{}\t{}\t{}\t{}\t{}\t{}\t{}\n{}\n'.format(*rec))
-            prog.update(100 * min(i + len(chunk), len(short_reads))
-                        // max(1, len(short_reads)))
+
+    chunks = [short_reads[i:i + cfg.ccs_chunk_size]
+              for i in range(0, len(short_reads), cfg.ccs_chunk_size)]
+
+    pool = result_iter = None
+    if threads > 1 and ref_fasta is not None and len(chunks) > 1:
+        import multiprocessing
+        ctx_mp = multiprocessing.get_context('spawn')
+        pool = ctx_mp.Pool(min(threads, len(chunks)), _scan_worker_init,
+                           (ref_fasta, idx_file, True))
+        result_iter = pool.imap(_recover_worker_chunk,
+                                [(c, is_canonical, cfg) for c in chunks])
+
+    n_done = 0
+    try:
+        with open('{}/{}.cand_circ.fa'.format(out_dir, prefix), 'a') as out:
+            for chunk in chunks:
+                if result_iter is not None:
+                    tmp_cnt, ret = next(result_iter)
+                else:
+                    tmp_cnt, ret = recover_ccs_chunk(ctx, chunk,
+                                                     is_canonical, cfg)
+                for key, value in tmp_cnt.items():
+                    reads_count[key] += value
+                for rec in ret:
+                    out.write('>{}\t{}\t{}\t{}\t{}\t{}\t{}\n{}\n'.format(*rec))
+                n_done += len(chunk)
+                prog.update(100 * n_done // max(1, len(short_reads)))
+    finally:
+        if pool is not None:
+            pool.terminate()
+            pool.join()
     prog.update(100)
     return reads_count
 

@@ -45,3 +45,72 @@ def lag_profile(reads, max_lag: int, lag_offset=0, pad_lags=None):
     lags = jnp.arange(max_lag)
     prof = jax.vmap(one_lag, out_axes=1)(lags)
     return prof.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_lag", "k", "pad_lags"))
+def tandem_counts(reads, max_lag: int, k: int = 11, lag_offset=0,
+                  pad_lags=None):
+    """Exact k-mer self-match counts per lag: out[b, j] = number of
+    positions i in read b whose k-mer equals the k-mer at i + (lag_offset +
+    j + 1).  This is the device mirror of the host lag voting in
+    ops/ccs.py (_kmer_codes + _lag_votes): every consecutive same-k-mer
+    occurrence pair the host counts at distance d is one of these
+    positions, so per-lag ``tandem_counts >= host votes`` always -- the
+    basis of the sound CCS pre-screen (screen_periodic).
+
+    Positions whose k-mer window touches a non-ACGT base (either copy) do
+    not count.  ``lag_offset``/``pad_lags`` follow lag_profile's sharding
+    contract (the 'lag' mesh axis, parallel/mesh.py)."""
+    B, L = reads.shape
+    x = reads.astype(jnp.int32)
+    valid = x < 4
+    if pad_lags is None:
+        pad_lags = max_lag
+    xpad = jnp.pad(x, ((0, 0), (0, pad_lags + 1)), constant_values=5)
+
+    def one_lag(j):
+        d = j + lag_offset + 1
+        shifted = jax.lax.dynamic_slice_in_dim(xpad, d, L, axis=1)
+        eq = ((x == shifted) & valid & (shifted < 4)).astype(jnp.int32)
+        cs = jnp.cumsum(eq, axis=1)
+        if L < k:
+            return jnp.zeros((B,), jnp.int32)
+        # window sums of length k: eq[i..i+k-1] == k  <=>  exact k-mer match
+        win = cs[:, k - 1:] - jnp.pad(cs, ((0, 0), (1, 0)))[:, :L - k + 1]
+        return jnp.sum((win == k).astype(jnp.int32), axis=1)
+
+    lags = jnp.arange(max_lag)
+    return jax.vmap(one_lag, out_axes=1)(lags).astype(jnp.int32)
+
+
+def screen_periodic(counts, lengths, min_period=30, min_units=2.0):
+    """Host-side election over device tandem_counts: keep[b] is False ONLY
+    when no candidate period can clear the host voting bar of
+    ops.ccs._elect_period (support >= max(8, 0.05*L) within the relative
+    window [0.94*l - 4, 1.06*l + 4], l in [min_period, L/min_units]).
+
+    Because tandem_counts dominates the host vote counts per lag, a False
+    here guarantees find_consensus would return (None, None) -- the screen
+    never changes which reads get a consensus.  Reads longer than
+    2 * max_lag are auto-kept (the screen cannot cover their period
+    range)."""
+    import numpy as np
+
+    counts = np.asarray(counts)
+    max_lag = counts.shape[1]
+    lags = np.arange(1, max_lag + 1)
+    lo = np.clip(np.ceil(0.94 * lags - 4).astype(np.int64), 1, max_lag + 1)
+    hi = np.clip(np.floor(1.06 * lags + 4).astype(np.int64), 0, max_lag)
+    keep = np.zeros(len(lengths), bool)
+    for b, L in enumerate(lengths):
+        if L < 2 * min_period:
+            continue                      # host rejects outright
+        if L / min_units > max_lag:
+            keep[b] = True                # period range not covered: pass
+            continue
+        cs = np.concatenate([[0], np.cumsum(counts[b])])
+        sup = cs[hi] - cs[lo - 1]
+        valid_l = (lags >= min_period) & (lags <= L / min_units)
+        min_support = max(8, 0.05 * L)
+        keep[b] = bool(np.any(sup[valid_l] >= min_support))
+    return keep

@@ -24,7 +24,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ciri_long_tpu.ops.sw import SWParams, sw_score_ends
-from ciri_long_tpu.ops.period import lag_profile
+from ciri_long_tpu.ops.period import lag_profile, tandem_counts
 
 READS_AXIS = 'reads'
 LAG_AXIS = 'lag'
@@ -107,11 +107,12 @@ def make_pipeline_step(mesh, params: SWParams, max_lag: int):
         out_specs=(P(READS_AXIS, LAG_AXIS), P(READS_AXIS), P()),
         check_rep=False)
     def step(reads_shard, q_shard, r_shard):
-        # lag-profile: each lag shard computes its slice of lags
+        # tandem screen counts (the production CCS pre-screen,
+        # pipeline/find_ccs.py): each lag shard computes its slice of lags
         lag_idx = jax.lax.axis_index(LAG_AXIS)
         lo = lag_idx * (max_lag // lag_shards)
-        prof = lag_profile(reads_shard, max_lag // lag_shards,
-                           lag_offset=lo, pad_lags=max_lag)
+        prof = tandem_counts(reads_shard, max_lag // lag_shards,
+                             lag_offset=lo, pad_lags=max_lag)
         # SW scoring: pure data parallel
         score, _, _ = sw_score_ends(q_shard, r_shard, params)
         n_pos = jax.lax.psum(jnp.sum((score > 0).astype(jnp.int32)),

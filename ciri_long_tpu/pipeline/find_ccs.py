@@ -5,16 +5,28 @@ Output files keep the exact reference format so downstream stages and the
 resume logic are interchangeable:
   tmp/{prefix}.ccs.fa : '>read_id\\tsegments\\tlen(ccs)' + consensus
   tmp/{prefix}.raw.fa : '>read_id' + raw read
+
+On a non-CPU backend the whole input batch first runs through the device
+tandem-repeat pre-screen (ops/period.py::tandem_counts + screen_periodic):
+one bucketed device program per length class, after which only the reads
+that can possibly be periodic pay the host consensus cost.  The screen is
+sound (it over-approximates the host lag voting), so screened and
+unscreened runs produce byte-identical outputs.
 """
 
 import multiprocessing
 import os
 
 from ciri_long_tpu.io.fastx import read_fastx
-from ciri_long_tpu.ops.ccs import find_consensus
+from ciri_long_tpu.ops.ccs import MIN_PERIOD, MIN_UNITS, find_consensus
 from ciri_long_tpu.utils.logger import ProgressBar
 
 CHUNK_SIZE = 250  # reference job granularity (find_ccs.py:62)
+
+# device-screen shape ladder: reads pad to the smallest bucket, lags cover
+# the full candidate period range (<= L/2) so the screen stays sound
+SCREEN_BUCKETS = (512, 1024, 2048, 4096)
+SCREEN_MAX_LEN = SCREEN_BUCKETS[-1]
 
 
 def _ccs_chunk(chunk):
@@ -23,14 +35,59 @@ def _ccs_chunk(chunk):
     return [(rid, find_consensus(seq)) for rid, seq in chunk]
 
 
-def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False):
+def device_screen(items, batch=256):
+    """Run the device tandem pre-screen over (read_id, seq) items; returns
+    the set of read ids PROVEN non-periodic (safe to skip).  Reads longer
+    than the bucket ladder are auto-kept."""
+    import numpy as np
+
+    from ciri_long_tpu.ops.period import screen_periodic, tandem_counts
+    from ciri_long_tpu.utils.seq import encode_seq
+
+    skip = set()
+    by_bucket = {}
+    for rid, seq in items:
+        L = len(seq)
+        if L < 2 * MIN_PERIOD:
+            continue                     # host path rejects these anyway
+        if L > SCREEN_MAX_LEN:
+            continue                     # outside the ladder: auto-keep
+        for b in SCREEN_BUCKETS:
+            if L <= b:
+                by_bucket.setdefault(b, []).append((rid, seq))
+                break
+
+    for b, rows in by_bucket.items():
+        max_lag = b // 2
+        for i in range(0, len(rows), batch):
+            part = rows[i:i + batch]
+            mat = np.full((len(part), b), 5, np.int8)
+            lens = []
+            for t, (rid, seq) in enumerate(part):
+                codes = encode_seq(seq)
+                mat[t, :len(codes)] = codes
+                lens.append(len(codes))
+            counts = np.asarray(tandem_counts(mat, max_lag))
+            keep = screen_periodic(counts, lens, MIN_PERIOD, MIN_UNITS)
+            for t, (rid, seq) in enumerate(part):
+                if not keep[t]:
+                    skip.add(rid)
+    return skip
+
+
+def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
+                   use_device_screen=None):
     """Detect rolling-circle reads; returns (total_reads, ro_reads,
     ccs_seq) with ccs_seq[read_id] = [segments, ccs, raw].
 
     threads > 1 fans the 250-read chunks over a fork pool, the direct
     analog of the reference's worker pool (find_ccs.py:11-26,62);
     results are consumed in submission order so output files stay
-    byte-deterministic."""
+    byte-deterministic.
+
+    use_device_screen: None = auto (screen on non-CPU backends, where the
+    bulk lag program amortises onto the accelerator); True/False forces.
+    """
     prog = ProgressBar()
     prog.update(0)
 
@@ -44,7 +101,24 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False):
     os.makedirs(os.path.dirname(ccs_path), exist_ok=True)
 
     items = list(raw.items())
-    chunks = [items[i:i + CHUNK_SIZE] for i in range(0, len(items), CHUNK_SIZE)]
+
+    if use_device_screen is None:
+        env_flag = os.environ.get('CIRI_CCS_SCREEN')
+        if env_flag is not None:
+            use_device_screen = env_flag not in ('0', 'false', '')
+        else:
+            # auto: only when an accelerator is attached AND the batch is
+            # big enough to amortise its dispatch + compile latency (this
+            # box's TPU sits behind a 50-200 ms RTT tunnel; a real local
+            # chip amortises far sooner, but small inputs are fast on host
+            # either way)
+            import jax
+            use_device_screen = (jax.default_backend() != 'cpu'
+                                 and len(items) >= 2000)
+    skip = device_screen(items) if use_device_screen else set()
+
+    work = [(rid, seq) for rid, seq in items if rid not in skip]
+    chunks = [work[i:i + CHUNK_SIZE] for i in range(0, len(work), CHUNK_SIZE)]
 
     if threads > 1 and len(chunks) > 1:
         ctx = multiprocessing.get_context('fork')
@@ -54,17 +128,20 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False):
     else:
         results = _drain((_ccs_chunk(c) for c in chunks), prog, len(chunks))
 
+    total_reads = len(items)
     with open(ccs_path, 'w') as out, open(raw_path, 'w') as trimmed:
-        for chunk_res in results:
-            for read_id, (segments, ccs) in chunk_res:
-                total_reads += 1
-                if segments is None or ccs is None:
-                    continue
-                ro_reads += 1
-                out.write('>{}\t{}\t{}\n{}\n'.format(
-                    read_id, segments, len(ccs), ccs))
-                trimmed.write('>{}\n{}\n'.format(read_id, raw[read_id]))
-                ccs_seq[read_id] = [segments, ccs, raw[read_id]]
+        # merge screened-out reads back in input order so the output files
+        # are byte-identical to an unscreened run
+        res_by_id = {rid: r for chunk_res in results for rid, r in chunk_res}
+        for rid, _seq in items:
+            segments, ccs = res_by_id.get(rid, (None, None))
+            if segments is None or ccs is None:
+                continue
+            ro_reads += 1
+            out.write('>{}\t{}\t{}\n{}\n'.format(
+                rid, segments, len(ccs), ccs))
+            trimmed.write('>{}\n{}\n'.format(rid, raw[rid]))
+            ccs_seq[rid] = [segments, ccs, raw[rid]]
     prog.update(100)
 
     return total_reads, ro_reads, ccs_seq

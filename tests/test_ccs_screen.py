@@ -1,0 +1,122 @@
+"""Device CCS pre-screen (ops/period.py::tandem_counts + screen_periodic,
+wired into pipeline/find_ccs.py): the screen must be SOUND -- it may pass
+non-periodic reads (the host path rejects them) but must never drop a read
+the host lag voting would elect, so screened and unscreened runs are
+byte-identical (VERDICT round-1 item 6)."""
+
+import numpy as np
+import pytest
+
+from ciri_long_tpu.ops.ccs import find_consensus
+from ciri_long_tpu.ops.period import screen_periodic, tandem_counts
+from ciri_long_tpu.utils.seq import encode_seq
+from tests.test_poa import mutate
+from tests.test_pipeline_call import make_rolling_read
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def _naive_tandem_counts(codes, max_lag, k=11):
+    L = len(codes)
+    out = np.zeros(max_lag, np.int32)
+    for d in range(1, max_lag + 1):
+        for i in range(L):
+            j = i + d
+            if j + k > L:
+                break
+            a, b = codes[i:i + k], codes[j:j + k]
+            if (a < 4).all() and (b < 4).all() and (a == b).all():
+                out[d - 1] += 1
+    return out
+
+
+def test_tandem_counts_oracle(rng):
+    """Device counts vs a naive host oracle, including N bases and PAD."""
+    for _ in range(6):
+        L = int(rng.integers(40, 180))
+        codes = rng.integers(0, 4, L).astype(np.int8)
+        # tandem structure so nonzero counts appear
+        p = int(rng.integers(12, min(40, L // 2)))
+        codes[p:2 * p] = codes[:p]
+        codes[rng.integers(0, L, 3)] = 4      # N poisoning
+        max_lag = int(rng.integers(8, 64))
+        pad = int(rng.integers(0, 32))
+        mat = np.full((1, L + pad), 5, np.int8)
+        mat[0, :L] = codes
+        dev = np.asarray(tandem_counts(mat, max_lag))[0]
+        ref = _naive_tandem_counts(codes, max_lag)
+        assert (dev == ref).all(), (L, max_lag)
+
+
+def test_tandem_counts_lag_offset(rng):
+    """Sharding contract: lag slices with lag_offset concatenate to the
+    full profile (the 'lag' mesh axis, parallel/mesh.py)."""
+    L, max_lag = 256, 64
+    codes = rng.integers(0, 4, (2, L)).astype(np.int8)
+    codes[:, 37:74] = codes[:, :37]
+    full = np.asarray(tandem_counts(codes, max_lag))
+    parts = [np.asarray(tandem_counts(codes, max_lag // 4,
+                                      lag_offset=i * (max_lag // 4),
+                                      pad_lags=max_lag))
+             for i in range(4)]
+    assert (np.concatenate(parts, axis=1) == full).all()
+
+
+@pytest.mark.parametrize("noise", [0.02, 0.08])
+def test_screen_soundness_fuzz(rng, noise):
+    """Any read the host path calls periodic MUST pass the screen; most
+    purely linear/random reads must fail it (efficacy)."""
+    reads = []
+    for i in range(30):
+        unit = rand_seq(rng, int(rng.integers(60, 450)))
+        reads.append(('circ%d' % i,
+                      make_rolling_read(rng, unit,
+                                        copies=2.2 + 3 * rng.random(),
+                                        noise=noise)))
+    for i in range(30):
+        reads.append(('lin%d' % i, rand_seq(rng, int(rng.integers(150, 2000)))))
+
+    n_skipped_nonperiodic = 0
+    for rid, seq in reads:
+        codes = encode_seq(seq)
+        L = len(codes)
+        if L < 60:
+            continue
+        max_lag = max(16, -(-L // 2))
+        counts = np.asarray(tandem_counts(codes[None, :], max_lag))
+        keep = screen_periodic(counts, [L])[0]
+        segments, ccs = find_consensus(seq)
+        if segments is not None:
+            assert keep, 'screen dropped a host-periodic read {}'.format(rid)
+        elif not keep:
+            n_skipped_nonperiodic += 1
+    # efficacy: the screen must actually skip a decent share of the
+    # non-periodic reads (all 30 linear reads are non-periodic)
+    assert n_skipped_nonperiodic >= 20
+
+
+def test_pipeline_screen_equivalence(rng, tmp_path):
+    """find_ccs_reads with the screen forced on vs off: identical files."""
+    from ciri_long_tpu.pipeline.find_ccs import find_ccs_reads
+
+    reads_fa = tmp_path / 'reads.fa'
+    with open(reads_fa, 'w') as f:
+        for i in range(12):
+            unit = rand_seq(rng, int(rng.integers(80, 400)))
+            f.write('>c{}\n{}\n'.format(i, make_rolling_read(
+                rng, unit, copies=2.5 + 0.3 * i, noise=0.03)))
+        for i in range(8):
+            f.write('>l{}\n{}\n'.format(i, rand_seq(rng, 900)))
+
+    out_a = tmp_path / 'a'
+    out_b = tmp_path / 'b'
+    ra = find_ccs_reads(str(reads_fa), str(out_a), 'p',
+                        use_device_screen=False)
+    rb = find_ccs_reads(str(reads_fa), str(out_b), 'p',
+                        use_device_screen=True)
+    assert ra[0] == rb[0] and ra[1] == rb[1]
+    assert ra[2] == rb[2]
+    for fn in ('tmp/p.ccs.fa', 'tmp/p.raw.fa'):
+        assert (out_a / fn).read_bytes() == (out_b / fn).read_bytes()

@@ -48,9 +48,10 @@ def test_sharded_pipeline_step(rng):
     prof, score, n_pos = sharded_pipeline_step(mesh, reads, q, r,
                                                max_lag=max_lag)
     assert prof.shape == (B, max_lag)
-    # sharded lag profile must equal the single-device one
-    ref_prof = np.asarray(lag_profile(reads, max_lag))
-    np.testing.assert_allclose(np.asarray(prof), ref_prof, rtol=1e-6)
+    # sharded tandem counts must equal the single-device ones
+    from ciri_long_tpu.ops.period import tandem_counts
+    ref_prof = np.asarray(tandem_counts(reads, max_lag))
+    np.testing.assert_array_equal(np.asarray(prof), ref_prof)
 
 
 def test_graft_entry_singlechip():

@@ -52,7 +52,18 @@ def _load_or_build_index(out_dir, gtf_file, circ_file, logger):
     return gtf_idx, intron_idx, ss_idx
 
 
+def _apply_backend(args):
+    """--backend cpu forces the CPU jax backend before any device
+    is touched (this box pre-registers a remote TPU platform that env vars
+    alone cannot override; the config update works because backends
+    initialise lazily)."""
+    if getattr(args, 'backend', None) == 'cpu':
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+
 def call(args):
+    _apply_backend(args)
     from ciri_long_tpu.utils.logger import get_logger, StageTimer
     from ciri_long_tpu.utils.misc import check_dir, check_file
     from ciri_long_tpu.pipeline.find_ccs import find_ccs_reads, load_ccs_reads
@@ -178,6 +189,7 @@ def call(args):
 
 
 def collapse(args):
+    _apply_backend(args)
     from ciri_long_tpu.utils.logger import get_logger, StageTimer
     from ciri_long_tpu.utils.misc import check_dir, check_file
     from ciri_long_tpu.pipeline import collapse as collapse_mod
@@ -278,6 +290,10 @@ def main():
     call_parser.add_argument('--debug', dest='debug', default=False,
                              action='store_true',
                              help='Run in debugging mode, (default: %(default)s)')
+    call_parser.add_argument('--backend', dest='backend', default=None,
+                             choices=['cpu'],
+                             help='Force the CPU jax backend (skip any '
+                                  'attached accelerator)')
     call_parser.add_argument('--profile', dest='profile', metavar='DIR',
                              default=None,
                              help='Write a jax.profiler device trace of the '
@@ -304,6 +320,10 @@ def main():
                                  metavar='INT', type=int,
                                  default=os.cpu_count(),
                                  help='Device batch size / host worker threads')
+    collapse_parser.add_argument('--backend', dest='backend', default=None,
+                                 choices=['cpu'],
+                                 help='Force the CPU jax backend (skip any '
+                                      'attached accelerator)')
     collapse_parser.add_argument('--debug', dest='debug', default=False,
                                  action='store_true',
                                  help='Run in debugging mode, (default: %(default)s)')

@@ -119,68 +119,232 @@ def find_bsj(ctx, ccs):
     return circ, circ_junc
 
 
+def _map_many(ctx, seqs):
+    """Map a list of sequences through one batched device chaining program
+    when the aligner supports it (models/aligner.py::map_batch, identical
+    hits to map() -- tests/test_map_batch_parity.py), else per-read."""
+    if len(seqs) > 1 and hasattr(ctx.aligner, 'map_batch'):
+        return ctx.aligner.map_batch(seqs)
+    return [ctx.aligner.map(s) for s in seqs]
+
+
+def find_bsj_batch(ctx, ccs_list, init_hits_list=None):
+    """Lockstep-batched find_bsj (reference loop find_bsj.py:139-179;
+    SURVEY.md §7.3): all reads advance through the rotate+remap iteration
+    together, one batched map per round, with per-read done-masks -- the
+    host-orchestrated masked-while-loop over the whole batch.
+
+    Returns per read ``(circ, junc, hits)`` where ``hits`` is the full
+    map() result of the final rotation (cached from the round that aligned
+    it; None when the final rotation was never aligned, i.e. the
+    first-round revert to junction 0 -- callers map those themselves).
+    ``init_hits_list`` optionally supplies precomputed map(ccs*2) hits
+    (the scan pass already has them from its filters)."""
+    n = len(ccs_list)
+    results = [(None, None, None)] * n
+
+    if init_hits_list is None:
+        init_hits_list = _map_many(ctx, [s * 2 for s in ccs_list])
+
+    state = {}
+    active = []
+    for i, ccs in enumerate(ccs_list):
+        init_hit = get_primary_alignment(init_hits_list[i])
+        if init_hit is None or not len(ccs):
+            continue
+        state[i] = {'junc': init_hit.q_st % len(ccs), 'last_junc': 0,
+                    'last_m': 0, 'itered': {}, 'cache': {}}
+        active.append(i)
+
+    while active:
+        seqs = []
+        for i in active:
+            st = state[i]
+            ccs = ccs_list[i]
+            seqs.append(ccs[st['junc']:] + ccs[:st['junc']])
+        # reuse hits for rotations this read already aligned (map() is
+        # deterministic, so this matches the reference's re-map exactly)
+        need = [t for t, i in enumerate(active)
+                if state[i]['junc'] not in state[i]['cache']]
+        fresh = _map_many(ctx, [seqs[t] for t in need]) if need else []
+        for t, hits in zip(need, fresh):
+            st = state[active[t]]
+            st['cache'][st['junc']] = hits
+
+        next_active = []
+        for i in active:
+            st = state[i]
+            ccs = ccs_list[i]
+            hits = st['cache'][st['junc']]
+            circ_hit = get_primary_alignment(hits)
+            done = False
+            if circ_hit is None or circ_hit.mlen <= st['last_m']:
+                st['junc'] = st['last_junc']
+                done = True
+            else:
+                st['last_m'] = circ_hit.mlen
+                st['last_junc'] = st['junc']
+                st_clip = circ_hit.q_st
+                en_clip = len(ccs) - circ_hit.q_en
+                if st_clip == 0 and en_clip == 0:
+                    done = True
+                else:
+                    if st_clip >= en_clip:
+                        new_junc = (st['junc'] + st_clip) % len(ccs)
+                    else:
+                        new_junc = (st['junc'] + circ_hit.q_en) % len(ccs)
+                    if new_junc in st['itered']:
+                        st['junc'] = st['last_junc']
+                        done = True
+                    else:
+                        st['junc'] = new_junc
+                        st['itered'][new_junc] = 1
+            if done:
+                junc = st['junc']
+                circ = ccs[junc:] + ccs[:junc]
+                results[i] = (circ, junc, st['cache'].get(junc))
+            else:
+                next_active.append(i)
+        active = next_active
+    return results
+
+
+def _final_circ_hits(ctx, items):
+    """Fill in map() hits for (circ, junc, hits) tuples whose final
+    rotation was never aligned inside find_bsj_batch."""
+    missing = [t for t, (circ, _junc, hits) in enumerate(items)
+               if circ is not None and hits is None]
+    if missing:
+        fresh = _map_many(ctx, [items[t][0] for t in missing])
+        for t, hits in zip(missing, fresh):
+            items[t] = (items[t][0], items[t][1], hits)
+    return items
+
+
+def _clip_prepare(ctx, circ, hit, cfg=DEFAULT.call):
+    """First half of align_clip_segments (find_bsj.py:182-233): decide the
+    path and stage the SW operands.  Returns
+      ('done', result4)                 -- no SW needed / early reject
+      ('sw', clip_codes, ref_codes, meta) -- needs one SW alignment
+    """
+    st_clip, en_clip = hit.q_st, len(circ) - hit.q_en
+
+    if st_clip + en_clip < 20:
+        clipped_circ = circ[hit.q_st:] + circ[:hit.q_st]
+        clip_base = st_clip + en_clip
+        return ('done', (clipped_circ, hit.r_st - 1, hit.r_en,
+                         (None, None, clip_base)))
+
+    clip_seq = circ[hit.q_en:] + circ[:hit.q_st]
+    if len(clip_seq) > 0.6 * len(circ):
+        return ('done', (None, None, None, None))
+
+    tmp_start = max(hit.r_st - cfg.clip_window, 0)
+    tmp_end = min(hit.r_en + cfg.clip_window, ctx.contig_len[hit.ctg])
+
+    window = ctx.genome.codes_of(hit.ctg, tmp_start, tmp_end)
+    if np.count_nonzero(window == 4) >= cfg.max_n_frac * (tmp_end - tmp_start):
+        return ('done', (None, None, None, None))
+
+    clip_codes = encode_seq(clip_seq)
+    ref_codes = window if hit.strand > 0 else revcomp_encoded(window)
+    return ('sw', clip_codes, ref_codes,
+            (circ, hit, clip_seq, tmp_start, tmp_end))
+
+
+def _clip_finish(res, meta):
+    """Second half of align_clip_segments: interpret the SW result."""
+    circ, hit, clip_seq, tmp_start, tmp_end = meta
+    if res.score <= 0:
+        return (None, None, None, None)
+    q_begin = res.query_begin
+    if hit.strand > 0:
+        clip_r_st = tmp_start + res.ref_begin
+        clip_r_en = tmp_start + res.ref_end
+        moved = clip_r_st < hit.r_st
+    else:
+        clip_r_st = tmp_end - res.ref_end
+        clip_r_en = tmp_end - res.ref_begin
+        moved = clip_r_en > hit.r_en
+    if moved:
+        clipped_circ = clip_seq[q_begin:] + \
+            circ[hit.q_st:hit.q_en] + clip_seq[:q_begin]
+    else:
+        clipped_circ = circ[hit.q_st:] + circ[:hit.q_st]
+
+    clip_base = hit.q_st + len(circ) - hit.q_en \
+        - (res.query_end - res.query_begin) + 1
+    circ_start = min(hit.r_st, clip_r_st) - 1
+    circ_end = max(hit.r_en, clip_r_en)
+    return (clipped_circ, circ_start, circ_end,
+            (clip_r_st, clip_r_en, clip_base))
+
+
 def align_clip_segments(ctx, circ, hit, cfg=DEFAULT.call):
     """Re-align residual clipped bases against a +-200 kb window around the
     hit (find_bsj.py:182-233) using the device SW kernel."""
-    st_clip, en_clip = hit.q_st, len(circ) - hit.q_en
-    clip_r_st, clip_r_en, clipped_circ = None, None, None
+    staged = _clip_prepare(ctx, circ, hit, cfg)
+    if staged[0] == 'done':
+        return staged[1]
+    _, clip_codes, ref_codes, meta = staged
+    return _clip_finish(ssw_align(clip_codes, ref_codes), meta)
 
-    if st_clip + en_clip >= 20:
-        clip_seq = circ[hit.q_en:] + circ[:hit.q_st]
-        if len(clip_seq) > 0.6 * len(circ):
-            return None, None, None, None
 
-        tmp_start = max(hit.r_st - cfg.clip_window, 0)
-        tmp_end = min(hit.r_en + cfg.clip_window, ctx.contig_len[hit.ctg])
+def align_clip_segments_batch(ctx, items, cfg=DEFAULT.call):
+    """Batched align_clip_segments over (circ, hit) pairs: all short-window
+    SW alignments in a chunk run as ONE bucketed device batch (long
+    windows keep the exact chunked sw_window_align path).  Row results are
+    identical to the serial calls -- the SW kernel is per-row and padding
+    rows/lengths cannot change a row's outcome."""
+    from ciri_long_tpu.ops.sw import SWResult
+    from ciri_long_tpu.utils.seq import pad_encoded
 
-        window = ctx.genome.codes_of(hit.ctg, tmp_start, tmp_end)
-        if np.count_nonzero(window == 4) >= cfg.max_n_frac * (tmp_end - tmp_start):
-            return None, None, None, None
-
-        clip_codes = encode_seq(clip_seq)
-        if hit.strand > 0:
-            res = ssw_align(clip_codes, window)
-            if res.score <= 0:
-                return None, None, None, None
-            clip_r_st = tmp_start + res.ref_begin
-            clip_r_en = tmp_start + res.ref_end
-            q_begin = res.query_begin
-            if clip_r_st < hit.r_st:
-                clipped_circ = clip_seq[q_begin:] + \
-                    circ[hit.q_st:hit.q_en] + clip_seq[:q_begin]
-            else:
-                clipped_circ = circ[hit.q_st:] + circ[:hit.q_st]
+    staged = [_clip_prepare(ctx, circ, hit, cfg) for circ, hit in items]
+    out = [None] * len(items)
+    sw_rows = []
+    for t, st in enumerate(staged):
+        if st[0] == 'done':
+            out[t] = st[1]
+        elif len(st[2]) > 32768:
+            # long window: per-read exact chunked formulation
+            out[t] = _clip_finish(ssw_align(st[1], st[2]), st[3])
         else:
-            res = ssw_align(clip_codes, revcomp_encoded(window))
-            if res.score <= 0:
-                return None, None, None, None
-            clip_r_st = tmp_end - res.ref_end
-            clip_r_en = tmp_end - res.ref_begin
-            q_begin = res.query_begin
-            if clip_r_en > hit.r_en:
-                clipped_circ = clip_seq[q_begin:] + \
-                    circ[hit.q_st:hit.q_en] + clip_seq[:q_begin]
-            else:
-                clipped_circ = circ[hit.q_st:] + circ[:hit.q_st]
+            sw_rows.append(t)
 
-        clip_base = hit.q_st + len(circ) - hit.q_en \
-            - (res.query_end - res.query_begin) + 1
-        circ_start = min(hit.r_st, clip_r_st) - 1
-        circ_end = max(hit.r_en, clip_r_en)
-    else:
-        clipped_circ = circ[hit.q_st:] + circ[:hit.q_st]
-        clip_base = st_clip + en_clip
-        circ_start = hit.r_st - 1
-        circ_end = hit.r_en
-
-    return clipped_circ, circ_start, circ_end, (clip_r_st, clip_r_en, clip_base)
+    if sw_rows:
+        queries = [staged[t][1] for t in sw_rows]
+        refs = [staged[t][2] for t in sw_rows]
+        q, _ = pad_encoded(queries,
+                           max_len=_bucket(max(len(x) for x in queries)))
+        r, _ = pad_encoded(refs, max_len=_bucket(max(len(x) for x in refs)))
+        # bucket the batch dim too (a fresh row count = a fresh compile)
+        rows = next((b for b in (4, 8, 16, 32, 64, 128, 256, 512, 1024)
+                     if len(sw_rows) <= b), len(sw_rows))
+        if rows > len(sw_rows):
+            q = np.concatenate(
+                [q, np.full((rows - q.shape[0], q.shape[1]), 5, q.dtype)])
+            r = np.concatenate(
+                [r, np.full((rows - r.shape[0], r.shape[1]), 5, r.dtype)])
+        res = sw_align_batch(q, r, CLIP_SW)
+        score = np.asarray(res.score)
+        qb = np.asarray(res.query_begin)
+        qe = np.asarray(res.query_end)
+        rb = np.asarray(res.ref_begin)
+        re_ = np.asarray(res.ref_end)
+        for bi, t in enumerate(sw_rows):
+            row = _SSWRes(int(score[bi]), int(qb[bi]), int(qe[bi]),
+                          int(rb[bi]), int(re_[bi]))
+            out[t] = _clip_finish(row, staged[t][3])
+    return out
 
 
 def _call_circ_from_hit(ctx, read_id, segments, junc, circ, circ_hit,
-                        reads_cnt, cfg):
+                        reads_cnt, cfg, clip_res=None):
     """Shared tail of the CCS scan passes: clip re-alignment, splice-signal
-    correction, cirexon string, output record (find_bsj.py:275-323)."""
+    correction, cirexon string, output record (find_bsj.py:275-323).
+    ``clip_res`` carries a precomputed align_clip_segments_batch row."""
     clipped_circ, circ_start, circ_end, clip_info = \
+        clip_res if clip_res is not None else \
         align_clip_segments(ctx, circ, circ_hit, cfg)
     if circ_start is None or circ_end is None:
         return None
@@ -228,28 +392,23 @@ def _call_circ_from_hit(ctx, read_id, segments, junc, circ, circ_hit,
             '{}|{}-{}'.format(junc, clip_base, len(circ)), segments, circ_seq)
 
 
-BATCH_MAP_MIN = 32
-
-
 def scan_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
-    """Per-read CCS scan (find_bsj.py:236-325).
-
-    The two per-read filter alignments (raw read + doubled consensus) run
-    as whole-chunk batched maps when the chunk is large enough -- one
-    device chaining program for all reads (models/aligner.py::map_batch)."""
+    """Per-read CCS scan (find_bsj.py:236-325), batch-first: the two
+    filter alignments run as whole-chunk batched maps, and the iterative
+    BSJ rotation runs in lockstep over all surviving reads
+    (find_bsj_batch) -- one device chaining program per rotation round
+    instead of 3-5 map() dispatches per read."""
     reads_cnt = defaultdict(int)
     ret = []
     short_reads = []
 
-    batched = len(chunk) >= BATCH_MAP_MIN and hasattr(ctx.aligner, 'map_batch')
-    if batched:
-        raw_hits_all = ctx.aligner.map_batch([c[3] for c in chunk])
-        ccs2_hits_all = ctx.aligner.map_batch([c[2] * 2 for c in chunk])
+    raw_hits_all = _map_many(ctx, [c[3] for c in chunk])
+    ccs2_hits_all = _map_many(ctx, [c[2] * 2 for c in chunk])
 
+    survivors = []
     for ci, (read_id, segments, ccs, raw) in enumerate(chunk):
         # Filter 1: linearly-mapped raw reads (find_bsj.py:243-246)
-        raw_hit = get_primary_alignment(
-            raw_hits_all[ci] if batched else ctx.aligner.map(raw))
+        raw_hit = get_primary_alignment(raw_hits_all[ci])
         if raw_hit and raw_hit.mlen > max(len(raw) * cfg.linear_frac,
                                           len(raw) - cfg.linear_margin):
             continue
@@ -266,25 +425,35 @@ def scan_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
         if raw_hit and (raw_en < seg_st or raw_st > seg_en):
             continue
 
-        ccs_hit = get_primary_alignment(
-            ccs2_hits_all[ci] if batched else ctx.aligner.map(ccs * 2))
+        ccs_hit = get_primary_alignment(ccs2_hits_all[ci])
         if ccs_hit is None and len(ccs) < cfg.short_ccs_len:
             short_reads.append((read_id, segments, ccs, raw))
         if ccs_hit is None or seg_en - seg_st < ccs_hit.q_en - ccs_hit.q_st:
             continue
 
         reads_cnt['ccs_mapped'] += 1
+        survivors.append(ci)
 
-        circ, junc = find_bsj(ctx, ccs)
+    bsj = find_bsj_batch(ctx, [chunk[ci][2] for ci in survivors],
+                         [ccs2_hits_all[ci] for ci in survivors])
+    bsj = _final_circ_hits(ctx, bsj)
+
+    final = []
+    for ci, (circ, junc, circ_hits) in zip(survivors, bsj):
         if circ is None:
             continue
-
-        circ_hit = get_primary_alignment(ctx.aligner.map(circ))
+        circ_hit = get_primary_alignment(circ_hits)
         if circ_hit is None or circ_hit.mlen < cfg.circ_mlen_frac * len(circ):
             continue
+        final.append((ci, circ, junc, circ_hit))
 
+    clips = align_clip_segments_batch(
+        ctx, [(circ, hit) for _, circ, _, hit in final], cfg)
+    for (ci, circ, junc, circ_hit), clip_res in zip(final, clips):
+        read_id, segments, ccs, raw = chunk[ci]
         rec = _call_circ_from_hit(ctx, read_id, segments, junc, circ,
-                                  circ_hit, reads_cnt, cfg)
+                                  circ_hit, reads_cnt, cfg,
+                                  clip_res=clip_res)
         if rec is not None:
             ret.append(rec)
 
@@ -456,31 +625,40 @@ def recover_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
     reads_cnt = defaultdict(int)
     ret = []
 
-    batched = len(chunk) >= BATCH_MAP_MIN and hasattr(ctx.aligner, 'map_batch')
-    if batched:
-        ccs2_hits_all = ctx.aligner.map_batch([c[2] * 2 for c in chunk])
+    ccs2_hits_all = _map_many(ctx, [c[2] * 2 for c in chunk])
 
+    survivors = []
     for ci, (read_id, segments, ccs, raw) in enumerate(chunk):
         seg_st = int(segments.split(';')[0].split('-')[0])
         seg_en = int(segments.split(';')[-1].split('-')[1])
 
-        ccs_hit = get_primary_alignment(
-            ccs2_hits_all[ci] if batched else ctx.aligner.map(ccs * 2))
+        ccs_hit = get_primary_alignment(ccs2_hits_all[ci])
         if ccs_hit is None or seg_en - seg_st < ccs_hit.q_en - ccs_hit.q_st:
             continue
 
         reads_cnt['ccs_mapped'] += 1
+        survivors.append(ci)
 
-        circ, junc = find_bsj(ctx, ccs)
+    bsj = find_bsj_batch(ctx, [chunk[ci][2] for ci in survivors],
+                         [ccs2_hits_all[ci] for ci in survivors])
+    bsj = _final_circ_hits(ctx, bsj)
+
+    final = []
+    for ci, (circ, junc, circ_hits) in zip(survivors, bsj):
         if circ is None:
             continue
-
-        circ_hit = get_primary_alignment(ctx.aligner.map(circ))
+        circ_hit = get_primary_alignment(circ_hits)
         if circ_hit is None:
             continue
+        final.append((ci, circ, junc, circ_hit))
 
+    clips = align_clip_segments_batch(
+        ctx, [(circ, hit) for _, circ, _, hit in final], cfg)
+    for (ci, circ, junc, circ_hit), clip_res in zip(final, clips):
+        read_id, segments, ccs, raw = chunk[ci]
         rec = _call_circ_from_hit(ctx, read_id, segments, junc, circ,
-                                  circ_hit, reads_cnt, cfg)
+                                  circ_hit, reads_cnt, cfg,
+                                  clip_res=clip_res)
         if rec is not None:
             ret.append(rec)
 
@@ -540,34 +718,42 @@ def recover_ccs_reads(ctx, short_reads, is_canonical, out_dir, prefix,
 
 
 def scan_raw_chunk(ctx, chunk, is_canonical, circ_reads, cfg=DEFAULT.call):
-    """Partial-BSJ scan over raw reads without a CCS
-    (find_bsj.py:499-620)."""
+    """Partial-BSJ scan over raw reads without a CCS (find_bsj.py:499-620),
+    batch-first: the whole-chunk raw maps, the lockstep BSJ rotation and
+    the final circular re-maps each run as one batched device program."""
     reads_cnt = defaultdict(int)
     ret = []
     short_reads = []
 
+    todo = []
     for read_id, seq in chunk:
         if read_id in circ_reads:
             continue
         if len(seq) < cfg.min_raw_len:
             short_reads.append((read_id, seq))
             continue
+        todo.append((read_id, seq))
 
-        raw_hits = sorted([i for i in ctx.aligner.map(seq) if i.is_primary],
+    raw_maps = _map_many(ctx, [seq for _, seq in todo])
+
+    # geometry gate (1-hit / 2-hit chimera checks) -> which reads need the
+    # rotation loop, and the head/tail context their junction checks use
+    pending = []        # (read_id, seq, raw_hits, head_tail or None)
+    for (read_id, seq), hits in zip(todo, raw_maps):
+        raw_hits = sorted([i for i in hits if i.is_primary],
                           key=lambda x: [x.q_st, x.q_en])
-        if len(raw_hits) == 0:
-            continue
-        elif len(raw_hits) == 1:
+        if len(raw_hits) == 1:
             raw_hit = remove_long_insert(raw_hits[0])
             if raw_hit.mlen < len(seq) * .45 or raw_hit.mlen > len(seq) - 50:
                 continue
             if raw_hit.q_st < 50 and raw_hit.q_en > len(seq) - 50:
                 continue
-            circ, junc = find_bsj(ctx, seq)
-            if junc is None:
-                continue
+            # the circ-vs-raw mlen comparison below uses the PRISTINE hits
+            # (reference find_bsj.py:553 reads raw_hits, not the split)
+            pending.append((read_id, seq, raw_hits, None))
         elif len(raw_hits) == 2:
-            head, tail = remove_long_insert(raw_hits[0]), remove_long_insert(raw_hits[1])
+            head, tail = remove_long_insert(raw_hits[0]), \
+                remove_long_insert(raw_hits[1])
             if head.ctg != tail.ctg:
                 continue
             if not head.q_st + head.mlen * 0.45 < tail.q_st:
@@ -576,13 +762,21 @@ def scan_raw_chunk(ctx, chunk, is_canonical, circ_reads, cfg=DEFAULT.call):
                 continue
             if head.q_en < tail.q_st - 50:
                 continue
-            circ, junc = find_bsj(ctx, seq)
-            if junc is None or junc < head.q_en - 10 or junc > tail.q_st + 10:
-                continue
-        else:
-            continue
+            pending.append((read_id, seq, raw_hits, (head, tail)))
 
-        circ_hits = sorted([remove_long_insert(i) for i in ctx.aligner.map(circ)
+    bsj = find_bsj_batch(ctx, [seq for _, seq, _, _ in pending])
+    bsj = _final_circ_hits(ctx, bsj)
+
+    for (read_id, seq, raw_hits, head_tail), (circ, junc, circ_maps) \
+            in zip(pending, bsj):
+        if junc is None:
+            continue
+        if head_tail is not None:
+            head, tail = head_tail
+            if junc < head.q_en - 10 or junc > tail.q_st + 10:
+                continue
+
+        circ_hits = sorted([remove_long_insert(i) for i in circ_maps
                             if i.is_primary], key=lambda x: [x.q_st, x.q_en])
         if len(circ_hits) == 0:
             continue

@@ -1,10 +1,10 @@
 """Cross-path determinism fuzz: GenomeAligner.map() vs map_batch() on the
 same reads (VERDICT round-1 weak #6).
 
-The production scan batches the two filter maps only when a chunk reaches
-BATCH_MAP_MIN reads (pipeline/find_bsj.py), so a chunk-size change flips
-which code path runs.  This fuzz pins the guarantee: for every read, both
-paths must return identical hits (coords, cigar, mlen/blen, primary
+The production scan runs every alignment through _map_many, which picks
+map_batch for multi-read lists and map() for singletons, so list-size
+changes flip which code path runs.  This fuzz pins the guarantee: for
+every read, both paths must return identical hits (coords, cigar, mlen/blen, primary
 flags) -- chain scores may differ in float32 rounding, so the score field
 itself is excluded from the comparison.
 """
@@ -77,8 +77,8 @@ def test_map_vs_map_batch_identical(toy, rng, batch):
 
 
 def test_map_batch_chunk_size_invariance(toy, rng):
-    """The same read set split into different batch sizes (straddling the
-    production BATCH_MAP_MIN=32) yields identical hits for every read."""
+    """The same read set split into different batch sizes yields
+    identical hits for every read."""
     genome, aligner = toy
     reads = _reads(rng, genome, 40)
     whole = [[_hit_key(h) for h in hits]

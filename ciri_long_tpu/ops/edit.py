@@ -69,7 +69,12 @@ def _bucket(n):
 def edit_distance_batch(a, b, alen=None, blen=None):
     """Host-friendly wrapper: numpy in, numpy out.  Batch and length
     dimensions are padded onto a bucket ladder so varying cluster sizes
-    reuse a bounded set of compiled shapes."""
+    reuse a bounded set of compiled shapes.
+
+    On the CPU backend the distances come from the native Myers blockwise
+    bit-parallel core (native/alncore.cpp) over the real lengths --
+    bit-identical (tests/test_alncore.py) and ~two orders of magnitude
+    faster than the XLA-on-CPU scan."""
     a = np.asarray(a)
     b = np.asarray(b)
     B = a.shape[0]
@@ -77,6 +82,16 @@ def edit_distance_batch(a, b, alen=None, blen=None):
         alen = np.full(B, a.shape[1], np.int32)
     if blen is None:
         blen = np.full(B, b.shape[1], np.int32)
+
+    from ciri_long_tpu.ops.sw import _alncore, _on_tpu
+    core = _alncore()
+    if core is not None and not _on_tpu():
+        ac = np.ascontiguousarray(a, np.int8)
+        bc = np.ascontiguousarray(b, np.int8)
+        return np.frombuffer(core.edit_many(
+            ac, bc, B, ac.shape[1], bc.shape[1],
+            np.ascontiguousarray(alen, np.int32),
+            np.ascontiguousarray(blen, np.int32)), np.int32).copy()
 
     Bp = _bucket(B)
     La = _bucket(a.shape[1])

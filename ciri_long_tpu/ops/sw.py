@@ -176,6 +176,28 @@ def _sw_align_fused(query, ref, params: SWParams):
             jnp.where(none, -1, r_begin), r_end)
 
 
+_ALNCORE = None
+
+
+def _alncore():
+    global _ALNCORE
+    if _ALNCORE is None:
+        try:
+            from ciri_long_tpu import _alncore as core
+            _ALNCORE = core
+        except ImportError:
+            _ALNCORE = False
+    return _ALNCORE or None
+
+
+def _real_lens(arr):
+    """Per-row real length of PAD(5)-suffixed code arrays."""
+    is_pad = arr == 5
+    lens = np.where(is_pad.any(axis=1),
+                    np.argmax(is_pad, axis=1), arr.shape[1])
+    return lens.astype(np.int32)
+
+
 def sw_align_batch(query, ref, params: SWParams) -> SWResult:
     """Batched SW with begin *and* end coordinates.
 
@@ -185,7 +207,29 @@ def sw_align_batch(query, ref, params: SWParams) -> SWResult:
     happen as one gather on device, and both passes run in one dispatch.
 
     Inputs are [B, Lq] / [B, Lr] padded arrays (np or jnp).
+
+    On the CPU backend the same math runs through the native C++ core
+    (native/alncore.cpp) over the real (unpadded) lengths -- bit-identical
+    outputs (tests/test_alncore.py), ~padding-factor faster.
     """
+    core = _alncore()
+    if core is not None and not _on_tpu():
+        assert params.gap_open >= params.gap_extend
+        q = np.ascontiguousarray(np.asarray(query, np.int8))
+        r = np.ascontiguousarray(np.asarray(ref, np.int8))
+        B = q.shape[0]
+        out = np.frombuffer(core.sw_align_many(
+            q, r, B, q.shape[1], r.shape[1],
+            np.ascontiguousarray(_real_lens(q)),
+            np.ascontiguousarray(_real_lens(r)),
+            params.match, params.mismatch, params.gap_open,
+            params.gap_extend), np.int32).reshape(B, 5)
+        return SWResult(score=out[:, 0].copy(),
+                        query_begin=out[:, 1].copy(),
+                        query_end=out[:, 2].copy(),
+                        ref_begin=out[:, 3].copy(),
+                        ref_end=out[:, 4].copy())
+
     score, q_begin, q_end, r_begin, r_end = _sw_align_fused(
         jnp.asarray(query), jnp.asarray(ref), params)
     return SWResult(

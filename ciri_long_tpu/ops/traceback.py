@@ -17,6 +17,11 @@ from typing import List, Tuple
 
 import numpy as np
 
+try:
+    from ciri_long_tpu import _alncore as _NATIVE
+except ImportError:
+    _NATIVE = None
+
 NEG = -(1 << 28)
 
 
@@ -40,6 +45,18 @@ def sw_traceback(q: np.ndarray, r: np.ndarray, match=1, mismatch=1,
     soft-clips included).
     Returns None when no positive-scoring cell exists.
     """
+    if _NATIVE is not None:
+        ret = _NATIVE.sw_traceback(
+            np.ascontiguousarray(np.asarray(q, np.int8)),
+            np.ascontiguousarray(np.asarray(r, np.int8)),
+            match, mismatch, gap_open, gap_extend)
+        if ret is None:
+            return None
+        score, qb, qe, rb, re_, cig = ret
+        packed = np.frombuffer(cig, np.uint32)
+        cigar = [(int(x) >> 4, int(x) & 0xF) for x in packed]
+        return score, qb, qe, rb, re_, cigar
+
     q = np.asarray(q, np.int32)
     r = np.asarray(r, np.int32)
     n, m = len(q), len(r)

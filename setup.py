@@ -21,6 +21,12 @@ nwcore = Extension(
     extra_compile_args=['-O3', '-std=c++17'],
 )
 
+alncore = Extension(
+    'ciri_long_tpu._alncore',
+    sources=['native/alncore.cpp'],
+    extra_compile_args=['-O3', '-std=c++17'],
+)
+
 poacore = Extension(
     'ciri_long_tpu._poacore',
     sources=['native/poacore.cpp'],
@@ -32,7 +38,7 @@ setup(
     version=__version__,
     description='TPU-native circular RNA identification from Nanopore long reads',
     packages=find_packages(include=['ciri_long_tpu', 'ciri_long_tpu.*']),
-    ext_modules=[fastxcodec, chaincore, nwcore, poacore],
+    ext_modules=[fastxcodec, chaincore, nwcore, poacore, alncore],
     python_requires='>=3.10',
     install_requires=[
         'jax',

@@ -129,10 +129,20 @@ def call(args):
     with timer.stage('scan_ccs', items=len(ccs_seq)):
         ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx)
         idx_file = out_dir + '/tmp/ss.idx'
-        tmp_cnt, short_seq = scan_ccs_reads(
-            ctx, ccs_seq, is_canonical, out_dir, prefix,
-            threads=args.threads, ref_fasta=ref_fasta,
-            idx_file=idx_file if os.path.exists(idx_file) else None)
+        if getattr(args, 'dist', None) == 'mesh':
+            # device-mesh data parallelism: reads sharded over the
+            # 'reads' axis, candidates merged with one all_gather
+            # (parallel/cohort.py); byte-identical to the pool path
+            from ciri_long_tpu.parallel.cohort import scan_ccs_sharded
+            from ciri_long_tpu.parallel.mesh import make_mesh
+            tmp_cnt, short_seq = scan_ccs_sharded(
+                make_mesh(lag_parallel=1), ctx, ccs_seq, is_canonical,
+                out_dir, prefix)
+        else:
+            tmp_cnt, short_seq = scan_ccs_reads(
+                ctx, ccs_seq, is_canonical, out_dir, prefix,
+                threads=args.threads, ref_fasta=ref_fasta,
+                idx_file=idx_file if os.path.exists(idx_file) else None)
     for key, value in tmp_cnt.items():
         reads_count[key] += value
 
@@ -290,6 +300,11 @@ def main():
     call_parser.add_argument('--debug', dest='debug', default=False,
                              action='store_true',
                              help='Run in debugging mode, (default: %(default)s)')
+    call_parser.add_argument('--dist', dest='dist', default=None,
+                             choices=['mesh'],
+                             help='Distribute the scan over the jax device '
+                                  'mesh (all_gather candidate merge) '
+                                  'instead of host worker pools')
     call_parser.add_argument('--backend', dest='backend', default=None,
                              choices=['cpu'],
                              help='Force the CPU jax backend (skip any '

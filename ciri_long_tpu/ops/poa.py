@@ -291,6 +291,162 @@ def _consensus(g: _Graph) -> np.ndarray:
     return np.array([g.base[v] for v in path], np.int8)
 
 
+def _flatten_graph(g: _Graph, pmax: int):
+    """Rank-space arrays for the device kernel (ops/poa_batch.py).
+
+    Returns (order, bases_u8, preds_i32[V, pmax], npred_i32[V]) or None
+    when some node's in-degree exceeds pmax (caller falls back to the
+    native core for that alignment).
+    """
+    order = g.topo_order()
+    rank = {v: i for i, v in enumerate(order)}
+    V = len(order)
+    bases = np.zeros(V, np.int32)
+    preds = np.zeros((V, pmax), np.int32)
+    npred = np.ones(V, np.int32)          # empty lists normalise to [0]
+    for i, v in enumerate(order):
+        bases[i] = g.base[v]
+        ps = g.in_edges[v]
+        if len(ps) > pmax:
+            return None
+        if ps:
+            npred[i] = len(ps)
+            for k, p in enumerate(ps):
+                preds[i, k] = rank[p] + 1
+    return order, bases, preds, npred
+
+
+_POA_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+_POA_PMAX = 8
+# per-call device memory budget: B * (V+1) * (n+1) * ~14 B (H/F1/F2 i32 +
+# case/pidx i8) must stay well under HBM
+_POA_MEM_BUDGET = 1 << 30
+
+
+def _poa_bucket(n):
+    for b in _POA_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
+                       o1: int = -8, e1: int = -2, o2: int = -24,
+                       e2: int = -1, use_device: Optional[bool] = None):
+    """A batch of independent ``poa(seqs)`` calls, byte-identical results.
+
+    On the device path the per-job sequential fuse order is preserved, but
+    alignment round k of every job runs as ONE batched device dispatch
+    (ops/poa_batch.py), with graph fuse + consensus on host.  Jobs whose
+    graph in-degree exceeds the kernel's predecessor budget fall back to
+    the native core for that alignment only.
+
+    use_device: None = auto (device on non-CPU backends or when
+    CIRI_DEVICE_POA is truthy); False = sequential host/native path.
+    """
+    import os
+
+    if use_device is None:
+        flag = os.environ.get('CIRI_DEVICE_POA')
+        if flag is not None:
+            use_device = flag not in ('0', 'false', '')
+        else:
+            try:
+                import jax
+                use_device = jax.default_backend() != 'cpu'
+            except Exception:
+                use_device = False
+    if not use_device:
+        return [poa(seqs, 2, False, m, x, o1, e1, o2, e2)[0]
+                for seqs in jobs]
+
+    from ciri_long_tpu.ops.poa_batch import poa_align_batch
+
+    scores = (m, x, o1, e1, o2, e2)
+    as_str = [bool(seqs) and isinstance(seqs[0], str) for seqs in jobs]
+    queues = [[encode_seq(s) if isinstance(s, str) else np.asarray(s, np.int8)
+               for s in seqs if len(s) > 0] for seqs in jobs]
+    graphs: List[Optional[_Graph]] = [None] * len(jobs)
+    cursor = [0] * len(jobs)
+
+    # backbone init from each job's first sequence (poa() behaviour)
+    for t, q in enumerate(queues):
+        if not q:
+            continue
+        g = _Graph()
+        prev = None
+        for b in q[0]:
+            cur = g.new_node(int(b))
+            g.support[cur] += 1
+            if prev is not None:
+                g.add_edge(prev, cur)
+            prev = cur
+        graphs[t] = g
+        cursor[t] = 1
+
+    while True:
+        pending = [t for t in range(len(jobs))
+                   if graphs[t] is not None and cursor[t] < len(queues[t])]
+        if not pending:
+            break
+        # flatten every pending graph; overflow -> native this round
+        groups: dict = {}
+        for t in pending:
+            seq = queues[t][cursor[t]]
+            flat = _flatten_graph(graphs[t], _POA_PMAX)
+            if flat is None:
+                _, aln = _align_to_graph(graphs[t], seq, m, x, o1, e1, o2, e2)
+                _fuse(graphs[t], seq, aln)
+                cursor[t] += 1
+                continue
+            order, bases, preds, npred = flat
+            vb = _poa_bucket(len(order))
+            nb = _poa_bucket(len(seq))
+            groups.setdefault((vb, nb), []).append(
+                (t, order, bases, preds, npred, seq))
+
+        for (vb, nb), items in groups.items():
+            per_job = (vb + 1) * (nb + 1) * 14
+            bmax = max(1, _POA_MEM_BUDGET // per_job)
+            for lo in range(0, len(items), bmax):
+                part = items[lo:lo + bmax]
+                B = len(part)
+                bases_a = np.zeros((B, vb), np.int32)
+                nv_a = np.zeros(B, np.int32)
+                preds_a = np.zeros((B, vb, _POA_PMAX), np.int32)
+                npred_a = np.ones((B, vb), np.int32)
+                seqs_a = np.full((B, nb), 5, np.int32)
+                ns_a = np.zeros(B, np.int32)
+                for bi, (t, order, bases, preds, npred, seq) in enumerate(part):
+                    V, n = len(order), len(seq)
+                    bases_a[bi, :V] = bases
+                    nv_a[bi] = V
+                    preds_a[bi, :V] = preds
+                    npred_a[bi, :V] = npred
+                    seqs_a[bi, :n] = seq
+                    ns_a[bi] = n
+                _, aln_a, acnt_a = poa_align_batch(
+                    bases_a, nv_a, preds_a, npred_a, seqs_a, ns_a, scores)
+                cap = aln_a.shape[1]
+                for bi, (t, order, bases, preds, npred, seq) in enumerate(part):
+                    pairs = aln_a[bi, cap - int(acnt_a[bi]):]
+                    aln = [(order[r] if r >= 0 else None,
+                            int(p) if p >= 0 else None) for r, p in pairs]
+                    _fuse(graphs[t], seq, aln)
+                    cursor[t] += 1
+
+    out = []
+    for t, g in enumerate(graphs):
+        if g is None:
+            # no non-empty sequence ever fused: match poa()'s empty result
+            out.append("" if (not jobs[t] or as_str[t])
+                       else np.zeros(0, np.int8))
+            continue
+        cons = _consensus(g)
+        out.append(decode_seq(cons) if as_str[t] else cons)
+    return out
+
+
 def poa(seqs: Sequence, algorithm: int = 2, genmsa: bool = False,
         m: int = 10, x: int = -4, o1: int = -8, e1: int = -2,
         o2: int = -24, e2: int = -1):

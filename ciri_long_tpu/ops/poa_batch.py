@@ -1,0 +1,221 @@
+"""Batched device POA: sequence-to-graph alignment on the TPU.
+
+The spoa role (reference collapse.py:267,504) is served by ops/poa.py's
+graph POA; its hot inner loop -- one two-piece affine sequence-to-graph
+DP per fused sequence -- runs here as a fixed-shape jitted program so a
+whole round of independent alignments (one per active cluster job, see
+ops/poa.py::poa_consensus_many) is a single device dispatch.
+
+Semantics are bit-identical to native/poacore.cpp (and the numpy twin in
+ops/poa.py::_align_to_graph): same two-piece ("convex") gap model with
+the within-row prefix-max E resolution, same free-overhang (kOV)
+boundaries, and the same traceback tie order -- stored E first, then M
+with predecessors tried in caller order before the virtual source, then
+F, else stop.  The traceback itself also runs on device: the DP records
+2-plane direction codes (case + predecessor index), and a while_loop
+walks them, so only the O(V+n) alignment path crosses back to the host
+-- never the DP matrices (critical over a remote-dispatch link).
+
+Graph layout per job (rank space, produced by ops/poa.py::_flatten_graph):
+  bases[V]      node base codes in topological order
+  preds[V, P]   predecessor DP-row indices (rank+1; row 0 = source);
+                empty predecessor lists are normalised to [0] (the C++
+                core substitutes the source row in that case)
+  npred[V]      live predecessor count (>= 1 after normalisation)
+Jobs whose in-degree exceeds P fall back to the native core for that
+alignment (ops/poa.py handles the dispatch).
+"""
+
+import numpy as np
+
+NEG = -(1 << 28)
+
+# traceback case codes
+STOP, GAPSEQ, MATCH, GAPGRAPH = 0, 1, 2, 3
+
+
+def _align_one(bases, nv, preds, npred, seq, n, scores):
+    """Single-job DP + direction planes + device traceback.
+
+    Shapes: bases[Vmax] i32, preds[Vmax, P] i32, npred[Vmax] i32,
+    seq[Wmax-1] i32; nv/n scalars.  Returns (score, aln[CAP, 2], acnt)
+    with aln pairs (rank|-1, pos|-1) packed at the END of the buffer in
+    forward alignment order (host slices aln[CAP-acnt:]).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    m, x, o1, e1, o2, e2 = scores
+    Vmax, P = preds.shape
+    W = seq.shape[0] + 1
+    CAP = Vmax + W
+
+    jj = jnp.arange(W, dtype=jnp.int32)
+
+    # Row 0 = virtual source: seq prefix as one two-piece gap
+    # (poacore.cpp:57-62).
+    h0 = jnp.maximum(o1 + (jj - 1) * e1, o2 + (jj - 1) * e2).at[0].set(0)
+    H = jnp.full((Vmax + 1, W), NEG, jnp.int32).at[0].set(h0)
+    F1 = jnp.full((Vmax + 1, W), NEG, jnp.int32)
+    F2 = jnp.full((Vmax + 1, W), NEG, jnp.int32)
+    case = jnp.zeros((Vmax + 1, W), jnp.int8)
+    pidx = jnp.zeros((Vmax + 1, W), jnp.int8)
+
+    kidx = jnp.arange(P, dtype=jnp.int32)
+
+    def row(i, carry):
+        H, F1, F2, case, pidx = carry
+        b = bases[i - 1]
+        np_i = npred[i - 1]
+        pr = preds[i - 1]                       # [P] row indices
+        kmask = kidx < np_i                     # [P]
+
+        Hp = jnp.where(kmask[:, None], H[pr], NEG)      # [P, W]
+        F1g = jnp.where(kmask[:, None], F1[pr], NEG)
+        F2g = jnp.where(kmask[:, None], F2[pr], NEG)
+
+        hmax = Hp.max(axis=0)
+        F1p = jnp.maximum(F1g.max(axis=0) + e1, hmax + o1)
+        F2p = jnp.maximum(F2g.max(axis=0) + e2, hmax + o2)
+
+        # M over preds then source (poacore.cpp:89-98; try-order preserved
+        # for the first-tie argmax below).
+        Hm_all = jnp.concatenate([Hp, H[0][None]], axis=0)   # [P+1, W]
+        hp_prev = Hm_all[:, :-1]                             # [P+1, W-1]
+        s = jnp.where(seq == b, m, x).astype(jnp.int32)
+        Mrow = jnp.concatenate(
+            [jnp.array([NEG], jnp.int32), hp_prev.max(axis=0) + s])
+        pidxM = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.argmax(hp_prev, axis=0).astype(jnp.int32)])
+
+        Hpre = jnp.maximum(Mrow, jnp.maximum(F1p, F2p))
+        Hpre = Hpre.at[0].max(0)                 # free leading overhang
+
+        # E via the prefix-max affine identity (poacore.cpp:105-119).
+        c1 = lax.associative_scan(jnp.maximum, Hpre - jj * e1)
+        c2 = lax.associative_scan(jnp.maximum, Hpre - jj * e2)
+        E1r = jnp.concatenate(
+            [jnp.array([NEG], jnp.int32),
+             c1[:-1] + o1 + (jj[1:] - 1) * e1])
+        E2r = jnp.concatenate(
+            [jnp.array([NEG], jnp.int32),
+             c2[:-1] + o2 + (jj[1:] - 1) * e2])
+
+        Hrow = jnp.maximum(Hpre, jnp.maximum(E1r, E2r))
+
+        # Traceback case priority mirrors poacore.cpp:132-183: stored E
+        # first, then M, then F per-pred, else stop.
+        isE = (Hrow == E1r) | (Hrow == E2r)
+        isM = Hrow == Mrow
+        valk = jnp.maximum(
+            jnp.maximum(F1g + e1, Hp + o1),
+            jnp.maximum(F2g + e2, Hp + o2))          # [P, W]
+        hitk = valk == Hrow[None, :]
+        anyF = hitk.any(axis=0)
+        pidxF = jnp.argmax(hitk, axis=0).astype(jnp.int32)
+        isF = ((Hrow == F1p) | (Hrow == F2p)) & anyF
+
+        crow = jnp.where(
+            isE, GAPSEQ,
+            jnp.where(isM, MATCH, jnp.where(isF, GAPGRAPH, STOP)))
+        prow = jnp.where(isM & ~isE, pidxM, pidxF)
+
+        live = i <= nv
+        H = H.at[i].set(jnp.where(live, Hrow, NEG))
+        F1 = F1.at[i].set(jnp.where(live, F1p, NEG))
+        F2 = F2.at[i].set(jnp.where(live, F2p, NEG))
+        case = case.at[i].set(jnp.where(live, crow, STOP).astype(jnp.int8))
+        pidx = pidx.at[i].set(jnp.where(live, prow, 0).astype(jnp.int8))
+        return H, F1, F2, case, pidx
+
+    H, F1, F2, case, pidx = lax.fori_loop(
+        1, Vmax + 1, row, (H, F1, F2, case, pidx))
+
+    # Free trailing overhang: best H[., n], first max (poacore.cpp:125-130).
+    Hcol = lax.dynamic_index_in_dim(H, n, axis=1, keepdims=False)
+    end_rank = jnp.argmax(Hcol).astype(jnp.int32)
+    score = Hcol[end_rank]
+
+    # Traceback walk over the stored planes.  Pairs are written from the
+    # end of the buffer backwards, leaving forward alignment order.
+    aln0 = jnp.full((CAP, 2), -2, jnp.int32)
+
+    def tb_cond(st):
+        _, j, _, _, _ = st
+        return j > 0
+
+    def tb_body(st):
+        i, j, t, stopped, aln = st
+        c = case[i, j].astype(jnp.int32)
+        k = pidx[i, j].astype(jnp.int32)
+        flush = stopped | (i == 0)
+        c = jnp.where(flush, GAPSEQ, c)
+
+        is_stop = c == STOP
+        is_seq = c == GAPSEQ
+        is_match = c == MATCH
+
+        np_i = npred[jnp.maximum(i - 1, 0)]
+        pred_k = preds[jnp.maximum(i - 1, 0), jnp.minimum(k, preds.shape[1] - 1)]
+        # MATCH pred slot np_i == virtual source (row 0)
+        pr_match = jnp.where(k < np_i, pred_k, 0)
+
+        pair = jnp.where(
+            is_seq,
+            jnp.stack([jnp.int32(-1), j - 1]),
+            jnp.where(
+                is_match,
+                jnp.stack([i - 1, j - 1]),
+                jnp.stack([i - 1, jnp.int32(-1)])))   # GAPGRAPH
+        ni = jnp.where(is_seq, i, jnp.where(is_match, pr_match, pred_k))
+        nj = jnp.where(is_match | is_seq, j - 1, j)
+
+        emit = ~is_stop
+        aln = lax.cond(
+            emit,
+            lambda a: lax.dynamic_update_slice(a, pair[None, :],
+                                               (CAP - 1 - t, 0)),
+            lambda a: a, aln)
+        return (jnp.where(is_stop, i, ni),
+                jnp.where(is_stop, j, nj),
+                t + jnp.where(emit, 1, 0),
+                stopped | is_stop,
+                aln)
+
+    _, _, acnt, _, aln = lax.while_loop(
+        tb_cond, tb_body, (end_rank, n, jnp.int32(0), False, aln0))
+    return score, aln, acnt
+
+
+def _build_batch_fn(scores):
+    import jax
+
+    def fn(bases, nv, preds, npred, seqs, ns):
+        return jax.vmap(
+            lambda b, v, p, q, s, n: _align_one(b, v, p, q, s, n, scores)
+        )(bases, nv, preds, npred, seqs, ns)
+
+    return jax.jit(fn)
+
+
+_FN_CACHE = {}
+
+
+def poa_align_batch(bases, nv, preds, npred, seqs, ns, scores):
+    """Batched graph alignments, one device dispatch.
+
+    bases[B, Vmax] i32, nv[B] i32, preds[B, Vmax, P] i32,
+    npred[B, Vmax] i32, seqs[B, Wmax-1] i32, ns[B] i32;
+    scores = (m, x, o1, e1, o2, e2) Python ints (static).
+
+    Returns host numpy (score[B], aln[B, CAP, 2], acnt[B]).
+    """
+    key = (bases.shape, preds.shape, seqs.shape, tuple(scores))
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = _build_batch_fn(tuple(int(v) for v in scores))
+        _FN_CACHE[key] = fn
+    score, aln, acnt = fn(bases, nv, preds, npred, seqs, ns)
+    return (np.asarray(score), np.asarray(aln), np.asarray(acnt))

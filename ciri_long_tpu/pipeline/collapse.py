@@ -37,7 +37,7 @@ from ciri_long_tpu.annot.signal import (equivalent_seq, find_annotated_signal,
 from ciri_long_tpu.config import DEFAULT, JUNC_SCORE
 from ciri_long_tpu.models.hits import find_alignment_pos
 from ciri_long_tpu.ops.edit import edit_distance, edit_distance_batch
-from ciri_long_tpu.ops.poa import poa
+from ciri_long_tpu.ops.poa import poa, poa_consensus_many
 from ciri_long_tpu.ops.sw import SWParams, sw_align_batch
 from ciri_long_tpu.ops.traceback import cigar_to_string, sw_traceback
 from ciri_long_tpu.utils.logger import ProgressBar
@@ -621,15 +621,24 @@ def cluster_sequence(hpc_freq, sequence, cfg=DEFAULT.collapse):
             else:
                 clusters.append([j])
 
+    # multi-read sub-clusters run as ONE batched POA: on the TPU backend
+    # each lockstep alignment round is a single device dispatch
+    # (ops/poa_batch.py); on CPU it falls back to the sequential native
+    # path -- byte-identical either way (tests/test_poa_batch.py)
+    jobs = []
+    slots = []
     ccs_seq = []
     for cluster in clusters:
         if len(cluster) == 1:
             ccs_seq.append(hpc_freq[cluster[0]])
             continue
         cluster_reads = flatten([hpc_freq[i][1] for i in cluster])
-        cluster_seqs = [sequence[i] for i in cluster_reads]
-        ccs, _ = poa(cluster_seqs, 2, False, 10, -4, -8, -2, -24, -1)
-        ccs_seq.append((ccs, cluster_reads))
+        jobs.append([sequence[i] for i in cluster_reads])
+        slots.append(len(ccs_seq))
+        ccs_seq.append((None, cluster_reads))
+    if jobs:
+        for slot, ccs in zip(slots, poa_consensus_many(jobs)):
+            ccs_seq[slot] = (ccs, ccs_seq[slot][1])
     return ccs_seq
 
 

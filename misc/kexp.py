@@ -155,7 +155,8 @@ def build_kernel_r3(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
 
 
 def build_kernel(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
-                 gap_open, gap_extend, nomask7, packbest, tworow):
+                 gap_open, gap_extend, nomask7, packbest, tworow,
+                 levels=None):
     def _shift_right(x, is_lane0, fill):
         rolled = pltpu.roll(x, 1, axis=1)
         return jnp.where(is_lane0, fill, rolled)
@@ -199,6 +200,17 @@ def build_kernel(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
                 k *= 2
 
         def cummax(x):
+            if levels is not None:
+                # TIMING-ONLY variant: truncate the prefix scan to the
+                # first `levels` log-shift levels (bounds gap propagation
+                # to 2^levels lanes; results inexact) -- used to measure
+                # how roll-bound the kernel is for the SOL analysis
+                k = 1
+                for m in masks[:levels]:
+                    sh = pltpu.roll(x, k, axis=1)
+                    x = jnp.maximum(x, jnp.where(m, sh, NEG))
+                    k *= 2
+                return x
             if nomask7:
                 k = 1
                 while k < 128:
@@ -336,7 +348,8 @@ def make_call(args, params):
                 jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrp=LrP,
                 match=match, mismatch=mismatch, gap_open=gap_open,
                 gap_extend=gap_extend, nomask7=args.nomask7,
-                packbest=args.packbest, tworow=args.tworow)
+                packbest=args.packbest, tworow=args.tworow,
+                levels=args.levels)
             st = (btile, LrP)
 
         scratch = [
@@ -388,6 +401,7 @@ def main():
     ap.add_argument("--Lr", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--skipcheck", action="store_true")
+    ap.add_argument("--levels", type=int, default=None)
     args = ap.parse_args()
 
     import jax

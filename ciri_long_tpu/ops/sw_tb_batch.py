@@ -1,0 +1,288 @@
+"""Batched device Smith-Waterman WITH traceback (VERDICT r1 item 7).
+
+Replaces the per-read host re-DP of ops/traceback.py::sw_traceback on the
+collapse hot path (reference analog: the banded_sw traceback pass,
+ssw.c:548-735, that SSW re-runs on CPU after its SIMD score pass).  The
+collapse rotation step aligns every full-length cluster read (doubled)
+against a ~50 bp junction window (reference collapse.py:373-382); here a
+whole cluster of those alignments is ONE device dispatch.
+
+Orientation: the DP is TRANSPOSED vs the host implementation -- rows
+iterate the short junction reference (M <= ~64 sequential `fori_loop`
+steps) while the long read lies along the vectorised lane axis.  With a
+symmetric substitution matrix the H/E/F values coincide with the host
+orientation exactly (the prefix-max affine identity is exact for
+gap_open >= gap_extend, the only regime the pipeline uses -- ops/sw.py),
+so per-cell direction codes can be emitted in HOST semantics:
+
+  bits 0-1  case: 0=STOP (H==0 or no producer), 1=M (diag), 2=E (gap
+            consuming reference), 3=F (gap consuming query) -- priority
+            STOP > M > E > F, the host's traceback order
+  bit 2     E-stay: E[i,j]==E[i,j-1]-ge and E[i,j]!=H[i,j-1]-go
+  bit 3     F-stay: F[i,j]==F[i-1,j]-ge and F[i,j]!=H[i-1,j]-go
+
+The traceback walks these codes on device in a while_loop (state machine
+identical to ops/traceback.py::sw_traceback lines 106-133), so only the
+O(path) op string crosses back to the host -- never a DP matrix
+(critical over the remote-dispatch link).  End-cell tie-break matches the
+host lexsort: maximum score, then smallest reference end, then smallest
+query end.  Byte-identical outputs are fuzz-verified in
+tests/test_tb_batch.py.
+"""
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+NEG = -(1 << 28)
+
+STOP, CM, CE, CF = 0, 1, 2, 3
+
+
+def _align_one(q, r, n, m, scores):
+    """Single-job transposed DP + code planes + device traceback.
+
+    q[W] i32 (codes 0..5, PAD=5 self-masks via NEG substitution),
+    r[M] i32, n/m real lengths (scalars).  Returns
+    (score, q_begin, q_end, r_begin, r_end, ops[CAP], ocnt) with ops
+    packed at the END of the buffer in forward order (host slices
+    ops[CAP-ocnt:]) and coordinates 0-based inclusive, matching
+    ops/traceback.py::sw_traceback.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    match, mismatch, go, ge = scores
+    W = q.shape[0]
+    M = r.shape[0]
+    CAP = W + M + 8
+
+    S = np.full((6, 6), -mismatch, np.int32)
+    np.fill_diagonal(S, match)
+    S[4, :] = 0
+    S[:, 4] = 0
+    S[5, :] = NEG
+    S[:, 5] = NEG
+    S = jnp.asarray(S)
+
+    uu = jnp.arange(W + 1, dtype=jnp.int32)
+
+    # carries: previous row's H (= H_A[:, t-1] over query axis), vert
+    # (= E_A), and hA (= max(diag, F, 0), the E-chain origin which
+    # excludes E itself -- host recurrence E[i,j]=max(E[i,j-1]-ge,
+    # h[i,j-1]-go))
+    H0 = jnp.zeros(W + 1, jnp.int32)           # H_A[i, 0] = 0
+    v0 = jnp.full(W + 1, NEG, jnp.int32)       # E_A[i, 0] = NEG
+    a0 = jnp.full(W + 1, NEG, jnp.int32)       # h_A[i, 0] undefined
+    codes0 = jnp.zeros((M + 1, W + 1), jnp.int8)
+    best0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0))  # score, t, u
+
+    def row(t, carry):
+        Hp, vp, ap, codes, best = carry
+        rb = r[t - 1]
+        s = S[rb, q]                                   # [W]
+        diag = jnp.concatenate(
+            [jnp.array([NEG], jnp.int32), Hp[:-1] + s])  # [W+1]
+        vert = jnp.maximum(vp - ge, ap - go)           # E_A[., t]
+        g = jnp.maximum(jnp.maximum(diag, vert), 0).at[0].set(0)
+        # horiz (= F_A) via the prefix-max identity over the query axis
+        p = lax.associative_scan(jnp.maximum, g + uu * ge)
+        horiz = jnp.concatenate(
+            [jnp.array([NEG], jnp.int32),
+             p[:-1] - go - (uu[1:] - 1) * ge])
+        Hrow = jnp.maximum(g, horiz)
+
+        Hleft = jnp.concatenate([jnp.array([0], jnp.int32), Hrow[:-1]])
+        horizleft = jnp.concatenate(
+            [jnp.array([NEG], jnp.int32), horiz[:-1]])
+
+        isM = Hrow == diag
+        isE = Hrow == vert
+        isF = Hrow == horiz
+        case = jnp.where(
+            Hrow == 0, STOP,
+            jnp.where(isM, CM, jnp.where(isE, CE, jnp.where(isF, CF, STOP))))
+        estay = (t > 1) & (vert == vp - ge) & (vert != Hp - go)
+        fstay = (uu > 1) & (horiz == horizleft - ge) & (horiz != Hleft - go)
+        crow = (case + (estay.astype(jnp.int32) << 2)
+                + (fstay.astype(jnp.int32) << 3)).astype(jnp.int8)
+
+        live = t <= m
+        codes = codes.at[t].set(jnp.where(live, crow, jnp.int8(0)))
+
+        # end-cell tracking: strict > keeps smallest ref end t, first
+        # argmax keeps smallest query end u (the host lexsort order)
+        rmax = Hrow.max()
+        uarg = jnp.argmax(Hrow).astype(jnp.int32)
+        bscore, bt, bu = best
+        better = live & (rmax > bscore)
+        best = (jnp.where(better, rmax, bscore),
+                jnp.where(better, t, bt),
+                jnp.where(better, uarg, bu))
+
+        hA = jnp.maximum(jnp.maximum(diag, horiz), 0).at[0].set(NEG)
+        return (jnp.where(live, Hrow, Hp),
+                jnp.where(live, vert, vp),
+                jnp.where(live, hA, ap),
+                codes, best)
+
+    _, _, _, codes, best = lax.fori_loop(
+        1, M + 1, row, (H0, v0, a0, codes0, best0))
+    score, t_end, u_end = best
+
+    # traceback: the host state machine (ops/traceback.py:106-133) over
+    # the stored codes; i = query pos (u), j = ref pos (t)
+    SH, SE, SF = 0, 1, 2
+    ops0 = jnp.zeros(CAP, jnp.int8)
+
+    def tb_cond(st):
+        i, j, _, done, _, _ = st
+        return (i > 0) & (j > 0) & ~done
+
+    def tb_body(st):
+        i, j, state, done, cnt, ops = st
+        c = codes[j, i].astype(jnp.int32)
+        case = c & 3
+        estay = (c >> 2) & 1
+        fstay = (c >> 3) & 1
+
+        in_h = state == SH
+        in_e = state == SE
+
+        # state H transitions
+        h_stop = in_h & (case == STOP)
+        h_m = in_h & (case == CM)
+        h_toe = in_h & (case == CE)
+        h_tof = in_h & (case == CF)
+
+        emit_op = jnp.where(h_m, 1,                  # M
+                            jnp.where(in_e, 3,       # D (ref gap)
+                                      jnp.where(~in_h, 2, 0)))  # I
+        # op codes here: 1=M 2=I 3=D (0 = no emit); host cigar ops are
+        # 0=M 1=I 2=D -- shifted so 0 can mean "empty"
+        emit = emit_op > 0
+
+        ni = jnp.where(h_m, i - 1, jnp.where(in_h | in_e, i, i - 1))
+        nj = jnp.where(h_m, j - 1, jnp.where(in_e, j - 1, j))
+        nstate = jnp.where(
+            h_toe, SE,
+            jnp.where(h_tof, SF,
+                      jnp.where(in_e, jnp.where(estay == 1, SE, SH),
+                                jnp.where(in_h, SH,
+                                          jnp.where(fstay == 1, SF, SH)))))
+        ops = lax.cond(
+            emit,
+            lambda o: o.at[CAP - 1 - cnt].set(emit_op.astype(jnp.int8)),
+            lambda o: o, ops)
+        return (jnp.where(h_stop, i, ni),
+                jnp.where(h_stop, j, nj),
+                nstate, done | h_stop,
+                cnt + jnp.where(emit, 1, 0), ops)
+
+    i0 = u_end
+    j0 = t_end
+    i_fin, j_fin, _, _, ocnt, ops = lax.while_loop(
+        tb_cond, tb_body, (i0, j0, jnp.int32(SH), score <= 0,
+                           jnp.int32(0), ops0))
+    return (score, i_fin, u_end - 1, j_fin, t_end - 1, ops, ocnt)
+
+
+def _build_batch_fn(scores):
+    import jax
+
+    def fn(qs, rs, ns, ms):
+        return jax.vmap(
+            lambda q, r, n, m: _align_one(q, r, n, m, scores)
+        )(qs, rs, ns, ms)
+
+    return jax.jit(fn)
+
+
+def device_tb_enabled() -> bool:
+    """Auto-gate like ops/poa.py::poa_consensus_many: device path on
+    non-CPU backends, or when CIRI_DEVICE_TB is truthy (tests force it on
+    the CPU backend to exercise the kernel)."""
+    import os
+
+    flag = os.environ.get('CIRI_DEVICE_TB')
+    if flag is not None:
+        return flag not in ('0', 'false', '')
+    try:
+        import jax
+        return jax.default_backend() != 'cpu'
+    except Exception:
+        return False
+
+
+_FN_CACHE = {}
+
+_Q_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+# per-call memory: B * (M+1) * (W+1) bytes of codes (+ a few int32 rows)
+_MEM_BUDGET = 1 << 29
+
+
+def _bucket(n):
+    for b in _Q_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+def sw_traceback_batch(qs: Sequence[np.ndarray], rs: Sequence[np.ndarray],
+                       match=1, mismatch=1, gap_open=1, gap_extend=1
+                       ) -> List[Optional[Tuple]]:
+    """Batched drop-in for [sw_traceback(q, r) for q, r in zip(qs, rs)].
+
+    Jobs are grouped by (query bucket, ref bucket) and each group runs as
+    one device dispatch; results are byte-identical to the host
+    implementation (tests/test_tb_batch.py).
+    """
+    from ciri_long_tpu.ops.traceback import sw_traceback
+
+    out: List[Optional[Tuple]] = [None] * len(qs)
+    groups = {}
+    for idx, (q, r) in enumerate(zip(qs, rs)):
+        n, m = len(q), len(r)
+        if n == 0 or m == 0:
+            continue
+        groups.setdefault((_bucket(n), _bucket(m)), []).append(idx)
+
+    scores = (int(match), int(mismatch), int(gap_open), int(gap_extend))
+    for (wb, mb), idxs in groups.items():
+        per_job = (mb + 1) * (wb + 1)
+        bmax = max(1, _MEM_BUDGET // per_job)
+        for lo in range(0, len(idxs), bmax):
+            part = idxs[lo:lo + bmax]
+            B = len(part)
+            qa = np.full((B, wb), 5, np.int32)
+            ra = np.full((B, mb), 5, np.int32)
+            ns = np.zeros(B, np.int32)
+            ms = np.zeros(B, np.int32)
+            for bi, idx in enumerate(part):
+                q, r = qs[idx], rs[idx]
+                qa[bi, :len(q)] = q
+                ra[bi, :len(r)] = r
+                ns[bi] = len(q)
+                ms[bi] = len(r)
+            key = (wb, mb, scores)
+            fn = _FN_CACHE.get(key)
+            if fn is None:
+                fn = _build_batch_fn(scores)
+                _FN_CACHE[key] = fn
+            score, qb, qe, rb, re_, ops, ocnt = (
+                np.asarray(x) for x in fn(qa, ra, ns, ms))
+            cap = ops.shape[1]
+            for bi, idx in enumerate(part):
+                if score[bi] <= 0:
+                    continue
+                path = ops[bi, cap - int(ocnt[bi]):]
+                cigar = []
+                for oc in path:
+                    op = int(oc) - 1          # back to host 0=M 1=I 2=D
+                    if cigar and cigar[-1][1] == op:
+                        cigar[-1] = (cigar[-1][0] + 1, op)
+                    else:
+                        cigar.append((1, op))
+                out[idx] = (int(score[bi]), int(qb[bi]), int(qe[bi]),
+                            int(rb[bi]), int(re_[bi]), cigar)
+    return out

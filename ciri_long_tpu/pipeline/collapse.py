@@ -480,10 +480,25 @@ def correct_cluster(ctx, cluster, is_debug=False, max_cluster=200,
                              reverse=True)[:max_cluster]
     tmp_cluster = sorted(tmp_cluster, key=lambda x: len(x.seq), reverse=True)
 
-    for query in tmp_cluster:
-        tb = sw_traceback(encode_seq(query.seq * 2), junc_ref,
-                          JUNC_SW.match, JUNC_SW.mismatch,
-                          JUNC_SW.gap_open, JUNC_SW.gap_extend)
+    # rotation alignments: on the TPU backend the whole cluster runs as
+    # ONE batched device SW-with-traceback dispatch (ops/sw_tb_batch.py);
+    # on CPU the native host core is faster -- byte-identical either way
+    # (tests/test_tb_batch.py)
+    from ciri_long_tpu.ops.sw_tb_batch import (device_tb_enabled,
+                                               sw_traceback_batch)
+    if tmp_cluster and device_tb_enabled():
+        tb_all = sw_traceback_batch(
+            [encode_seq(q.seq * 2) for q in tmp_cluster],
+            [junc_ref] * len(tmp_cluster),
+            JUNC_SW.match, JUNC_SW.mismatch,
+            JUNC_SW.gap_open, JUNC_SW.gap_extend)
+    else:
+        tb_all = [sw_traceback(encode_seq(q.seq * 2), junc_ref,
+                               JUNC_SW.match, JUNC_SW.mismatch,
+                               JUNC_SW.gap_open, JUNC_SW.gap_extend)
+                  for q in tmp_cluster]
+
+    for query, tb in zip(tmp_cluster, tb_all):
         if tb is None:
             cluster_seq.append((query.read_id, query.seq))
             continue

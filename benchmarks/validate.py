@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(reads=120, genome_kb=1000, loci=8, depth=None, tol=5, seed=0,
-        noise=0.02):
+        noise=0.02, threads=1):
     from ciri_long_tpu.cli.main import call, collapse
     from ciri_long_tpu.io.genome import Genome
     from ciri_long_tpu.tools.simulate import (random_loci, simulate_linear,
@@ -60,14 +60,14 @@ def run(reads=120, genome_kb=1000, loci=8, depth=None, tol=5, seed=0,
         out_dir = os.path.join(root, 'out')
         t0 = time.perf_counter()
         call(SimpleNamespace(input=reads_path, output=out_dir, reference=ref,
-                             prefix='val', gtf=None, circ=None, threads=1,
-                             debug=False))
+                             prefix='val', gtf=None, circ=None,
+                             threads=threads, debug=False))
         lst = os.path.join(root, 's.lst')
         with open(lst, 'w') as f:
             f.write('S\t{}\n'.format(os.path.join(out_dir, 'val.cand_circ.fa')))
         collapse(SimpleNamespace(input=lst, output=out_dir, reference=ref,
-                                 prefix='val', gtf=None, circ=None, threads=1,
-                                 debug=False))
+                                 prefix='val', gtf=None, circ=None,
+                                 threads=threads, debug=False))
         dt = time.perf_counter() - t0
 
         called = []
@@ -113,13 +113,14 @@ def main():
                          'remote TPU; env vars cannot override it)')
     ap.add_argument('--noise', type=float, default=0.02)
     ap.add_argument('--tol', type=int, default=5)
+    ap.add_argument('--threads', type=int, default=1)
     args = ap.parse_args()
     if args.backend == 'cpu':
         import jax
         jax.config.update('jax_platforms', 'cpu')
     print(json.dumps(run(reads=args.reads, genome_kb=args.genome_kb,
                          loci=args.loci, seed=args.seed, noise=args.noise,
-                         tol=args.tol)))
+                         tol=args.tol, threads=args.threads)))
 
 
 if __name__ == '__main__':

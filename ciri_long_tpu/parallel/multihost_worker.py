@@ -13,10 +13,13 @@ import argparse
 import os
 
 
-def build_demo_world(seed=20260817):
+def build_demo_world(seed=20260817, n_loci=3, depth=4):
     """Deterministic mini world shared by every process (and by the test's
     serial reference run): genome with planted circRNAs + consensus reads.
-    numpy-only -- safe to call before jax.distributed.initialize."""
+    numpy-only -- safe to call before jax.distributed.initialize.
+
+    Defaults give the small fixed world the 2-process test asserts on;
+    benchmarks/scaling.py scales it up via n_loci/depth."""
     import numpy as np
 
     from ciri_long_tpu.context import Context
@@ -25,11 +28,12 @@ def build_demo_world(seed=20260817):
     from ciri_long_tpu.ops.ccs import find_consensus
 
     rng = np.random.default_rng(seed)
-    chr1 = list(''.join(rng.choice(list('ACGT'), size=40_000)))
+    size = max(40_000, 6_000 + n_loci * 11_000 + 6_000)
+    chr1 = list(''.join(rng.choice(list('ACGT'), size=size)))
     loci = []
-    for t in range(3):
+    for t in range(n_loci):
         st = 6_000 + t * 11_000
-        en = st + 250 + 80 * t
+        en = st + 250 + 80 * (t % 5)
         chr1[st - 2:st] = list('AG')
         chr1[en:en + 2] = list('GT')
         loci.append((st, en))
@@ -52,7 +56,7 @@ def build_demo_world(seed=20260817):
     n = 0
     for st, en in loci:
         unit = chr1[st:en]
-        for d in range(4):
+        for d in range(depth):
             rot = (d * 71) % len(unit)
             u = unit[rot:] + unit[:rot]
             read = ''.join(mutate(u, 0.02) for _ in range(3 + d % 2))
@@ -73,6 +77,10 @@ def main():
     ap.add_argument('--scan-out', default=None,
                     help='run the e2e cohort scan and write the merged '
                          'cand_circ.fa here (one file per process)')
+    ap.add_argument('--bench-loci', type=int, default=3,
+                    help='demo-world loci (benchmarks/scaling.py scale-up)')
+    ap.add_argument('--bench-depth', type=int, default=4,
+                    help='reads per locus in the demo world')
     args = ap.parse_args()
 
     os.environ['JAX_PLATFORMS'] = 'cpu'
@@ -133,7 +141,7 @@ def main():
     from ciri_long_tpu.parallel.mesh import (CAND_FIELDS, READS_AXIS,
                                              make_candidate_gather,
                                              make_mesh)
-    gmesh = make_mesh()
+    gmesh = make_mesh(lag_parallel=1)
     rows_local = 6
     rec = np.zeros((rows_local, CAND_FIELDS), np.int32)
     rec[:, 0] = 1000 * args.process_id + np.arange(rows_local)
@@ -159,23 +167,28 @@ def main():
     # device all_gather, every process writes the identical file ---
     if args.scan_out:
         import hashlib
+        import time
         from ciri_long_tpu.parallel.cohort import (_shard_bounds,
                                                    scan_ccs_cohort_step,
                                                    write_records)
         from ciri_long_tpu.parallel.mesh import make_mesh as mk
 
-        ctx, ccs_seq = build_demo_world()
+        ctx, ccs_seq = build_demo_world(n_loci=args.bench_loci,
+                                        depth=args.bench_depth)
         items = [[rid] + ccs_seq[rid] for rid in ccs_seq]
         read_ids = [it[0] for it in items]
         smesh = mk(lag_parallel=1)
         lo, hi = _shard_bounds(len(items), args.num_processes)[args.process_id]
+        t0 = time.monotonic()
         merged, counters, _short = scan_ccs_cohort_step(
             smesh, ctx, items, lo, hi, read_ids, True)
+        wall = time.monotonic() - t0
         write_records(args.scan_out, merged, read_ids,
                       list(ctx.genome.names))
         md5 = hashlib.md5(open(args.scan_out, 'rb').read()).hexdigest()
-        print('MULTIHOST_SCAN pid={} n_rec={} md5={}'.format(
-            args.process_id, len(merged), md5), flush=True)
+        print('MULTIHOST_SCAN pid={} n_rec={} md5={} n_reads={} '
+              'wall_s={:.3f}'.format(args.process_id, len(merged), md5,
+                                     len(items), wall), flush=True)
 
     jax.distributed.shutdown()
 

@@ -61,11 +61,13 @@ def test_call_and_collapse(dataset):
                            circ=None, threads=2, debug=False)
     counts = call(args)
 
-    assert counts['consensus'] >= 8
-    assert counts['bsj'] >= 6
-    # the deeper rolling circles give precise junctions the signal search
-    # can correct; shallow ones are rescued later by collapse curation
-    assert counts['signal'] >= 3
+    # the dataset is deterministic (module_rng): all 10 rolling circles
+    # must produce a consensus, call the BSJ and find the planted AG/GT
+    # signal (VERDICT r1 weak-7: floors tightened from >=8/>=6/>=3 to the
+    # exact values; any accuracy regression now fails loudly)
+    assert counts['consensus'] == 10
+    assert counts['bsj'] == 10
+    assert counts['signal'] == 10
 
     cand = out_dir / "test.cand_circ.fa"
     assert cand.exists()
@@ -75,7 +77,7 @@ def test_call_and_collapse(dataset):
             header = line.rstrip().lstrip('>').split('\t')
             seq = f.readline().rstrip()
             records.append((header, seq))
-    assert len(records) >= 6
+    assert len(records) == 10
     for header, seq in records:
         circ_id = header[1]
         ctg, span = circ_id.split(':')
@@ -106,16 +108,16 @@ def test_call_and_collapse(dataset):
     st, en = int(fields[3]), int(fields[4])
     assert abs(st - (CIRC_START + 1)) <= 3
     assert abs(en - CIRC_END) <= 3
-    assert int(fields[5]) >= 6          # read support
+    assert int(fields[5]) == 10         # read support
     assert 'circ_id' in fields[8]
 
     exp = (out_dir / "test.expression").read_text().strip().split('\n')
     assert exp[0].startswith('circ_ID')
     assert len(exp) == 2
-    assert float(exp[1].split('\t')[1]) >= 6
+    assert float(exp[1].split('\t')[1]) == 10
 
     reads_tsv = (out_dir / "test.reads").read_text().strip().split('\n')
-    assert len(reads_tsv) >= 7
+    assert len(reads_tsv) == 11
 
     iso = (out_dir / "test.isoforms").read_text().strip().split('\n')
     assert iso[0].startswith('isoform_ID')
@@ -134,4 +136,4 @@ def test_call_resume(dataset):
     counts = call(args)
     # resumed run: no 'total' key (CCS stage skipped)
     assert 'total' not in counts
-    assert counts['consensus'] >= 8
+    assert counts['consensus'] == 10

@@ -65,7 +65,12 @@ class GenomeAligner:
             [genome.offsets[n] for n in genome.names], np.int64)
 
     # ------------------------------------------------------------------
-    def map(self, seq) -> List[Hit]:
+    def map(self, seq, secondary: bool = False) -> List[Hit]:
+        """Hits for one read.  With secondary=True, overlapping losing
+        chains are also stitched and reported with is_primary=0 after the
+        primaries (mappy exposes minimap2's secondary alignments the same
+        way; the pipeline itself always filters on is_primary, reference
+        find_bsj.py:515,544)."""
         codes = encode_seq(seq) if isinstance(seq, str) else np.asarray(seq, np.int8)
         qlen = len(codes)
         if qlen < self.k:
@@ -84,40 +89,88 @@ class GenomeAligner:
                 if strand < 0:
                     qs, qe = qlen - qe, qlen - qs
                 cands.append((score, qs, qe, strand, r, q, idx, qc))
-        return self._select_and_stitch(cands, qlen)
+        return self._select_and_stitch(cands, qlen, secondary=secondary)
 
-    def _select_and_stitch(self, cands, qlen) -> List[Hit]:
-        """Non-overlap chain selection by extent, then stitch survivors."""
+    # how many overlapping losing chains to stitch per read when
+    # secondary hits are requested (mappy's best_n analog)
+    MAX_SECONDARY = 5
+
+    def _select_and_stitch(self, cands, qlen, secondary=False) -> List[Hit]:
+        """Non-overlap chain selection by extent, then stitch survivors.
+
+        mapq follows minimap2's uniqueness model (mm_mapq in map.c): the
+        best chain score s2 among candidates masked by a primary (query
+        overlap > 0.5 of the shorter extent, minimap2's mask_level)
+        discounts it as 40*(1 - s2/s1), clamped to [0, 60]; a hit with no
+        masked competitor keeps mapq 60.  Secondary hits (is_primary=0,
+        mapq 0) are stitched only on request -- the pipeline never pays
+        for them."""
         cands.sort(key=lambda c: c[0], reverse=True)
         selected: List[Hit] = []
         spans = []
-        for score, qs, qe, strand, r, q, idx, qc in cands:
+        rspans = []                      # winner global-ref spans + strand
+        sub_best = []                    # best masked score per primary
+        sec_pool = []                    # losing candidates for secondary
+
+        def credit(si, cand):
+            """A masked candidate counts toward the winner's s2 only when
+            it is a genuinely different placement -- different strand or a
+            non-overlapping reference span.  Fragment chains of the SAME
+            alignment must not zero the mapq of a unique hit."""
+            score, qs, qe, strand, r, q, idx, qc = cand
+            w_lo, w_hi, w_strand = rspans[si]
+            c_lo = int(r[idx[0]])
+            c_hi = int(r[idx[-1]]) + self.k
+            alt = (strand != w_strand) or (min(c_hi, w_hi) <= max(c_lo, w_lo))
+            if alt:
+                sub_best[si] = max(sub_best[si], score)
+                if secondary and len(sec_pool) < self.MAX_SECONDARY:
+                    sec_pool.append(cand)
+
+        for cand in cands:
+            score, qs, qe, strand, r, q, idx, qc = cand
             if len(selected) >= MAX_HITS:
                 break
-            clash = False
-            for s_st, s_en in spans:
+            clash = -1
+            for si, (s_st, s_en) in enumerate(spans):
                 ov = min(qe, s_en) - max(qs, s_st)
                 if ov > 0.5 * min(qe - qs, s_en - s_st):
-                    clash = True
+                    clash = si
                     break
-            if clash:
+            if clash >= 0:
+                credit(clash, cand)
                 continue
             hit = self._stitch(r[idx], q[idx], qc, qlen, strand, score)
             if hit is None:
                 continue
             # re-check with the stitched (extended) extent
-            clash = False
-            for s in selected:
+            clash = -1
+            for si, s in enumerate(selected):
                 ov = min(hit.q_en, s.q_en) - max(hit.q_st, s.q_st)
                 if ov > 0.5 * min(hit.q_en - hit.q_st, s.q_en - s.q_st):
-                    clash = True
+                    clash = si
                     break
-            if clash:
+            if clash >= 0:
+                credit(clash, cand)
                 continue
             hit.is_primary = 1
             selected.append(hit)
             spans.append((hit.q_st, hit.q_en))
+            rspans.append((int(r[idx[0]]), int(r[idx[-1]]) + self.k, strand))
+            sub_best.append(0.0)
+        for hit, s2 in zip(selected, sub_best):
+            s1 = max(float(hit.score), 1e-9)   # _stitch stores the chain score
+            hit.mapq = 60 if s2 <= 0 else max(0, min(60, int(
+                40.0 * (1.0 - float(s2) / s1))))
         selected.sort(key=lambda h: h.score, reverse=True)
+        if secondary:
+            for score, qs, qe, strand, r, q, idx, qc in sec_pool:
+                hit = self._stitch(r[idx], q[idx], qc, qlen, strand, score)
+                if hit is None:
+                    continue
+                hit.is_primary = 0
+                hit.mapq = 0
+                selected.append(hit)
         return selected
 
     # ------------------------------------------------------------------

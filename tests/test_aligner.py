@@ -149,3 +149,65 @@ def test_map_batch_matches_map(toy, rng):
                     hb.mlen) == \
                 (hs.ctg, hs.strand, hs.q_st, hs.q_en, hs.r_st, hs.r_en,
                  hs.mlen)
+
+
+def test_mapq_unique_vs_repeat(rng):
+    """minimap2-style mapq model (mm_mapq analog): a unique placement
+    keeps mapq 60; a read from a duplicated segment is discounted by the
+    masked competitor chain (VERDICT r1 missing-5)."""
+    body = rand_seq(rng, 30_000)
+    repeat = rand_seq(rng, 600)
+    chr1 = body[:8_000] + repeat + body[8_000:20_000] + repeat + body[20_000:]
+    genome = Genome.from_dict({"chr1": chr1})
+    aligner = GenomeAligner(genome)
+
+    unique = aligner.map(chr1[25_000 + 600:25_600 + 600])
+    assert unique and unique[0].mapq == 60
+
+    dup = aligner.map(repeat)
+    assert dup and dup[0].is_primary
+    assert dup[0].mapq < 10       # two equal placements: near-zero mapq
+
+
+def test_secondary_hits_on_request(rng):
+    """map(secondary=True) reports the masked alternative placement with
+    is_primary=0 and mapq 0 (mappy's secondary-alignment surface); the
+    default call stays primary-only so pipeline semantics are unchanged."""
+    body = rand_seq(rng, 30_000)
+    repeat = rand_seq(rng, 600)
+    chr1 = body[:8_000] + repeat + body[8_000:20_000] + repeat + body[20_000:]
+    genome = Genome.from_dict({"chr1": chr1})
+    aligner = GenomeAligner(genome)
+
+    primary_only = aligner.map(repeat)
+    assert all(h.is_primary for h in primary_only)
+
+    with_sec = aligner.map(repeat, secondary=True)
+    secs = [h for h in with_sec if not h.is_primary]
+    assert secs, "expected a secondary hit at the duplicate placement"
+    assert all(h.mapq == 0 for h in secs)
+    prim = [h for h in with_sec if h.is_primary]
+    assert [str(h.__dict__ if hasattr(h, '__dict__') else
+               [getattr(h, s) for s in h.__slots__]) for h in prim] == \
+           [str([getattr(h, s) for s in h.__slots__]) for h in primary_only]
+    # the two placements cover the same read span at different loci
+    assert abs(secs[0].r_st - prim[0].r_st) > 5_000
+
+
+def test_chimeric_two_primaries(rng):
+    """A chimeric read (two distant segments) yields two primary hits,
+    both with high mapq -- the geometry scan_raw_chunk keys on
+    (reference find_bsj.py:515-581)."""
+    chr1 = rand_seq(rng, 40_000)
+    genome = Genome.from_dict({"chr1": chr1})
+    aligner = GenomeAligner(genome)
+    # BSJ-style geometry: the later genome segment comes FIRST on the
+    # read, so no colinear spliced chain exists and two split primaries
+    # must be reported
+    read = chr1[30_000:30_700] + chr1[5_000:5_700]
+    hits = aligner.map(read)
+    prim = [h for h in hits if h.is_primary]
+    assert len(prim) == 2
+    assert all(h.mapq == 60 for h in prim)
+    assert {h.r_st for h in prim} == {5_000, 30_000}
+    assert {(h.q_st, h.q_en) for h in prim} == {(0, 700), (700, 1400)}

@@ -21,8 +21,11 @@ import numpy as np
 NEG_F = -1e30
 
 
+from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
+
 @functools.partial(jax.jit, static_argnames=("k", "window", "max_gap_r",
                                              "max_gap_q"))
+@_count_dispatch('chain_scores_batch')
 def chain_scores_batch(r, q, ctg, valid, k: int, window: int = 64,
                        max_gap_r: int = 200_000, max_gap_q: int = 5_000):
     """Chaining DP over [B, A] anchor tables.

@@ -22,6 +22,8 @@ import numpy as np
 BIG = 1 << 28  # plain int: keep module import free of backend init
 
 
+from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
+
 @functools.partial(jax.jit, static_argnames=())
 def edit_distance_batch_padded(a, b, alen, blen):
     """Edit distance for padded batches, exact for per-element lengths.
@@ -66,6 +68,7 @@ def _bucket(n):
     return n
 
 
+@_count_dispatch('edit_distance_batch')
 def edit_distance_batch(a, b, alen=None, blen=None):
     """Host-friendly wrapper: numpy in, numpy out.  Batch and length
     dimensions are padded onto a bucket ladder so varying cluster sizes

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 
 
+from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
+
 @functools.partial(jax.jit, static_argnames=("max_lag", "pad_lags"))
 def lag_profile(reads, max_lag: int, lag_offset=0, pad_lags=None):
     """reads: [B, L] int8 codes (PAD=5).  Returns [B, max_lag] float32
@@ -48,6 +50,7 @@ def lag_profile(reads, max_lag: int, lag_offset=0, pad_lags=None):
 
 
 @functools.partial(jax.jit, static_argnames=("max_lag", "k", "pad_lags"))
+@_count_dispatch('tandem_counts')
 def tandem_counts(reads, max_lag: int, k: int = 11, lag_offset=0,
                   pad_lags=None):
     """Exact k-mer self-match counts per lag: out[b, j] = number of

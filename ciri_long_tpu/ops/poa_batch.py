@@ -34,6 +34,8 @@ NEG = -(1 << 28)
 STOP, GAPSEQ, MATCH, GAPGRAPH = 0, 1, 2, 3
 
 
+from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
+
 def _align_one(bases, nv, preds, npred, seq, n, scores):
     """Single-job DP + direction planes + device traceback.
 
@@ -203,6 +205,7 @@ def _build_batch_fn(scores):
 _FN_CACHE = {}
 
 
+@_count_dispatch('poa_align_batch')
 def poa_align_batch(bases, nv, preds, npred, seqs, ns, scores):
     """Batched graph alignments, one device dispatch.
 

@@ -45,6 +45,8 @@ import numpy as np
 NEG = -(1 << 28)
 
 
+from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
+
 class SWParams(NamedTuple):
     match: int = 1
     mismatch: int = 1
@@ -198,6 +200,7 @@ def _real_lens(arr):
     return lens.astype(np.int32)
 
 
+@_count_dispatch('sw_align_batch')
 def sw_align_batch(query, ref, params: SWParams) -> SWResult:
     """Batched SW with begin *and* end coordinates.
 

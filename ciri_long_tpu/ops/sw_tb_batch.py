@@ -39,6 +39,8 @@ NEG = -(1 << 28)
 STOP, CM, CE, CF = 0, 1, 2, 3
 
 
+from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
+
 def _align_one(q, r, n, m, scores):
     """Single-job transposed DP + code planes + device traceback.
 
@@ -228,6 +230,7 @@ def _bucket(n):
     return n
 
 
+@_count_dispatch('sw_traceback_batch')
 def sw_traceback_batch(qs: Sequence[np.ndarray], rs: Sequence[np.ndarray],
                        match=1, mismatch=1, gap_open=1, gap_extend=1
                        ) -> List[Optional[Tuple]]:

@@ -24,6 +24,7 @@ import numpy as np
 
 from ciri_long_tpu.config import AlignerConfig, DEFAULT
 from ciri_long_tpu.io.genome import Genome
+from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
 from ciri_long_tpu.models.hits import Hit
 from ciri_long_tpu.models.minimizer import MinimizerIndex, minimizers
 from ciri_long_tpu.ops.traceback import (banded_global_cigar, extend_align,
@@ -174,13 +175,16 @@ class GenomeAligner:
         return selected
 
     # ------------------------------------------------------------------
+    @_count_dispatch('aligner.map_batch')
     def map_batch(self, seqs, max_anchors: int = 8192) -> List[List[Hit]]:
         """Batched map(): anchors for the whole read batch are chained in
         ONE device program (ops/chain.py), only backtrack + stitch stay
         per-read on host.  This is the production path on TPU where the
         batch amortises dispatch; results match map() row for row (up to
         float32 tie-breaks in chain scores)."""
-        from ciri_long_tpu.ops.chain import backtrack_chains, chain_scores_batch
+        from ciri_long_tpu.ops.chain import (backtrack_chains,
+                                             backtrack_chains_compact,
+                                             chain_scores_compact)
 
         per_read = []
         rows = []          # (read_idx, strand, r_global, q)
@@ -216,33 +220,61 @@ class GenomeAligner:
                     np.ones((1, len(r)), bool), self.min_chain_score,
                     self.min_chain_anchors, 2 * MAX_HITS)[0])
         else:
-            # bucket both dims: every distinct shape is a fresh compile
+            # Group rows by anchor-count bucket so one anchor-rich read
+            # does not inflate every row to the largest A (work and --
+            # critically, over the remote tunnel -- FETCH bytes scale with
+            # B x A).  Each group is one compact-output device dispatch;
+            # results are per-row exact regardless of grouping.  Groups
+            # with < _MIN_GROUP rows merge upward to bound dispatch RTTs.
             def _bucket(n, ladder):
                 for b in ladder:
                     if n <= b:
                         return b
                 return n
-            B2 = _bucket(len(rows), (8, 16, 32, 64, 128, 256, 512, 1024))
-            A = _bucket(max(len(r) for _, _, r, _ in rows),
-                        (256, 512, 1024, 2048, 4096, 8192, 16384))
-            r_pad = np.zeros((B2, A), np.int32)
-            q_pad = np.zeros((B2, A), np.int32)
-            c_pad = np.full((B2, A), -1, np.int32)
-            valid = np.zeros((B2, A), bool)
-            for t, (bi, strand, r, q) in enumerate(rows):
-                n = len(r)
-                ctg_id = np.searchsorted(self._ctg_starts, r, side='right') - 1
-                local = r - self._ctg_starts[ctg_id]
-                r_pad[t, :n] = local
-                q_pad[t, :n] = q
-                c_pad[t, :n] = ctg_id
-                valid[t, :n] = True
+            _A_LADDER = (256, 512, 1024, 2048, 4096, 8192, 16384)
+            _MIN_GROUP = 32
+            by_a = {}
+            for t, row in enumerate(rows):
+                by_a.setdefault(_bucket(len(row[2]), _A_LADDER),
+                                []).append(t)
+            groups = []
+            pending = []
+            for a_bkt in sorted(by_a):
+                pending += by_a[a_bkt]
+                if len(pending) >= _MIN_GROUP or a_bkt == max(by_a):
+                    groups.append((a_bkt, pending))
+                    pending = []
+            if pending:
+                groups.append((max(by_a), pending))
 
-            f, pre = chain_scores_batch(r_pad, q_pad, c_pad, valid, self.k,
-                                        CHAIN_WINDOW, self.cfg.max_gap_ref,
-                                        5000)
-            chains = backtrack_chains(f, pre, valid, self.min_chain_score,
-                                      self.min_chain_anchors, 2 * MAX_HITS)
+            chains = [None] * len(rows)
+            for A, members in groups:
+                B2 = _bucket(len(members),
+                             (8, 16, 32, 64, 128, 256, 512, 1024))
+                r_pad = np.zeros((B2, A), np.int32)
+                q_pad = np.zeros((B2, A), np.int32)
+                c_pad = np.full((B2, A), -1, np.int32)
+                valid = np.zeros((B2, A), bool)
+                for t, ri in enumerate(members):
+                    _, _, r, q = rows[ri]
+                    n = len(r)
+                    ctg_id = np.searchsorted(self._ctg_starts, r,
+                                             side='right') - 1
+                    local = r - self._ctg_starts[ctg_id]
+                    r_pad[t, :n] = local
+                    q_pad[t, :n] = q
+                    c_pad[t, :n] = ctg_id
+                    valid[t, :n] = True
+
+                kv, ki, delta, count, f = chain_scores_compact(
+                    r_pad, q_pad, c_pad, valid,
+                    float(self.min_chain_score), self.k, CHAIN_WINDOW,
+                    self.cfg.max_gap_ref, 5000)
+                got = backtrack_chains_compact(
+                    kv, ki, delta, count, f, self.min_chain_score,
+                    self.min_chain_anchors, 2 * MAX_HITS)
+                for t, ri in enumerate(members):
+                    chains[ri] = got[t]
 
         cands_by_read = {}
         for t, (bi, strand, r, q) in enumerate(rows):

@@ -23,23 +23,9 @@ NEG_F = -1e30
 
 from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
 
-@functools.partial(jax.jit, static_argnames=("k", "window", "max_gap_r",
-                                             "max_gap_q"))
-@_count_dispatch('chain_scores_batch')
-def chain_scores_batch(r, q, ctg, valid, k: int, window: int = 64,
-                       max_gap_r: int = 200_000, max_gap_q: int = 5_000):
-    """Chaining DP over [B, A] anchor tables.
-
-    Args:
-      r, q: int32 [B, A] anchor positions sorted by (r, q) per row
-            (contig-local coordinates; int32 only).
-      ctg:  int32 [B, A] contig ids (chains may not cross contigs).
-      valid: bool [B, A] anchor mask (padding rows False).
-      k: minimizer length (chain score unit).
-
-    Returns (f [B, A] float32, pre [B, A] int32) with pre = -1 for chain
-    starts; invalid anchors keep f = k, pre = -1.
-    """
+def _chain_dp(r, q, ctg, valid, k: int, window: int,
+              max_gap_r: int, max_gap_q: int):
+    """Traceable DP body shared by chain_scores_batch/_compact."""
     B, A = r.shape
     W = window
     # int32 positions: pass CONTIG-LOCAL coordinates (+ ctg ids) -- global
@@ -93,6 +79,108 @@ def chain_scores_batch(r, q, ctg, valid, k: int, window: int = 64,
     return jnp.transpose(f), jnp.transpose(pre)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "window", "max_gap_r",
+                                             "max_gap_q"))
+@_count_dispatch('chain_scores_batch')
+def chain_scores_batch(r, q, ctg, valid, k: int, window: int = 64,
+                       max_gap_r: int = 200_000, max_gap_q: int = 5_000):
+    """Chaining DP over [B, A] anchor tables.
+
+    Args:
+      r, q: int32 [B, A] anchor positions sorted by (r, q) per row
+            (contig-local coordinates; int32 only).
+      ctg:  int32 [B, A] contig ids (chains may not cross contigs).
+      valid: bool [B, A] anchor mask (padding rows False).
+      k: minimizer length (chain score unit).
+
+    Returns (f [B, A] float32, pre [B, A] int32) with pre = -1 for chain
+    starts; invalid anchors keep f = k, pre = -1.
+    """
+    return _chain_dp(r, q, ctg, valid, k, window, max_gap_r, max_gap_q)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "max_gap_r",
+                                              "max_gap_q", "topk"))
+@_count_dispatch('chain_scores_compact')
+def chain_scores_compact(r, q, ctg, valid, min_score, k: int,
+                         window: int = 64, max_gap_r: int = 200_000,
+                         max_gap_q: int = 5_000, topk: int = 256):
+    """chain_scores_batch + on-device compaction of the backtrack inputs.
+
+    Over the remote-tunnel TPU the [B, A] f/pre fetch dominates map_batch
+    (1-16 MB/s tunnel; 34 MB at [512, 8192]).  The greedy backtrack only
+    ever *starts* chains at valid anchors with f >= min_score, and every
+    predecessor link is within `window` anchors, so it needs:
+
+      kv, ki:  top-`topk` chain scores + anchor indices per read (f32/i32,
+               XLA top_k ties break to the lower index = np.argsort(-f,
+               kind='stable') order)
+      delta:   pre encoded as int8 window offsets (0 = chain start) --
+               4 bytes/anchor -> 1
+      count:   #(valid & f >= min_score) per read; rows with count > topk
+               (rare) fall back to fetching their full f row, keeping the
+               compact path exact
+
+    Returns (kv, ki, delta, count, f); f stays on device unless a
+    fallback row materialises it.
+    """
+    f, pre = _chain_dp(r, q, ctg, valid, k, window, max_gap_r, max_gap_q)
+    A = f.shape[1]
+    idx = jnp.arange(A, dtype=jnp.int32)[None, :]
+    delta = jnp.where(pre < 0, 0, idx - pre).astype(jnp.int8)
+    f_m = jnp.where(valid, f, NEG_F)
+    kv, ki = jax.lax.top_k(f_m, min(topk, A))
+    count = jnp.sum((f_m >= min_score), axis=1, dtype=jnp.int32)
+    return kv, ki, delta, count, f
+
+
+def backtrack_chains_compact(kv, ki, delta, count, f_dev, min_score,
+                             min_anchors, max_chains=10):
+    """Greedy chain extraction from the compact device outputs; identical
+    results to backtrack_chains on (f, pre) -- see chain_scores_compact."""
+    kv = np.asarray(kv)
+    ki = np.asarray(ki)
+    delta = np.asarray(delta)
+    count = np.asarray(count)
+    B, K = kv.shape
+    A = delta.shape[1]
+    out = []
+    for b in range(B):
+        n = int(count[b])
+        if n == 0:
+            out.append([])
+            continue
+        if n <= K:
+            order = ki[b, :n]
+            scores = kv[b, :n]
+        else:   # rare: more candidates than topk -- fetch this row's f
+            fb = np.asarray(f_dev[b])
+            order = np.argsort(-fb, kind='stable')
+            scores = fb[order]
+        used = np.zeros(A, bool)
+        chains = []
+        for oi in range(len(order)):
+            idx = int(order[oi])
+            if used[idx] or scores[oi] < min_score:
+                continue
+            path = []
+            v = idx
+            while v != -1 and not used[v]:
+                path.append(v)
+                used[v] = True
+                d = int(delta[b, v])
+                v = v - d if d > 0 else -1
+            if len(path) < min_anchors:
+                continue
+            path.reverse()
+            chains.append((np.array(path, np.int64), float(scores[oi])))
+            if len(chains) >= max_chains:
+                break
+        out.append(chains)
+    return out
+
+
+@_count_dispatch('chain.backtrack_fetch')
 def backtrack_chains(f, pre, valid, min_score, min_anchors, max_chains=10):
     """Greedy per-read chain extraction from (f, pre) -- host side,
     identical to models/aligner.py::_chain's backtrack."""

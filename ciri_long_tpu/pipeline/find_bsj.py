@@ -22,6 +22,7 @@ from collections import Counter, defaultdict
 import numpy as np
 
 from ciri_long_tpu.config import DEFAULT, CLIP_SCORE
+from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
 from ciri_long_tpu.annot.signal import (find_annotated_signal,
                                         find_denovo_signal, find_host_gene)
 from ciri_long_tpu.models.hits import (get_blocks, get_parital_blocks,
@@ -290,6 +291,7 @@ def align_clip_segments(ctx, circ, hit, cfg=DEFAULT.call):
     return _clip_finish(ssw_align(clip_codes, ref_codes), meta)
 
 
+@_count_dispatch('clip_sw_batch')
 def align_clip_segments_batch(ctx, items, cfg=DEFAULT.call):
     """Batched align_clip_segments over (circ, hit) pairs: all short-window
     SW alignments in a chunk run as ONE bucketed device batch (long

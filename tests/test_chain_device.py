@@ -70,3 +70,50 @@ def test_backtrack_extracts_planted_chain(rng):
     idx, score = chains[0]
     assert len(idx) >= n_chain - 2
     assert score >= 200
+
+
+def _random_anchor_batch(rng, B, A):
+    rs = np.zeros((B, A), np.int64)
+    qs = np.zeros((B, A), np.int64)
+    cs = np.zeros((B, A), np.int64)
+    val = np.zeros((B, A), bool)
+    for b in range(B):
+        n = int(rng.integers(A // 2, A))
+        # colinear-ish anchors with jitter so real chains exist
+        r = np.sort(rng.integers(0, 40_000, n)).astype(np.int64)
+        q = (r // 4 + rng.integers(-30, 30, n)).clip(0).astype(np.int64)
+        order = np.lexsort((q, r))
+        rs[b, :n], qs[b, :n] = r[order], q[order]
+        val[b, :n] = True
+        rs[b, n:] = rs[b, n - 1] + np.arange(A - n) * 1_000_000
+    return rs, qs, cs, val
+
+
+def _compact_vs_full(rng, B, A, topk, min_score=30.0, min_anchors=3):
+    from ciri_long_tpu.ops.chain import (backtrack_chains_compact,
+                                         chain_scores_compact)
+    rs, qs, cs, val = _random_anchor_batch(rng, B, A)
+    f, pre = chain_scores_batch(rs, qs, cs, val, 15)
+    full = backtrack_chains(f, pre, val, min_score, min_anchors, 10)
+    kv, ki, delta, count, f_dev = chain_scores_compact(
+        rs, qs, cs, val, min_score, 15, topk=topk)
+    compact = backtrack_chains_compact(kv, ki, delta, count, f_dev,
+                                       min_score, min_anchors, 10)
+    assert len(full) == len(compact)
+    for b, (fc, cc) in enumerate(zip(full, compact)):
+        assert len(fc) == len(cc), (b, len(fc), len(cc))
+        for (fi, fs), (ci, cs2) in zip(fc, cc):
+            np.testing.assert_array_equal(fi, ci)
+            assert fs == cs2
+
+
+def test_compact_matches_full_backtrack(rng):
+    """chain_scores_compact + backtrack_chains_compact == the full-fetch
+    path, chain for chain, score for score."""
+    _compact_vs_full(rng, B=8, A=512, topk=256)
+
+
+def test_compact_fallback_when_topk_overflows(rng):
+    """topk smaller than #candidates forces the per-row full-f fallback;
+    results must stay identical."""
+    _compact_vs_full(rng, B=4, A=512, topk=8)

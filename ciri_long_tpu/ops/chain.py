@@ -79,9 +79,9 @@ def _chain_dp(r, q, ctg, valid, k: int, window: int,
     return jnp.transpose(f), jnp.transpose(pre)
 
 
+@_count_dispatch('chain_scores_batch')
 @functools.partial(jax.jit, static_argnames=("k", "window", "max_gap_r",
                                              "max_gap_q"))
-@_count_dispatch('chain_scores_batch')
 def chain_scores_batch(r, q, ctg, valid, k: int, window: int = 64,
                        max_gap_r: int = 200_000, max_gap_q: int = 5_000):
     """Chaining DP over [B, A] anchor tables.
@@ -99,9 +99,9 @@ def chain_scores_batch(r, q, ctg, valid, k: int, window: int = 64,
     return _chain_dp(r, q, ctg, valid, k, window, max_gap_r, max_gap_q)
 
 
+@_count_dispatch('chain_scores_compact')
 @functools.partial(jax.jit, static_argnames=("k", "window", "max_gap_r",
                                               "max_gap_q", "topk"))
-@_count_dispatch('chain_scores_compact')
 def chain_scores_compact(r, q, ctg, valid, min_score, k: int,
                          window: int = 64, max_gap_r: int = 200_000,
                          max_gap_q: int = 5_000, topk: int = 256):

@@ -49,8 +49,8 @@ def lag_profile(reads, max_lag: int, lag_offset=0, pad_lags=None):
     return prof.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_lag", "k", "pad_lags"))
 @_count_dispatch('tandem_counts')
+@functools.partial(jax.jit, static_argnames=("max_lag", "k", "pad_lags"))
 def tandem_counts(reads, max_lag: int, k: int = 11, lag_offset=0,
                   pad_lags=None):
     """Exact k-mer self-match counts per lag: out[b, j] = number of

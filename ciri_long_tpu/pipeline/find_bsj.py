@@ -404,8 +404,11 @@ def scan_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
     ret = []
     short_reads = []
 
-    raw_hits_all = _map_many(ctx, [c[3] for c in chunk])
-    ccs2_hits_all = _map_many(ctx, [c[2] * 2 for c in chunk])
+    # one combined batched map for both filter alignments (raw read and
+    # doubled CCS): map_batch is per-row exact, so fusing the lists only
+    # merges device dispatches, never changes a row's hits
+    both = _map_many(ctx, [c[3] for c in chunk] + [c[2] * 2 for c in chunk])
+    raw_hits_all, ccs2_hits_all = both[:len(chunk)], both[len(chunk):]
 
     survivors = []
     for ci, (read_id, segments, ccs, raw) in enumerate(chunk):

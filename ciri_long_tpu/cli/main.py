@@ -56,10 +56,25 @@ def _apply_backend(args):
     """--backend cpu forces the CPU jax backend before any device
     is touched (this box pre-registers a remote TPU platform that env vars
     alone cannot override; the config update works because backends
-    initialise lazily)."""
+    initialise lazily).  Also enables jax's persistent compilation cache:
+    the batched kernels compile once per (bucketed) shape and every later
+    run -- including the spawn-pool workers, which share the same dir --
+    reuses them, which matters doubly on backends where compilation is
+    remote/minutes-long."""
+    import jax
     if getattr(args, 'backend', None) == 'cpu':
-        import jax
         jax.config.update('jax_platforms', 'cpu')
+    cache = os.environ.get('JAX_COMPILATION_CACHE_DIR')
+    if cache is None:
+        cache = os.path.join(os.path.expanduser('~'), '.cache',
+                             'ciri_long_tpu', 'jax_cache')
+        os.makedirs(cache, exist_ok=True)
+        os.environ['JAX_COMPILATION_CACHE_DIR'] = cache
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
+    except AttributeError:
+        pass
 
 
 def call(args):

@@ -183,8 +183,8 @@ class GenomeAligner:
         batch amortises dispatch; results match map() row for row (up to
         float32 tie-breaks in chain scores)."""
         from ciri_long_tpu.ops.chain import (backtrack_chains,
-                                             backtrack_chains_compact,
-                                             chain_scores_compact)
+                                             chain_extract_batch,
+                                             decode_chains)
 
         per_read = []
         rows = []          # (read_idx, strand, r_global, q)
@@ -248,6 +248,10 @@ class GenomeAligner:
                 groups.append((max(by_a), pending))
 
             chains = [None] * len(rows)
+            # two phases: submit every group's device program first (jax
+            # dispatch is async), THEN fetch+backtrack -- group k+1
+            # executes remotely while group k's results stream back
+            pending = []
             for A, members in groups:
                 B2 = _bucket(len(members),
                              (8, 16, 32, 64, 128, 256, 512, 1024))
@@ -266,13 +270,16 @@ class GenomeAligner:
                     c_pad[t, :n] = ctg_id
                     valid[t, :n] = True
 
-                kv, ki, delta, count, f = chain_scores_compact(
+                out = chain_extract_batch(
                     r_pad, q_pad, c_pad, valid,
                     float(self.min_chain_score), self.k, CHAIN_WINDOW,
-                    self.cfg.max_gap_ref, 5000)
-                got = backtrack_chains_compact(
-                    kv, ki, delta, count, f, self.min_chain_score,
-                    self.min_chain_anchors, 2 * MAX_HITS)
+                    self.cfg.max_gap_ref, 5000,
+                    max_chains=2 * MAX_HITS,
+                    min_anchors=self.min_chain_anchors)
+                pending.append((members, out))
+
+            for members, (cid, scores, nch) in pending:
+                got = decode_chains(cid, scores, nch)
                 for t, ri in enumerate(members):
                     chains[ri] = got[t]
 

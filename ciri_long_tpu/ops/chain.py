@@ -117,9 +117,10 @@ def chain_scores_compact(r, q, ctg, valid, min_score, k: int,
                kind='stable') order)
       delta:   pre encoded as int8 window offsets (0 = chain start) --
                4 bytes/anchor -> 1
-      count:   #(valid & f >= min_score) per read; rows with count > topk
-               (rare) fall back to fetching their full f row, keeping the
-               compact path exact
+      count:   #(valid & f >= min_score) per read; a row falls back to its
+               full f row only when count > topk AND the prefix greedy did
+               not already reach max_chains (see backtrack_chains_compact)
+               -- and fallback rows are fetched in one batched gather
 
     Returns (kv, ki, delta, count, f); f stays on device unless a
     fallback row materialises it.
@@ -131,51 +132,198 @@ def chain_scores_compact(r, q, ctg, valid, min_score, k: int,
     f_m = jnp.where(valid, f, NEG_F)
     kv, ki = jax.lax.top_k(f_m, min(topk, A))
     count = jnp.sum((f_m >= min_score), axis=1, dtype=jnp.int32)
-    return kv, ki, delta, count, f
+    # return the MASKED scores: the fallback path sorts this row directly,
+    # and invalid/padding anchors must never rank as candidates
+    return kv, ki, delta, count, f_m
+
+
+def _greedy_chains(order, scores, delta_b, used, min_score, min_anchors,
+                   max_chains):
+    """One row's greedy walk over candidates in descending-f order."""
+    chains = []
+    for oi in range(len(order)):
+        idx = int(order[oi])
+        if used[idx] or scores[oi] < min_score:
+            continue
+        path = []
+        v = idx
+        while v != -1 and not used[v]:
+            path.append(v)
+            used[v] = True
+            d = int(delta_b[v])
+            v = v - d if d > 0 else -1
+        if len(path) < min_anchors:
+            continue
+        path.reverse()
+        chains.append((np.array(path, np.int64), float(scores[oi])))
+        if len(chains) >= max_chains:
+            break
+    return chains
+
+
+@_count_dispatch('chain.fallback_gather')
+def _fetch_fallback_rows(f_dev, rows):
+    """One batched gather+fetch for every fallback row of a group."""
+    return np.asarray(f_dev[rows])
 
 
 def backtrack_chains_compact(kv, ki, delta, count, f_dev, min_score,
                              min_anchors, max_chains=10):
     """Greedy chain extraction from the compact device outputs; identical
-    results to backtrack_chains on (f, pre) -- see chain_scores_compact."""
+    results to backtrack_chains on (f, pre) -- see chain_scores_compact.
+
+    The top-k prefix is a prefix of the full descending-f candidate order
+    (XLA top_k and np.argsort(-f, kind='stable') share the lower-index
+    tie-break), so a row is EXACT from the prefix alone when either
+      - all its candidates fit in the prefix (count <= topk), or
+      - the greedy walk reached max_chains within the prefix (the full
+        walk would have stopped at the same point).
+    Only rows failing both need the full f row; those are fetched in ONE
+    batched device gather -- per-row np.asarray fetches each pay a full
+    remote-tunnel RTT and dominated scan wall time before this."""
     kv = np.asarray(kv)
     ki = np.asarray(ki)
     delta = np.asarray(delta)
     count = np.asarray(count)
     B, K = kv.shape
     A = delta.shape[1]
-    out = []
+    out = [[] for _ in range(B)]
+    need_full = []
     for b in range(B):
         n = int(count[b])
         if n == 0:
-            out.append([])
             continue
-        if n <= K:
-            order = ki[b, :n]
-            scores = kv[b, :n]
-        else:   # rare: more candidates than topk -- fetch this row's f
-            fb = np.asarray(f_dev[b])
-            order = np.argsort(-fb, kind='stable')
-            scores = fb[order]
+        m = min(n, K)
         used = np.zeros(A, bool)
+        chains = _greedy_chains(ki[b, :m], kv[b, :m], delta[b], used,
+                                min_score, min_anchors, max_chains)
+        if n > K and len(chains) < max_chains:
+            # candidates remain below the prefix: redo from the full row
+            need_full.append(b)
+        else:
+            out[b] = chains
+    if need_full:
+        f_rows = _fetch_fallback_rows(f_dev, np.asarray(need_full, np.int32))
+        for fb, b in zip(f_rows, need_full):
+            order = np.argsort(-fb, kind='stable')
+            out[b] = _greedy_chains(order, fb[order], delta[b],
+                                    np.zeros(A, bool), min_score,
+                                    min_anchors, max_chains)
+    return out
+
+
+@_count_dispatch('chain_extract_batch')
+@functools.partial(jax.jit, static_argnames=("k", "window", "max_gap_r",
+                                             "max_gap_q", "max_chains",
+                                             "min_anchors"))
+def chain_extract_batch(r, q, ctg, valid, min_score, k: int,
+                        window: int = 64, max_gap_r: int = 200_000,
+                        max_gap_q: int = 5_000, max_chains: int = 10,
+                        min_anchors: int = 3):
+    """Chaining DP + the ENTIRE greedy chain extraction on device.
+
+    The host greedy (backtrack_chains) walks candidates in descending-f
+    order, marking anchors used, keeping paths of >= min_anchors, until
+    max_chains chains are found.  Run on device this needs NO per-anchor
+    score/predecessor fetch at all -- the only outputs are
+
+      chainid [B, A] int8:  which chain (0..max_chains-1) each anchor
+                            belongs to, -1 for none.  A chain's anchor
+                            path is its ids in ascending index order
+                            (predecessors strictly precede successors).
+      scores  [B, max_chains] float32, nch [B] int8
+
+    so the tunnel fetch is ~1 byte/anchor with no topk overflow fallback,
+    vs 4-8 bytes/anchor for (f, pre) and per-row RTT-bound fallback
+    fetches for candidate-rich reads (the previous compact path).
+
+    Per row the extraction is a 3-mode state machine (pick candidate /
+    count-walk a path / mark-walk it), one element-step per while_loop
+    iteration, vmapped across rows; semantics match backtrack_chains
+    exactly (same stable descending-f candidate order, same used-mask
+    truncation, rejected-short paths still consume their anchors)."""
+    f, pre = _chain_dp(r, q, ctg, valid, k, window, max_gap_r, max_gap_q)
+    B, A = f.shape
+    f_m = jnp.where(valid, f, NEG_F)
+    order = jnp.argsort(-f_m, axis=1, stable=True).astype(jnp.int32)
+
+    def row(f_row, pre_row, order_row):
+        # state: oi candidate cursor, mode 0/1/2, v walk cursor, plen
+        # counted path length, steps mark-walk progress, nch chains found,
+        # used/cid per-anchor, scores per-chain, alive
+        def cond(s):
+            return s[-1]
+
+        def body(s):
+            oi, mode, v, plen, steps, nch, used, cid, scores, alive = s
+            m0 = mode == 0
+            m1 = mode == 1
+            m2 = mode == 2
+
+            idx = order_row[jnp.clip(oi, 0, A - 1)]
+            f_idx = f_row[idx]
+            exhausted = m0 & ((oi >= A) | (f_idx < min_score) |
+                              (nch >= max_chains))
+            skip = m0 & ~exhausted & used[idx]
+            start = m0 & ~exhausted & ~used[idx]
+
+            vc = jnp.clip(v, 0, A - 1)
+            walk_ok = m1 & (v >= 0) & ~used[vc]
+            end_count = m1 & ~walk_ok
+            accept = plen >= min_anchors
+
+            mark = m2 & (steps < plen)
+            end_mark = m2 & (steps >= plen)
+
+            pv = jnp.where(pre_row[vc] >= 0, pre_row[vc], -1)
+
+            used = jnp.where(mark, used.at[vc].set(True), used)
+            cid = jnp.where(mark & accept,
+                            cid.at[vc].set(nch.astype(jnp.int32)), cid)
+            scores = jnp.where(end_mark & accept,
+                               scores.at[jnp.clip(nch, 0, max_chains - 1)]
+                               .set(f_idx), scores)
+
+            n_oi = jnp.where(skip | end_mark, oi + 1, oi)
+            n_mode = jnp.where(start, 1,
+                               jnp.where(end_count, 2,
+                                         jnp.where(end_mark, 0, mode)))
+            n_v = jnp.where(start, idx,
+                            jnp.where(walk_ok | mark, pv,
+                                      jnp.where(end_count, idx, v)))
+            n_plen = jnp.where(start, 0,
+                               jnp.where(walk_ok, plen + 1, plen))
+            n_steps = jnp.where(end_count, 0,
+                                jnp.where(mark, steps + 1, steps))
+            n_nch = jnp.where(end_mark & accept, nch + 1, nch)
+            n_alive = alive & ~exhausted
+            return (n_oi, n_mode, n_v, n_plen, n_steps, n_nch, used, cid,
+                    scores, n_alive)
+
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0), jnp.zeros((A,), bool),
+                jnp.full((A,), -1, jnp.int32),
+                jnp.zeros((max_chains,), jnp.float32), jnp.bool_(True))
+        out = jax.lax.while_loop(cond, body, init)
+        return out[7].astype(jnp.int8), out[8], out[5].astype(jnp.int8)
+
+    cid, scores, nch = jax.vmap(row)(f_m, pre, order)
+    return cid, scores, nch
+
+
+def decode_chains(cid, scores, nch):
+    """Host decode of chain_extract_batch outputs into the
+    backtrack_chains return shape: per row a list of
+    (ascending anchor-index array, float score)."""
+    cid = np.asarray(cid)
+    scores = np.asarray(scores)
+    nch = np.asarray(nch)
+    out = []
+    for b in range(cid.shape[0]):
         chains = []
-        for oi in range(len(order)):
-            idx = int(order[oi])
-            if used[idx] or scores[oi] < min_score:
-                continue
-            path = []
-            v = idx
-            while v != -1 and not used[v]:
-                path.append(v)
-                used[v] = True
-                d = int(delta[b, v])
-                v = v - d if d > 0 else -1
-            if len(path) < min_anchors:
-                continue
-            path.reverse()
-            chains.append((np.array(path, np.int64), float(scores[oi])))
-            if len(chains) >= max_chains:
-                break
+        for c in range(int(nch[b])):
+            idx = np.nonzero(cid[b] == c)[0]
+            chains.append((idx.astype(np.int64), float(scores[b, c])))
         out.append(chains)
     return out
 

@@ -117,3 +117,33 @@ def test_compact_fallback_when_topk_overflows(rng):
     """topk smaller than #candidates forces the per-row full-f fallback;
     results must stay identical."""
     _compact_vs_full(rng, B=4, A=512, topk=8)
+
+
+def _extract_vs_full(rng, B, A, min_score=30.0, min_anchors=3,
+                     max_chains=10):
+    from ciri_long_tpu.ops.chain import chain_extract_batch, decode_chains
+    rs, qs, cs, val = _random_anchor_batch(rng, B, A)
+    f, pre = chain_scores_batch(rs, qs, cs, val, 15)
+    full = backtrack_chains(f, pre, val, min_score, min_anchors, max_chains)
+    cid, scores, nch = chain_extract_batch(rs, qs, cs, val, min_score, 15,
+                                           max_chains=max_chains,
+                                           min_anchors=min_anchors)
+    dev = decode_chains(cid, scores, nch)
+    assert len(full) == len(dev)
+    for b, (fc, dc) in enumerate(zip(full, dev)):
+        assert len(fc) == len(dc), (b, len(fc), len(dc))
+        for (fi, fs), (di, ds) in zip(fc, dc):
+            np.testing.assert_array_equal(fi, di)
+            assert abs(fs - ds) < 1e-4
+
+
+def test_device_extract_matches_host_backtrack(rng):
+    """chain_extract_batch (full greedy on device) == chain DP + host
+    greedy backtrack, chain for chain, anchor for anchor."""
+    _extract_vs_full(rng, B=8, A=512)
+
+
+def test_device_extract_truncation_and_rejects(rng):
+    """Small max_chains + high min_anchors exercise the used-mask path
+    truncation and rejected-short-path anchor consumption."""
+    _extract_vs_full(rng, B=6, A=256, min_anchors=8, max_chains=2)

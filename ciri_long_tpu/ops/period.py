@@ -69,21 +69,38 @@ def tandem_counts(reads, max_lag: int, k: int = 11, lag_offset=0,
     valid = x < 4
     if pad_lags is None:
         pad_lags = max_lag
-    xpad = jnp.pad(x, ((0, 0), (0, pad_lags + 1)), constant_values=5)
+    if L < k:
+        return jnp.zeros((B, max_lag), jnp.int32)
+
+    # exact base-4 k-mer ids (k <= 15 fits int32: 2k bits) -- one [B, L]
+    # table computed once, so the per-lag work is a shift + equality + sum
+    # instead of a 2x cumsum windowing.  vmap over all lags used to
+    # materialise [max_lag, B, L] int32 temps (8.6 GB at the 4096 bucket,
+    # an HBM OOM); k-mer ids + lax.map lag chunks bound temps to
+    # [chunk, B, L] bool.
+    kid = jnp.zeros((B, L), jnp.int32)
+    vk = jnp.ones((B, L), bool)
+    for j in range(k):
+        shifted = jnp.pad(x, ((0, 0), (0, k)),
+                          constant_values=5)[:, j:j + L]
+        kid = kid * 4 + jnp.where(shifted < 4, shifted, 0)
+        vk = vk & (shifted < 4)
+    # windows that would run off the read end are invalid
+    vk = vk & (jnp.arange(L)[None, :] <= L - k)
+
+    kpad = jnp.pad(kid, ((0, 0), (0, pad_lags + 1)))
+    vpad = jnp.pad(vk, ((0, 0), (0, pad_lags + 1)))
 
     def one_lag(j):
         d = j + lag_offset + 1
-        shifted = jax.lax.dynamic_slice_in_dim(xpad, d, L, axis=1)
-        eq = ((x == shifted) & valid & (shifted < 4)).astype(jnp.int32)
-        cs = jnp.cumsum(eq, axis=1)
-        if L < k:
-            return jnp.zeros((B,), jnp.int32)
-        # window sums of length k: eq[i..i+k-1] == k  <=>  exact k-mer match
-        win = cs[:, k - 1:] - jnp.pad(cs, ((0, 0), (1, 0)))[:, :L - k + 1]
-        return jnp.sum((win == k).astype(jnp.int32), axis=1)
+        ks = jax.lax.dynamic_slice_in_dim(kpad, d, L, axis=1)
+        vs = jax.lax.dynamic_slice_in_dim(vpad, d, L, axis=1)
+        return jnp.sum((kid == ks) & vk & vs, axis=1, dtype=jnp.int32)
 
     lags = jnp.arange(max_lag)
-    return jax.vmap(one_lag, out_axes=1)(lags).astype(jnp.int32)
+    # chunked map keeps the [chunk, B, L] comparison temps bounded
+    prof = jax.lax.map(one_lag, lags, batch_size=min(128, max_lag))
+    return jnp.transpose(prof).astype(jnp.int32)
 
 
 def screen_periodic(counts, lengths, min_period=30, min_units=2.0):

@@ -171,7 +171,15 @@ def _anchor_boundaries(km, pos, period: int, L: int):
     return bs
 
 
-def center_star_consensus(units):
+def star_rep_index(units):
+    """Median-length representative index for center_star_consensus; the
+    batched pipeline path uses this to stage the unit-vs-rep alignment
+    jobs for one device dispatch (ops/nw_tb_batch.py)."""
+    order = sorted(range(len(units)), key=lambda i: len(units[i]))
+    return order[len(order) // 2]
+
+
+def center_star_consensus(units, cigars=None):
     """Consensus of near-identical unit sequences by center-star alignment
     + per-column majority vote.
 
@@ -182,6 +190,11 @@ def center_star_consensus(units):
     for the spoa-parity consensus calls in collapse, but at rolling-circle
     depth a column vote is equally accurate and ~50x cheaper.
     Ties break toward the representative's own call.
+
+    ``cigars`` optionally supplies precomputed banded_global_cigar cigars
+    per unit (None at the representative's slot), as produced by the
+    batched device path; entries must correspond to ``units`` AFTER
+    empty-sequence filtering.
     """
     units = [np.asarray(u, np.int8) for u in units if len(u)]
     U = len(units)
@@ -189,8 +202,7 @@ def center_star_consensus(units):
         return np.zeros(0, np.int8)
     if U == 1:
         return units[0]
-    order = sorted(range(U), key=lambda i: len(units[i]))
-    rep_i = order[len(order) // 2]
+    rep_i = star_rep_index(units)
     rep = units[rep_i]
     n = len(rep)
 
@@ -202,7 +214,10 @@ def center_star_consensus(units):
         if ui == rep_i:
             base_mat[ui] = rep
             continue
-        _, cigar = banded_global_cigar(u, rep)
+        if cigars is not None and cigars[ui] is not None:
+            cigar = cigars[ui]
+        else:
+            _, cigar = banded_global_cigar(u, rep)
         qi = ri = 0
         for length, op in cigar:
             if op == 0:
@@ -248,17 +263,15 @@ def center_star_consensus(units):
     return np.concatenate(out).astype(np.int8)
 
 
-def find_consensus(seq, k: int = K):
-    """Tandem-repeat detection + cyclic consensus.
-
-    Accepts an ASCII string (returns str results, pyccs-compatible) or an
-    int8 code array (returns arrays).
-    """
-    as_str = isinstance(seq, str)
-    codes = encode_seq(seq) if as_str else np.asarray(seq, np.int8)
+def detect_units(codes, k: int = K):
+    """Tandem-repeat detection half of find_consensus: period election +
+    anchor segmentation, no consensus yet.  Returns None when the read is
+    not a rolling-circle candidate, else (period, segments, units) with
+    segments/units as (start, end) pairs (units = the consensus-eligible
+    subset)."""
     L = len(codes)
     if L < 2 * MIN_PERIOD:
-        return None, None
+        return None
 
     km, pos = _kmer_codes(codes, k)
     lags = _lag_votes(km, pos)
@@ -266,21 +279,38 @@ def find_consensus(seq, k: int = K):
     lags = lags[lags <= L / MIN_UNITS]
     period = _elect_period(lags, L)
     if period is None or L < MIN_UNITS * period:
-        return None, None
+        return None
 
     bs = _anchor_boundaries(km, pos, period, L)
     if bs is None or len(bs) < 3:
-        return None, None
+        return None
 
     segments = list(zip(bs[:-1], bs[1:]))
     units = [(st, en) for st, en in segments
              if 0.75 * period <= en - st <= 1.35 * period]
     if len(units) < 2:
+        return None
+    return period, segments, units
+
+
+def find_consensus(seq, k: int = K, star_cigars=None):
+    """Tandem-repeat detection + cyclic consensus.
+
+    Accepts an ASCII string (returns str results, pyccs-compatible) or an
+    int8 code array (returns arrays).  ``star_cigars`` optionally injects
+    precomputed center-star cigars (the batched device path,
+    pipeline/find_ccs.py); byte-identical either way.
+    """
+    as_str = isinstance(seq, str)
+    codes = encode_seq(seq) if as_str else np.asarray(seq, np.int8)
+    det = detect_units(codes, k)
+    if det is None:
         return None, None
+    period, segments, units = det
 
     cons_units = [codes[st:en] for st, en in units[:MAX_POA_UNITS]]
     if len(cons_units) >= 3:
-        cons = center_star_consensus(cons_units)
+        cons = center_star_consensus(cons_units, cigars=star_cigars)
     else:
         # at 2-unit depth a column vote has no majority; the POA with the
         # partial head/tail fragments included breaks the ties (pyccs's

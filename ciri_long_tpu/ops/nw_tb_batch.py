@@ -1,0 +1,332 @@
+"""Batched device banded GLOBAL alignment (NW) with traceback.
+
+The device twin of ops/traceback.py::banded_global_cigar's native core
+(native/nwcore.cpp::py_nw_banded) -- the hot host path of CCS unit
+polishing (center_star_consensus aligns every tandem unit to the
+median-length representative, reference analog: pyccs's POA of unit
+segments) and of inter-anchor stitching.  A whole chunk of unit
+alignments runs as ONE device program; only the O(path) op strings cross
+the tunnel, never DP matrices.
+
+Semantics are bit-identical to the C++ core:
+
+  - sheared band around the length-difference diagonal:
+    lo = min(0, m-n) - band, hi = max(0, m-n) + band, W = hi - lo + 1;
+    cells outside keep value NEG (no clamping of NEG - gap arithmetic).
+  - affine gaps with the prefix-max identity for the within-row E
+    recurrence (exact for gap_open >= gap_extend, ops/sw.py).
+  - traceback priority at H: E first, then F, then diagonal; gap runs
+    continue on exact-value stay checks (E[i,j]==E[i,j-1]-ge resp.
+    F[i,j]==F[i-1,j]-ge) with the same in-band guards.
+  - band doubling: scores at band and min(2*band, max(n,m)) must agree,
+    else the pair falls back to the host implementation (identical to
+    _nw_native's loop, which also returns the SMALLER band's cigar).
+
+Per-cell 4-bit codes (case in bits 0-1: 1=E, 2=F, 3=diag; stay flags in
+bits 2-3) are stored in an [N+1, W] uint8 plane per pair and walked on
+device in a vmapped while_loop, mirroring the C++ 3-state machine.
+"""
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
+
+NEG = -(1 << 28)
+
+N_BUCKETS = (128, 256, 512, 1024, 2048)
+W_BUCKETS = (64, 128, 256, 512)
+B_BUCKETS = (8, 32, 128, 512)
+MAX_N = N_BUCKETS[-1]
+MAX_W = W_BUCKETS[-1]
+
+
+def _bucket(n, ladder):
+    for b in ladder:
+        if n <= b:
+            return b
+    return None
+
+
+def _build_kernel(N, W, CAP, scores):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    match, mismatch, go, ge = scores
+
+    def sub_row(qi, r_slice):
+        """cell_score(q[i-1], r[j-1]) along the band row (nwcore.cpp:32)."""
+        bad = (qi >= 5) | (r_slice >= 5)
+        anyn = (qi == 4) | (r_slice == 4)
+        s = jnp.where(qi == r_slice, match, -mismatch)
+        return jnp.where(bad, NEG, jnp.where(anyn, 0, s))
+
+    def forward(q, rpad, n, m, lo, hi, emit_planes):
+        """Row loop in band coordinates c = j - i - lo; returns
+        (planes|None, score at (n, m))."""
+        idx = jnp.arange(W, dtype=jnp.int32)
+
+        # row 0: H[0,j] = -go-(j-1)*ge for j>=1 (E=H), H[0,0]=0
+        j0 = idx + lo                      # j at i=0
+        row0_valid = (j0 >= 0) & (j0 <= m) & (idx <= hi - lo)
+        H0 = jnp.where(
+            row0_valid,
+            jnp.where(j0 == 0, 0, -go - (j0 - 1) * ge), NEG).astype(jnp.int32)
+        E0 = jnp.where(row0_valid & (j0 >= 1), H0, NEG).astype(jnp.int32)
+        F0 = jnp.full((W,), NEG, jnp.int32)
+
+        if emit_planes:
+            # row-0 codes: every j>=1 cell is an E-enter with E-stay
+            e_stay0 = (j0 > 1) & (idx >= 1) & \
+                jnp.where(idx >= 1, E0 == jnp.roll(E0, 1) - ge, False)
+            code0 = jnp.where(row0_valid & (j0 >= 1),
+                              1 | (e_stay0.astype(jnp.int32) << 2), 0)
+            planes0 = jnp.zeros((N + 1, W), jnp.uint8)
+            planes0 = planes0.at[0].set(code0.astype(jnp.uint8))
+        else:
+            planes0 = None
+
+        c_nm = m - n - lo                  # band column of (n, m)
+
+        def row(i, carry):
+            if emit_planes:
+                Hp, Ep, Fp, planes, score = carry
+            else:
+                Hp, Ep, Fp, score = carry
+            j = idx + i + lo
+            jlo = jnp.maximum(0, i + lo)
+            jhi = jnp.minimum(m, i + hi)
+            live = i <= n
+            valid = (j >= jnp.maximum(1, jlo)) & (j <= jhi) & live
+
+            # diagonal + vertical from previous row
+            qi = q[jnp.clip(i - 1, 0, N - 1)]
+            r_slice = lax.dynamic_slice_in_dim(rpad, W + i + lo - 1, W)
+            d = Hp + sub_row(qi, r_slice)
+            Hp_up = jnp.concatenate([Hp[1:], jnp.array([NEG], jnp.int32)])
+            Fp_up = jnp.concatenate([Fp[1:], jnp.array([NEG], jnp.int32)])
+            F = jnp.maximum(Fp_up - ge, Hp_up - go)
+
+            Htmp = jnp.maximum(d, F)
+            # j == 0 edge cell (only when jlo == 0): H = F = -go-(i-1)*ge
+            edge = -go - (i - 1) * ge
+            is_j0 = (j == 0) & (jlo == 0) & live
+            Htmp = jnp.where(valid, Htmp, NEG)
+            Htmp = jnp.where(is_j0, edge, Htmp)
+            F = jnp.where(valid, F, NEG)
+            F = jnp.where(is_j0, edge, F)
+
+            # within-row E by prefix-max (exact for go >= ge)
+            g = jnp.where(Htmp > NEG // 2, Htmp + ge * idx, NEG)
+            p = lax.cummax(g, axis=0)
+            p_shift = jnp.concatenate([jnp.array([NEG], jnp.int32), p[:-1]])
+            E = jnp.where(p_shift > NEG // 2,
+                          p_shift - go - (idx - 1) * ge, NEG)
+            E = jnp.where(valid, E, NEG)
+            H = jnp.maximum(Htmp, E)
+            H = jnp.where(is_j0, edge, H)
+            H = jnp.where(valid | is_j0, H, NEG)
+            E = jnp.where(is_j0, NEG, E)
+
+            score = jnp.where(live & (i == n),
+                              H[jnp.clip(c_nm, 0, W - 1)], score)
+
+            if emit_planes:
+                in_cell = valid | is_j0
+                case = jnp.where(
+                    (H == E) & (j > 0) & in_cell, 1,
+                    jnp.where((H == F) & in_cell, 2, 3))
+                E_l = jnp.concatenate([jnp.array([NEG], jnp.int32), E[:-1]])
+                e_stay = (j > 1) & (idx >= 1) & (E == E_l - ge) & \
+                    (E_l > NEG // 2)
+                f_stay = (i > 1) & (idx <= W - 2) & (F == Fp_up - ge) & \
+                    (Fp_up > NEG // 2)
+                code = jnp.where(
+                    in_cell,
+                    case | (e_stay.astype(jnp.int32) << 2) |
+                    (f_stay.astype(jnp.int32) << 3), 0).astype(jnp.uint8)
+                planes = planes.at[jnp.clip(i, 0, N)].set(
+                    jnp.where(live, code, planes[jnp.clip(i, 0, N)]))
+                return H, E, F, planes, score
+            return H, E, F, score
+
+        if emit_planes:
+            init = (H0, E0, F0, planes0, jnp.int32(NEG))
+            out = lax.fori_loop(1, N + 1, row, init)
+            return out[3], out[4]
+        init = (H0, E0, F0, jnp.int32(NEG))
+        out = lax.fori_loop(1, N + 1, row, init)
+        return None, out[3]
+
+    def walk(planes, n, m, lo):
+        """Device 3-state traceback over the code plane; ops packed at the
+        END of the buffer in forward order (op ids 0=M, 1=I, 2=D)."""
+        import jax.numpy as jnp
+        flat = planes.reshape(-1).astype(jnp.int32)
+
+        def cond(st):
+            i, j, state, ops, pos, ok = st
+            return ok & ((i > 0) | (j > 0)) & (pos > 0)
+
+        def body(st):
+            i, j, state, ops, pos, ok = st
+            c = j - i - lo
+            code = flat[jnp.clip(i * W + c, 0, (N + 1) * W - 1)]
+            case = code & 3
+            e_stay = (code >> 2) & 1
+            f_stay = (code >> 3) & 1
+
+            at_h = state == 0
+            enter_e = at_h & (case == 1)
+            enter_f = at_h & (case == 2)
+            do_m = at_h & (case == 3)
+            do_e = state == 1
+            do_f = state == 2
+            bad = at_h & (case == 0)
+
+            push = do_m | do_e | do_f
+            op = jnp.where(do_m, 0, jnp.where(do_e, 2, 1))
+            npos = jnp.where(push, pos - 1, pos)
+            ops = jnp.where(push, ops.at[jnp.clip(npos, 0, CAP - 1)].set(
+                op.astype(jnp.uint8)), ops)
+
+            ni = jnp.where(do_m | do_f, i - 1, i)
+            nj = jnp.where(do_m | do_e, j - 1, j)
+            nstate = jnp.where(
+                enter_e, 1,
+                jnp.where(enter_f, 2,
+                          jnp.where(do_e, jnp.where(e_stay == 1, 1, 0),
+                                    jnp.where(do_f,
+                                              jnp.where(f_stay == 1, 2, 0),
+                                              0))))
+            return ni, nj, nstate, ops, npos, ok & ~bad
+
+        init = (n, m, jnp.int32(0), jnp.zeros((CAP,), jnp.uint8),
+                jnp.int32(CAP), jnp.bool_(True))
+        i, j, _st, ops, pos, ok = jax.lax.while_loop(cond, body, init)
+        return ops, pos, ok & (i == 0) & (j == 0)
+
+    @jax.jit
+    def kernel(qs, rpads, ns, ms, los, his, los2, his2):
+        def one(q, rpad, n, m, lo, hi, lo2, hi2):
+            planes, s1 = forward(q, rpad, n, m, lo, hi, True)
+            _, s2 = forward(q, rpad, n, m, lo2, hi2, False)
+            ops, pos, ok = walk(planes, n, m, lo)
+            return s1, s2, ops, pos, ok
+        return jax.vmap(one)(qs, rpads, ns, ms, los, his, los2, his2)
+
+    return kernel
+
+
+_KERNELS = {}
+
+
+def _kernel_for(N, W, CAP, scores):
+    key = (N, W, CAP, scores)
+    if key not in _KERNELS:
+        _KERNELS[key] = _build_kernel(N, W, CAP, scores)
+    return _KERNELS[key]
+
+
+def _merge_ops(ops_tail):
+    """uint8 op stream (forward order) -> run-length cigar [(len, op)]."""
+    cigar = []
+    for op in ops_tail:
+        op = int(op)
+        if cigar and cigar[-1][1] == op:
+            cigar[-1][0] += 1
+        else:
+            cigar.append([1, op])
+    return [(l, o) for l, o in cigar]
+
+
+def device_nw_enabled() -> bool:
+    import jax
+    return jax.default_backend() != 'cpu'
+
+
+@_count_dispatch('nw_tb_batch')
+def nw_traceback_batch(qs: Sequence[np.ndarray], rs: Sequence[np.ndarray],
+                       match=2, mismatch=4, gap_open=4, gap_extend=2
+                       ) -> List[Tuple[int, list]]:
+    """Batched banded_global_cigar (band=None semantics, including the
+    band-doubling stability rule).  Pairs too large for the bucket ladder
+    or failing the stability check fall back to the host implementation,
+    so results are ALWAYS identical to banded_global_cigar pair by pair
+    (fuzz: tests/test_nw_tb_batch.py)."""
+    from ciri_long_tpu.ops.traceback import banded_global_cigar
+
+    jobs = []                     # (orig index, q, r, n, m, geometry...)
+    results = [None] * len(qs)
+    by_bucket = {}
+    for t, (q, r) in enumerate(zip(qs, rs)):
+        q = np.asarray(q, np.int8)
+        r = np.asarray(r, np.int8)
+        n, m = len(q), len(r)
+        if n == 0 or m == 0:
+            results[t] = banded_global_cigar(q, r, match=match,
+                                             mismatch=mismatch,
+                                             gap_open=gap_open,
+                                             gap_extend=gap_extend)
+            continue
+        band = abs(n - m) + 16
+        big = max(n, m)
+        Nb = _bucket(big, N_BUCKETS)
+        band2 = min(2 * band, big)
+        lo1, hi1 = min(0, m - n) - band, max(0, m - n) + band
+        lo2, hi2 = min(0, m - n) - band2, max(0, m - n) + band2
+        Wn = max(hi1 - lo1, hi2 - lo2) + 1
+        Wb = _bucket(Wn, W_BUCKETS)
+        if Nb is None or Wb is None:
+            results[t] = banded_global_cigar(q, r, match=match,
+                                             mismatch=mismatch,
+                                             gap_open=gap_open,
+                                             gap_extend=gap_extend)
+            continue
+        by_bucket.setdefault((Nb, Wb), []).append(
+            (t, q, r, n, m, band, lo1, hi1, lo2, hi2))
+
+    scores = (match, mismatch, gap_open, gap_extend)
+    pending = []
+    for (Nb, Wb), members in by_bucket.items():
+        CAP = 2 * Nb + Wb + 8
+        kernel = _kernel_for(Nb, Wb, CAP, scores)
+        for i0 in range(0, len(members), B_BUCKETS[-1]):
+            part = members[i0:i0 + B_BUCKETS[-1]]
+            B = _bucket(len(part), B_BUCKETS)
+            qs_p = np.full((B, Nb), 5, np.int8)
+            # r lives at offset Wb so dynamic slices stay in range for
+            # negative lo offsets
+            rp = np.full((B, Nb + 2 * Wb + 2), 5, np.int8)
+            geom = np.zeros((B, 6), np.int32)
+            for bt, (t, q, r, n, m, band, lo1, hi1, lo2, hi2) in \
+                    enumerate(part):
+                qs_p[bt, :n] = q
+                rp[bt, Wb:Wb + m] = r
+                geom[bt] = (n, m, lo1, hi1, lo2, hi2)
+            out = kernel(qs_p.astype(np.int32), rp.astype(np.int32),
+                         geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3],
+                         geom[:, 4], geom[:, 5])
+            pending.append((part, out))
+
+    for part, (s1, s2, ops, pos, ok) in pending:
+        s1 = np.asarray(s1)
+        s2 = np.asarray(s2)
+        ops = np.asarray(ops)
+        pos = np.asarray(pos)
+        ok = np.asarray(ok)
+        for bt, (t, q, r, n, m, band, lo1, hi1, lo2, hi2) in \
+                enumerate(part):
+            big = max(n, m)
+            stable = (band >= big) or (int(s1[bt]) == int(s2[bt]))
+            if not (stable and bool(ok[bt]) and int(s1[bt]) > NEG // 2):
+                results[t] = banded_global_cigar(
+                    q, r, match=match, mismatch=mismatch,
+                    gap_open=gap_open, gap_extend=gap_extend)
+                continue
+            cigar = _merge_ops(ops[bt, int(pos[bt]):])
+            results[t] = (int(s1[bt]), cigar)
+    return results

@@ -35,6 +35,56 @@ def _ccs_chunk(chunk):
     return [(rid, find_consensus(seq)) for rid, seq in chunk]
 
 
+def _ccs_chunk_batched(chunk):
+    """Device path: every center-star unit-vs-representative alignment in
+    the chunk runs as ONE batched banded-NW program with on-device
+    traceback (ops/nw_tb_batch.py); detection and the column vote stay on
+    host.  Byte-identical to _ccs_chunk (the kernel falls back to the
+    host aligner pair-by-pair whenever its band-stability rule fails)."""
+    from ciri_long_tpu.ops.ccs import (MAX_POA_UNITS, detect_units,
+                                       star_rep_index)
+    from ciri_long_tpu.ops.nw_tb_batch import nw_traceback_batch
+    from ciri_long_tpu.utils.seq import encode_seq
+
+    preps = []
+    qs, rs = [], []
+    for rid, seq in chunk:
+        codes = encode_seq(seq) if isinstance(seq, str) else seq
+        det = detect_units(codes)
+        if det is None:
+            preps.append((rid, seq, None))
+            continue
+        _period, _segments, units = det
+        cons_units = [codes[st:en] for st, en in units[:MAX_POA_UNITS]]
+        cu = [u for u in cons_units if len(u)]
+        if len(cons_units) < 3 or len(cu) < 2:
+            preps.append((rid, seq, None))    # rare POA path: host
+            continue
+        rep_i = star_rep_index(cu)
+        jobs = []
+        for ui, u in enumerate(cu):
+            if ui == rep_i:
+                continue
+            jobs.append((ui, len(qs)))
+            qs.append(u)
+            rs.append(cu[rep_i])
+        preps.append((rid, seq, (len(cu), jobs)))
+
+    cigars = nw_traceback_batch(qs, rs) if qs else []
+
+    out = []
+    for rid, seq, plan in preps:
+        if plan is None:
+            out.append((rid, find_consensus(seq)))
+        else:
+            U, jobs = plan
+            star = [None] * U
+            for ui, ji in jobs:
+                star[ui] = cigars[ji][1]
+            out.append((rid, find_consensus(seq, star_cigars=star)))
+    return out
+
+
 def device_screen(items, batch=256):
     """Run the device tandem pre-screen over (read_id, seq) items; returns
     the set of read ids PROVEN non-periodic (safe to skip).  Reads longer
@@ -126,7 +176,16 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
             result_iter = pool.imap(_ccs_chunk, chunks)
             results = _drain(result_iter, prog, len(chunks))
     else:
-        results = _drain((_ccs_chunk(c) for c in chunks), prog, len(chunks))
+        # single-process: on an accelerator backend batch each chunk's
+        # unit alignments into one device NW program (byte-identical)
+        env_nw = os.environ.get('CIRI_CCS_DEVICE')
+        if env_nw is not None:
+            use_nw = env_nw not in ('0', 'false', '')
+        else:
+            import jax
+            use_nw = jax.default_backend() != 'cpu'
+        fn = _ccs_chunk_batched if use_nw else _ccs_chunk
+        results = _drain((fn(c) for c in chunks), prog, len(chunks))
 
     total_reads = len(items)
     with open(ccs_path, 'w') as out, open(raw_path, 'w') as trimmed:

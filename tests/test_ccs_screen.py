@@ -120,3 +120,29 @@ def test_pipeline_screen_equivalence(rng, tmp_path):
     assert ra[2] == rb[2]
     for fn in ('tmp/p.ccs.fa', 'tmp/p.raw.fa'):
         assert (out_a / fn).read_bytes() == (out_b / fn).read_bytes()
+
+
+def test_ccs_chunk_batched_matches_host(rng, tmp_path):
+    """The device-batched CCS chunk path (_ccs_chunk_batched: one NW
+    program per chunk) must produce byte-identical consensus results to
+    the host path for every read."""
+    from ciri_long_tpu.pipeline.find_ccs import _ccs_chunk, _ccs_chunk_batched
+    from tests.test_poa import mutate
+
+    reads = []
+    for i in range(30):
+        unit = "".join(rng.choice(list("ACGT"), size=int(rng.integers(60, 500))))
+        copies = float(rng.uniform(2.2, 6.0))
+        full = (unit * int(np.ceil(copies)))[:int(len(unit) * copies)]
+        reads.append(('r{}'.format(i), mutate(rng, full, sub=0.03)))
+    for i in range(8):          # non-periodic
+        reads.append(('lin{}'.format(i),
+                      "".join(rng.choice(list("ACGT"), size=800))))
+
+    host = _ccs_chunk(reads)
+    dev = _ccs_chunk_batched(reads)
+    assert len(host) == len(dev)
+    for (hid, (hseg, hcons)), (did, (dseg, dcons)) in zip(host, dev):
+        assert hid == did
+        assert hseg == dseg
+        assert hcons == dcons

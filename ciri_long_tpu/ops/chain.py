@@ -242,6 +242,7 @@ def chain_extract_batch(r, q, ctg, valid, min_score, k: int,
     iteration, vmapped across rows; semantics match backtrack_chains
     exactly (same stable descending-f candidate order, same used-mask
     truncation, rejected-short paths still consume their anchors)."""
+    assert max_chains <= 14, "4-bit chain-id packing bounds max_chains"
     f, pre = _chain_dp(r, q, ctg, valid, k, window, max_gap_r, max_gap_q)
     B, A = f.shape
     f_m = jnp.where(valid, f, NEG_F)
@@ -308,18 +309,28 @@ def chain_extract_batch(r, q, ctg, valid, min_score, k: int,
         return out[7].astype(jnp.int8), out[8], out[5].astype(jnp.int8)
 
     cid, scores, nch = jax.vmap(row)(f_m, pre, order)
-    return cid, scores, nch
+    # pack (cid+1) as 4-bit pairs: halves the dominant fetch (requires
+    # max_chains <= 14; A is even by bucketing)
+    c4 = (cid.astype(jnp.int32) + 1).astype(jnp.uint8)
+    packed = (c4[:, 0::2] | (c4[:, 1::2] << 4)).astype(jnp.uint8)
+    return packed, scores, nch
 
 
-def decode_chains(cid, scores, nch):
+def decode_chains(packed, scores, nch):
     """Host decode of chain_extract_batch outputs into the
     backtrack_chains return shape: per row a list of
-    (ascending anchor-index array, float score)."""
-    cid = np.asarray(cid)
+    (ascending anchor-index array, float score).  ``packed`` holds two
+    4-bit (chain id + 1) values per byte."""
+    packed = np.asarray(packed)
     scores = np.asarray(scores)
     nch = np.asarray(nch)
+    B, A2 = packed.shape
+    cid = np.empty((B, 2 * A2), np.int16)
+    cid[:, 0::2] = (packed & 0xF).astype(np.int16)
+    cid[:, 1::2] = (packed >> 4).astype(np.int16)
+    cid -= 1
     out = []
-    for b in range(cid.shape[0]):
+    for b in range(B):
         chains = []
         for c in range(int(nch[b])):
             idx = np.nonzero(cid[b] == c)[0]

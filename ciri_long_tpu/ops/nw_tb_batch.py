@@ -162,17 +162,23 @@ def _build_kernel(N, W, CAP, scores):
         return None, out[3]
 
     def walk(planes, n, m, lo):
-        """Device 3-state traceback over the code plane; ops packed at the
-        END of the buffer in forward order (op ids 0=M, 1=I, 2=D)."""
+        """Device 3-state traceback over the code plane, RUN-COMPRESSED on
+        device: each u16 entry is op | (runlen << 2) (op 0=M, 1=I, 2=D),
+        written backwards so the fetched buffer reads in forward order.
+        Near-identical pairs have tens of runs, so the tunnel fetch is
+        ~CAP*2 bytes instead of one byte per aligned column; a path with
+        more than CAP runs (wildly divergent pair) sets ok=False and the
+        host aligner takes that pair."""
         import jax.numpy as jnp
         flat = planes.reshape(-1).astype(jnp.int32)
+        MAXLEN = (1 << 14) - 1
 
         def cond(st):
-            i, j, state, ops, pos, ok = st
-            return ok & ((i > 0) | (j > 0)) & (pos > 0)
+            i, j, state, cur_op, cur_len, runs, pos, ok = st
+            return ok & ((i > 0) | (j > 0))
 
         def body(st):
-            i, j, state, ops, pos, ok = st
+            i, j, state, cur_op, cur_len, runs, pos, ok = st
             c = j - i - lo
             code = flat[jnp.clip(i * W + c, 0, (N + 1) * W - 1)]
             case = code & 3
@@ -189,9 +195,18 @@ def _build_kernel(N, W, CAP, scores):
 
             push = do_m | do_e | do_f
             op = jnp.where(do_m, 0, jnp.where(do_e, 2, 1))
-            npos = jnp.where(push, pos - 1, pos)
-            ops = jnp.where(push, ops.at[jnp.clip(npos, 0, CAP - 1)].set(
-                op.astype(jnp.uint8)), ops)
+            # extend the current run or flush it and start a new one
+            same = push & (op == cur_op) & (cur_len > 0) & \
+                (cur_len < MAXLEN)
+            flush = push & ~same & (cur_len > 0)
+            npos = jnp.where(flush, pos - 1, pos)
+            entry = (cur_op | (cur_len << 2)).astype(jnp.uint16)
+            runs = jnp.where(flush,
+                             runs.at[jnp.clip(npos, 0, CAP - 1)].set(entry),
+                             runs)
+            n_op = jnp.where(push, op, cur_op)
+            n_len = jnp.where(same, cur_len + 1,
+                              jnp.where(push, 1, cur_len))
 
             ni = jnp.where(do_m | do_f, i - 1, i)
             nj = jnp.where(do_m | do_e, j - 1, j)
@@ -202,12 +217,22 @@ def _build_kernel(N, W, CAP, scores):
                                     jnp.where(do_f,
                                               jnp.where(f_stay == 1, 2, 0),
                                               0))))
-            return ni, nj, nstate, ops, npos, ok & ~bad
+            return (ni, nj, nstate, n_op, n_len, runs, npos,
+                    ok & ~bad & (npos > 0))
 
-        init = (n, m, jnp.int32(0), jnp.zeros((CAP,), jnp.uint8),
-                jnp.int32(CAP), jnp.bool_(True))
-        i, j, _st, ops, pos, ok = jax.lax.while_loop(cond, body, init)
-        return ops, pos, ok & (i == 0) & (j == 0)
+        init = (n, m, jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+                jnp.zeros((CAP,), jnp.uint16), jnp.int32(CAP),
+                jnp.bool_(True))
+        i, j, _st, cur_op, cur_len, runs, pos, ok = jax.lax.while_loop(
+            cond, body, init)
+        # flush the final (earliest) run
+        fpos = jnp.where(cur_len > 0, pos - 1, pos)
+        runs = jnp.where(cur_len > 0,
+                         runs.at[jnp.clip(fpos, 0, CAP - 1)].set(
+                             (cur_op | (cur_len << 2)).astype(jnp.uint16)),
+                         runs)
+        ok = ok & (fpos >= 0) & (i == 0) & (j == 0)
+        return runs, fpos, ok
 
     @jax.jit
     def kernel(qs, rpads, ns, ms, los, his, los2, his2):
@@ -231,16 +256,18 @@ def _kernel_for(N, W, CAP, scores):
     return _KERNELS[key]
 
 
-def _merge_ops(ops_tail):
-    """uint8 op stream (forward order) -> run-length cigar [(len, op)]."""
+def _decode_runs(entries):
+    """u16 run entries (forward order) -> [(len, op)] cigar; adjacent
+    same-op entries (MAXLEN splits) merge."""
     cigar = []
-    for op in ops_tail:
-        op = int(op)
+    for e in entries:
+        e = int(e)
+        op, ln = e & 3, e >> 2
         if cigar and cigar[-1][1] == op:
-            cigar[-1][0] += 1
+            cigar[-1] = (cigar[-1][0] + ln, op)
         else:
-            cigar.append([1, op])
-    return [(l, o) for l, o in cigar]
+            cigar.append((ln, op))
+    return cigar
 
 
 def device_nw_enabled() -> bool:
@@ -292,7 +319,7 @@ def nw_traceback_batch(qs: Sequence[np.ndarray], rs: Sequence[np.ndarray],
     scores = (match, mismatch, gap_open, gap_extend)
     pending = []
     for (Nb, Wb), members in by_bucket.items():
-        CAP = 2 * Nb + Wb + 8
+        CAP = min(2 * Nb + Wb + 8, 256)   # run-compressed entries
         kernel = _kernel_for(Nb, Wb, CAP, scores)
         for i0 in range(0, len(members), B_BUCKETS[-1]):
             part = members[i0:i0 + B_BUCKETS[-1]]
@@ -327,6 +354,6 @@ def nw_traceback_batch(qs: Sequence[np.ndarray], rs: Sequence[np.ndarray],
                     q, r, match=match, mismatch=mismatch,
                     gap_open=gap_open, gap_extend=gap_extend)
                 continue
-            cigar = _merge_ops(ops[bt, int(pos[bt]):])
+            cigar = _decode_runs(ops[bt, int(pos[bt]):])
             results[t] = (int(s1[bt]), cigar)
     return results

@@ -66,7 +66,14 @@ def _build_kernel(N, W, CAP, scores):
 
     def forward(q, rpad, n, m, lo, hi, emit_planes):
         """Row loop in band coordinates c = j - i - lo; returns
-        (planes|None, score at (n, m))."""
+        (planes|None, score at (n, m)).
+
+        ``rpad`` must hold r pre-shifted so that rpad[W + i - 1 + c] ==
+        r[c + i + lo - 1] (host places r at offset W - lo).  This makes
+        the per-row slice start SHARED across the vmapped batch -- a
+        per-job traced start would lower to a one-hot-matmul gather on
+        every row (~600 us/row measured on v5e, 10x the whole row's
+        arithmetic)."""
         idx = jnp.arange(W, dtype=jnp.int32)
 
         # row 0: H[0,j] = -go-(j-1)*ge for j>=1 (E=H), H[0,0]=0
@@ -93,18 +100,19 @@ def _build_kernel(N, W, CAP, scores):
 
         def row(i, carry):
             if emit_planes:
-                Hp, Ep, Fp, planes, score = carry
+                Hp, Ep, Fp, planes, Hn = carry
             else:
-                Hp, Ep, Fp, score = carry
+                Hp, Ep, Fp, Hn = carry
             j = idx + i + lo
             jlo = jnp.maximum(0, i + lo)
             jhi = jnp.minimum(m, i + hi)
             live = i <= n
             valid = (j >= jnp.maximum(1, jlo)) & (j <= jhi) & live
 
-            # diagonal + vertical from previous row
+            # diagonal + vertical from previous row (shared slice start:
+            # the lo offset is baked into rpad's host-side placement)
             qi = q[jnp.clip(i - 1, 0, N - 1)]
-            r_slice = lax.dynamic_slice_in_dim(rpad, W + i + lo - 1, W)
+            r_slice = lax.dynamic_slice_in_dim(rpad, W + i - 1, W)
             d = Hp + sub_row(qi, r_slice)
             Hp_up = jnp.concatenate([Hp[1:], jnp.array([NEG], jnp.int32)])
             Fp_up = jnp.concatenate([Fp[1:], jnp.array([NEG], jnp.int32)])
@@ -131,8 +139,9 @@ def _build_kernel(N, W, CAP, scores):
             H = jnp.where(valid | is_j0, H, NEG)
             E = jnp.where(is_j0, NEG, E)
 
-            score = jnp.where(live & (i == n),
-                              H[jnp.clip(c_nm, 0, W - 1)], score)
+            # capture the final row; (n, m) extraction happens ONCE after
+            # the loop (a per-job gather per row costs a one-hot matmul)
+            Hn = jnp.where(live & (i == n), H, Hn)
 
             if emit_planes:
                 in_cell = valid | is_j0
@@ -150,16 +159,20 @@ def _build_kernel(N, W, CAP, scores):
                     (f_stay.astype(jnp.int32) << 3), 0).astype(jnp.uint8)
                 planes = planes.at[jnp.clip(i, 0, N)].set(
                     jnp.where(live, code, planes[jnp.clip(i, 0, N)]))
-                return H, E, F, planes, score
-            return H, E, F, score
+                return H, E, F, planes, Hn
+            return H, E, F, Hn
 
+        Hn0 = jnp.where(n == 0, H0, jnp.full((W,), NEG, jnp.int32))
         if emit_planes:
-            init = (H0, E0, F0, planes0, jnp.int32(NEG))
+            init = (H0, E0, F0, planes0, Hn0)
             out = lax.fori_loop(1, N + 1, row, init)
-            return out[3], out[4]
-        init = (H0, E0, F0, jnp.int32(NEG))
-        out = lax.fori_loop(1, N + 1, row, init)
-        return None, out[3]
+            planes, Hn = out[3], out[4]
+        else:
+            init = (H0, E0, F0, Hn0)
+            out = lax.fori_loop(1, N + 1, row, init)
+            planes, Hn = None, out[3]
+        score = Hn[jnp.clip(c_nm, 0, W - 1)]
+        return planes, score
 
     def walk(planes, n, m, lo):
         """Device 3-state traceback over the code plane, RUN-COMPRESSED on
@@ -235,13 +248,14 @@ def _build_kernel(N, W, CAP, scores):
         return runs, fpos, ok
 
     @jax.jit
-    def kernel(qs, rpads, ns, ms, los, his, los2, his2):
-        def one(q, rpad, n, m, lo, hi, lo2, hi2):
-            planes, s1 = forward(q, rpad, n, m, lo, hi, True)
-            _, s2 = forward(q, rpad, n, m, lo2, hi2, False)
+    def kernel(qs, rpads1, rpads2, ns, ms, los, his, los2, his2):
+        def one(q, rpad1, rpad2, n, m, lo, hi, lo2, hi2):
+            planes, s1 = forward(q, rpad1, n, m, lo, hi, True)
+            _, s2 = forward(q, rpad2, n, m, lo2, hi2, False)
             ops, pos, ok = walk(planes, n, m, lo)
             return s1, s2, ops, pos, ok
-        return jax.vmap(one)(qs, rpads, ns, ms, los, his, los2, his2)
+        return jax.vmap(one)(qs, rpads1, rpads2, ns, ms, los, his, los2,
+                             his2)
 
     return kernel
 
@@ -316,25 +330,55 @@ def nw_traceback_batch(qs: Sequence[np.ndarray], rs: Sequence[np.ndarray],
         by_bucket.setdefault((Nb, Wb), []).append(
             (t, q, r, n, m, band, lo1, hi1, lo2, hi2))
 
+    # merge small groups upward (a job fits any bucket with larger N and
+    # W -- lo/hi are traced, padding is free correctness-wise): every
+    # kernel invocation costs a full dispatch RTT over the tunnel, so
+    # fewer, fuller groups beat tighter padding
+    _MIN_GROUP = 64
+    merged = {}
+    for key in sorted(by_bucket):
+        members = by_bucket[key]
+        if len(members) >= _MIN_GROUP:
+            merged.setdefault(key, []).extend(members)
+            continue
+        Nb, Wb = key
+        host = None
+        for N2 in N_BUCKETS:
+            if N2 < Nb:
+                continue
+            for W2 in W_BUCKETS:
+                if W2 < Wb:
+                    continue
+                if (N2, W2) in by_bucket and (N2, W2) != key and \
+                        len(by_bucket[(N2, W2)]) >= _MIN_GROUP:
+                    host = (N2, W2)
+                    break
+            if host:
+                break
+        merged.setdefault(host or key, []).extend(members)
+
     scores = (match, mismatch, gap_open, gap_extend)
     pending = []
-    for (Nb, Wb), members in by_bucket.items():
+    for (Nb, Wb), members in merged.items():
         CAP = min(2 * Nb + Wb + 8, 256)   # run-compressed entries
         kernel = _kernel_for(Nb, Wb, CAP, scores)
         for i0 in range(0, len(members), B_BUCKETS[-1]):
             part = members[i0:i0 + B_BUCKETS[-1]]
             B = _bucket(len(part), B_BUCKETS)
             qs_p = np.full((B, Nb), 5, np.int8)
-            # r lives at offset Wb so dynamic slices stay in range for
-            # negative lo offsets
-            rp = np.full((B, Nb + 2 * Wb + 2), 5, np.int8)
+            # r placed at offset Wb - lo per pass: the device row slice
+            # then uses a batch-SHARED start (see forward's docstring)
+            rp1 = np.full((B, Nb + 2 * Wb + 2), 5, np.int8)
+            rp2 = np.full((B, Nb + 2 * Wb + 2), 5, np.int8)
             geom = np.zeros((B, 6), np.int32)
             for bt, (t, q, r, n, m, band, lo1, hi1, lo2, hi2) in \
                     enumerate(part):
                 qs_p[bt, :n] = q
-                rp[bt, Wb:Wb + m] = r
+                rp1[bt, Wb - lo1:Wb - lo1 + m] = r
+                rp2[bt, Wb - lo2:Wb - lo2 + m] = r
                 geom[bt] = (n, m, lo1, hi1, lo2, hi2)
-            out = kernel(qs_p.astype(np.int32), rp.astype(np.int32),
+            out = kernel(qs_p.astype(np.int32), rp1.astype(np.int32),
+                         rp2.astype(np.int32),
                          geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3],
                          geom[:, 4], geom[:, 5])
             pending.append((part, out))

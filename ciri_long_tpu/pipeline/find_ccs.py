@@ -184,6 +184,12 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
         else:
             import jax
             use_nw = jax.default_backend() != 'cpu'
+        if use_nw:
+            # chunk partition does not affect results (outputs re-merge in
+            # input order below), so the device path uses 4x chunks: each
+            # batched NW program costs a dispatch RTT, fuller is better
+            chunks = [work[i:i + 4 * CHUNK_SIZE]
+                      for i in range(0, len(work), 4 * CHUNK_SIZE)]
         fn = _ccs_chunk_batched if use_nw else _ccs_chunk
         results = _drain((fn(c) for c in chunks), prog, len(chunks))
 

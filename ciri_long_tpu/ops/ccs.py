@@ -293,17 +293,19 @@ def detect_units(codes, k: int = K):
     return period, segments, units
 
 
-def find_consensus(seq, k: int = K, star_cigars=None):
+def find_consensus(seq, k: int = K, star_cigars=None, det=None):
     """Tandem-repeat detection + cyclic consensus.
 
     Accepts an ASCII string (returns str results, pyccs-compatible) or an
     int8 code array (returns arrays).  ``star_cigars`` optionally injects
-    precomputed center-star cigars (the batched device path,
+    precomputed center-star cigars and ``det`` a precomputed
+    detect_units() result (the batched device path,
     pipeline/find_ccs.py); byte-identical either way.
     """
     as_str = isinstance(seq, str)
     codes = encode_seq(seq) if as_str else np.asarray(seq, np.int8)
-    det = detect_units(codes, k)
+    if det is None:
+        det = detect_units(codes, k)
     if det is None:
         return None, None
     period, segments, units = det

@@ -289,15 +289,14 @@ def device_nw_enabled() -> bool:
     return jax.default_backend() != 'cpu'
 
 
-@_count_dispatch('nw_tb_batch')
-def nw_traceback_batch(qs: Sequence[np.ndarray], rs: Sequence[np.ndarray],
-                       match=2, mismatch=4, gap_open=4, gap_extend=2
-                       ) -> List[Tuple[int, list]]:
-    """Batched banded_global_cigar (band=None semantics, including the
-    band-doubling stability rule).  Pairs too large for the bucket ladder
-    or failing the stability check fall back to the host implementation,
-    so results are ALWAYS identical to banded_global_cigar pair by pair
-    (fuzz: tests/test_nw_tb_batch.py)."""
+def nw_traceback_submit(qs: Sequence[np.ndarray],
+                        rs: Sequence[np.ndarray],
+                        match=2, mismatch=4, gap_open=4, gap_extend=2):
+    """Async half of nw_traceback_batch: stages the buckets and DISPATCHES
+    every device program without fetching.  Returns an opaque handle for
+    nw_traceback_collect; device execution proceeds while the host does
+    other work (the CCS chunk pipeline overlaps chunk i's voting with
+    chunk i+1's alignments)."""
     from ciri_long_tpu.ops.traceback import banded_global_cigar
 
     jobs = []                     # (orig index, q, r, n, m, geometry...)
@@ -382,7 +381,15 @@ def nw_traceback_batch(qs: Sequence[np.ndarray], rs: Sequence[np.ndarray],
                          geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3],
                          geom[:, 4], geom[:, 5])
             pending.append((part, out))
+    return (results, pending, (match, mismatch, gap_open, gap_extend))
 
+
+@_count_dispatch('nw_tb_collect')
+def nw_traceback_collect(handle) -> List[Tuple[int, list]]:
+    """Fetch + decode the other half of nw_traceback_submit."""
+    from ciri_long_tpu.ops.traceback import banded_global_cigar
+
+    results, pending, (match, mismatch, gap_open, gap_extend) = handle
     for part, (s1, s2, ops, pos, ok) in pending:
         s1 = np.asarray(s1)
         s2 = np.asarray(s2)
@@ -401,3 +408,16 @@ def nw_traceback_batch(qs: Sequence[np.ndarray], rs: Sequence[np.ndarray],
             cigar = _decode_runs(ops[bt, int(pos[bt]):])
             results[t] = (int(s1[bt]), cigar)
     return results
+
+
+@_count_dispatch('nw_tb_batch')
+def nw_traceback_batch(qs: Sequence[np.ndarray], rs: Sequence[np.ndarray],
+                       match=2, mismatch=4, gap_open=4, gap_extend=2
+                       ) -> List[Tuple[int, list]]:
+    """Batched banded_global_cigar (band=None semantics, including the
+    band-doubling stability rule).  Pairs too large for the bucket ladder
+    or failing the stability check fall back to the host implementation,
+    so results are ALWAYS identical to banded_global_cigar pair by pair
+    (fuzz: tests/test_nw_tb_batch.py)."""
+    return nw_traceback_collect(nw_traceback_submit(
+        qs, rs, match, mismatch, gap_open, gap_extend))

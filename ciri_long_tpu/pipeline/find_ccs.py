@@ -35,15 +35,12 @@ def _ccs_chunk(chunk):
     return [(rid, find_consensus(seq)) for rid, seq in chunk]
 
 
-def _ccs_chunk_batched(chunk):
-    """Device path: every center-star unit-vs-representative alignment in
-    the chunk runs as ONE batched banded-NW program with on-device
-    traceback (ops/nw_tb_batch.py); detection and the column vote stay on
-    host.  Byte-identical to _ccs_chunk (the kernel falls back to the
-    host aligner pair-by-pair whenever its band-stability rule fails)."""
+def _ccs_prep(chunk):
+    """First half of the device chunk path: host detection + job staging +
+    ASYNC device dispatch.  Returns (preps, handle) for _ccs_finish."""
     from ciri_long_tpu.ops.ccs import (MAX_POA_UNITS, detect_units,
                                        star_rep_index)
-    from ciri_long_tpu.ops.nw_tb_batch import nw_traceback_batch
+    from ciri_long_tpu.ops.nw_tb_batch import nw_traceback_submit
     from ciri_long_tpu.utils.seq import encode_seq
 
     preps = []
@@ -52,13 +49,13 @@ def _ccs_chunk_batched(chunk):
         codes = encode_seq(seq) if isinstance(seq, str) else seq
         det = detect_units(codes)
         if det is None:
-            preps.append((rid, seq, None))
+            preps.append((rid, seq, None, None))
             continue
         _period, _segments, units = det
         cons_units = [codes[st:en] for st, en in units[:MAX_POA_UNITS]]
         cu = [u for u in cons_units if len(u)]
         if len(cons_units) < 3 or len(cu) < 2:
-            preps.append((rid, seq, None))    # rare POA path: host
+            preps.append((rid, seq, det, None))   # rare POA path: host
             continue
         rep_i = star_rep_index(cu)
         jobs = []
@@ -68,21 +65,58 @@ def _ccs_chunk_batched(chunk):
             jobs.append((ui, len(qs)))
             qs.append(u)
             rs.append(cu[rep_i])
-        preps.append((rid, seq, (len(cu), jobs)))
+        preps.append((rid, seq, det, (len(cu), jobs)))
 
-    cigars = nw_traceback_batch(qs, rs) if qs else []
+    return preps, (nw_traceback_submit(qs, rs) if qs else None)
 
+
+def _ccs_finish(preps, handle):
+    """Second half: collect the device cigars, run the column votes."""
+    from ciri_long_tpu.ops.nw_tb_batch import nw_traceback_collect
+
+    cigars = nw_traceback_collect(handle) if handle is not None else []
     out = []
-    for rid, seq, plan in preps:
+    for rid, seq, det, plan in preps:
         if plan is None:
-            out.append((rid, find_consensus(seq)))
+            out.append((rid, (None, None) if det is None
+                       else find_consensus(seq, det=det)))
         else:
             U, jobs = plan
             star = [None] * U
             for ui, ji in jobs:
                 star[ui] = cigars[ji][1]
-            out.append((rid, find_consensus(seq, star_cigars=star)))
+            out.append((rid, find_consensus(seq, star_cigars=star,
+                                            det=det)))
     return out
+
+
+def _ccs_chunk_batched(chunk):
+    """Device path: every center-star unit-vs-representative alignment in
+    the chunk runs as ONE batched banded-NW program with on-device
+    traceback (ops/nw_tb_batch.py); detection and the column vote stay on
+    host.  Byte-identical to _ccs_chunk (the kernel falls back to the
+    host aligner pair-by-pair whenever its band-stability rule fails)."""
+    preps, handle = _ccs_prep(chunk)
+    return _ccs_finish(preps, handle)
+
+
+def _ccs_pipeline(chunks, prog):
+    """One-chunk-lookahead software pipeline: chunk i+1's host detection +
+    device dispatch run while chunk i's device programs execute, and
+    chunk i's voting overlaps chunk i+1's execution.  Results identical
+    to mapping _ccs_chunk_batched."""
+    results = []
+    prev = None
+    for ci, chunk in enumerate(chunks):
+        cur = _ccs_prep(chunk)
+        if prev is not None:
+            results.append(_ccs_finish(*prev))
+            prog.update(min(99, int(100 * len(results) /
+                                    max(1, len(chunks)))))
+        prev = cur
+    if prev is not None:
+        results.append(_ccs_finish(*prev))
+    return results
 
 
 def device_screen(items, batch=256):
@@ -190,8 +224,11 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
             # batched NW program costs a dispatch RTT, fuller is better
             chunks = [work[i:i + 4 * CHUNK_SIZE]
                       for i in range(0, len(work), 4 * CHUNK_SIZE)]
-        fn = _ccs_chunk_batched if use_nw else _ccs_chunk
-        results = _drain((fn(c) for c in chunks), prog, len(chunks))
+        if use_nw:
+            results = _ccs_pipeline(chunks, prog)
+        else:
+            results = _drain((_ccs_chunk(c) for c in chunks), prog,
+                             len(chunks))
 
     total_reads = len(items)
     with open(ccs_path, 'w') as out, open(raw_path, 'w') as trimmed:

@@ -146,3 +146,29 @@ def test_ccs_chunk_batched_matches_host(rng, tmp_path):
         assert hid == did
         assert hseg == dseg
         assert hcons == dcons
+
+
+def test_ccs_pipeline_matches_chunked(rng):
+    """_ccs_pipeline (one-chunk-lookahead submit/collect overlap) must be
+    an exact reordering-free equivalent of mapping _ccs_chunk_batched."""
+    from ciri_long_tpu.pipeline.find_ccs import _ccs_chunk_batched, _ccs_pipeline
+    from tests.test_poa import mutate
+
+    reads = []
+    for i in range(24):
+        unit = "".join(rng.choice(list("ACGT"), size=int(rng.integers(60, 300))))
+        copies = float(rng.uniform(2.2, 5.0))
+        full = (unit * int(np.ceil(copies)))[:int(len(unit) * copies)]
+        reads.append(('r{}'.format(i), mutate(rng, full, sub=0.03)))
+    for i in range(6):
+        reads.append(('lin{}'.format(i),
+                      "".join(rng.choice(list("ACGT"), size=700))))
+    chunks = [reads[i:i + 7] for i in range(0, len(reads), 7)]
+
+    class _Prog:
+        def update(self, *_):
+            pass
+
+    flat_ref = [r for c in chunks for r in _ccs_chunk_batched(c)]
+    flat_pipe = [r for c in _ccs_pipeline(chunks, _Prog()) for r in c]
+    assert flat_ref == flat_pipe

@@ -247,20 +247,35 @@ def center_star_consensus(units, cigars=None):
             ins_len[ui, p] = len(seq_ins)
     ins_support = (ins_len > 0).sum(axis=0)
 
-    out = []
-    for p in range(n + 1):
-        if ins_support[p] * 2 > U:
-            lens = [int(x) for x in ins_len[:, p] if x > 0]
-            mode = Counter(lens).most_common(1)[0][0]
-            for ui in range(U):
-                if ins_len[ui, p] == mode:
-                    out.append(inserts[ui][p])
-                    break
-        if p < n and winner[p] < 5:
-            out.append(np.array([winner[p]], np.int8))
-    if not out:
+    keep = winner < 5
+    qual = np.nonzero(ins_support * 2 > U)[0]
+    base_cons = winner.astype(np.int8)
+    if len(qual) == 0:
+        # fast path (insertion consensus is rare at rolling-circle depth)
+        if not keep.any():
+            return rep
+        return base_cons[keep]
+
+    # slot-p insertions precede column p's base call
+    pieces = []
+    prev = 0
+    for p in qual:
+        seg = base_cons[prev:p][keep[prev:p]]
+        if len(seg):
+            pieces.append(seg)
+        lens = [int(x) for x in ins_len[:, p] if x > 0]
+        mode = Counter(lens).most_common(1)[0][0]
+        for ui in range(U):
+            if ins_len[ui, p] == mode:
+                pieces.append(np.asarray(inserts[ui][p], np.int8))
+                break
+        prev = p
+    seg = base_cons[prev:n][keep[prev:n]]
+    if len(seg):
+        pieces.append(seg)
+    if not pieces:
         return rep
-    return np.concatenate(out).astype(np.int8)
+    return np.concatenate(pieces).astype(np.int8)
 
 
 def detect_units(codes, k: int = K):

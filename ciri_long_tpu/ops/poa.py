@@ -461,8 +461,34 @@ def poa(seqs: Sequence, algorithm: int = 2, genmsa: bool = False,
     codes = [encode_seq(s) if isinstance(s, str) else np.asarray(s, np.int8)
              for s in seqs]
 
+    import os
+    try:
+        from ciri_long_tpu import _poacore
+        poa_all = _poacore.poa_all
+    except ImportError:
+        poa_all = None
+    if poa_all is not None and \
+            os.environ.get('CIRI_NATIVE_POA', '1') not in ('0', 'false', ''):
+        # full-native pipeline (graph build + fuse + consensus), a twin of
+        # the Python graph path; parity fuzz: tests/test_poa_native.py
+        lens = np.array([len(c) for c in codes], np.int32)
+        concat = (np.concatenate([np.ascontiguousarray(c, np.uint8)
+                                  for c in codes if len(c)])
+                  if lens.sum() else np.zeros(0, np.uint8))
+        buf = poa_all(concat.tobytes(), lens.tobytes(),
+                      m, x, o1, e1, o2, e2)
+        cons = np.frombuffer(buf, np.uint8).astype(np.int8)
+    else:
+        cons = _poa_python(codes, m, x, o1, e1, o2, e2)
+    out = decode_seq(cons) if as_str else cons
+    return out, None
+
+
+def _poa_python(codes, m, x, o1, e1, o2, e2):
+    """The host-graph poa() path (kept as the parity oracle for poa_all and
+    as the fallback when the extension is unavailable)."""
     g = _Graph()
-    for si, seq in enumerate(codes):
+    for seq in codes:
         if len(seq) == 0:
             continue
         if not g.base:
@@ -476,7 +502,4 @@ def poa(seqs: Sequence, algorithm: int = 2, genmsa: bool = False,
             continue
         _, aln = _align_to_graph(g, seq, m, x, o1, e1, o2, e2)
         _fuse(g, seq, aln)
-
-    cons = _consensus(g)
-    out = decode_seq(cons) if as_str else cons
-    return out, None
+    return _consensus(g)

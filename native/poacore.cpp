@@ -1,19 +1,24 @@
-// _poacore: native sequence-to-graph alignment for POA consensus.
+// _poacore: native POA (partial-order alignment) cores.
 //
-// The DP + traceback behind ops/poa.py::_align_to_graph (the spoa role,
-// collapse.py:267,504 in the reference).  Semantics mirror the numpy
-// implementation exactly -- same two-piece ("convex") affine gap model,
-// same free-overhang (kOV) boundary rules, same tie order in traceback --
-// so the Python wrapper can fall back transparently.
+// Two entry points:
+//   align_graph(...)  -- the DP + traceback behind ops/poa.py::
+//                        _align_to_graph (the spoa role, reference
+//                        collapse.py:267,504).
+//   poa_all(...)      -- the WHOLE poa() pipeline (graph backbone, per-
+//                        sequence align + fuse with ring merging, heaviest-
+//                        bundle consensus) in one call, byte-identical to
+//                        the Python graph code in ops/poa.py.
 //
-// Graph rows are visited in topological order (rank space).  The caller
-// flattens the predecessor lists (rank+1 row indices, dict insertion
-// order preserved) into offsets[V+1] / preds[] so no Python objects cross
-// the boundary.
+// Semantics mirror the numpy implementation exactly -- same two-piece
+// ("convex") affine gap model, same free-overhang (kOV) boundary rules,
+// same tie order in traceback, same dict-insertion-order edge iteration,
+// same LIFO topological order -- so the Python wrapper can fall back
+// transparently and parity fuzz tests can compare paths.
 //
-// Returns (score, aln_int32_pairs): pairs of (node_rank | -1, seqpos | -1)
-// in alignment order; rank -1 = seq char unaligned (gap in graph), pos -1
-// = graph node skipped by a deletion.
+// Graph rows are visited in topological order (rank space).  For
+// align_graph the caller flattens the predecessor lists (rank+1 row
+// indices, dict insertion order preserved) into offsets[V+1] / preds[] so
+// no Python objects cross the boundary; poa_all keeps the graph native.
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
@@ -21,32 +26,32 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <utility>
 #include <vector>
 
 namespace {
 
 constexpr int32_t kNeg = -(1 << 28);
 
-PyObject* py_align_graph(PyObject*, PyObject* args) {
-  Py_buffer bases_b, offs_b, preds_b, seq_b;
-  int m, x, o1, e1, o2, e2;
-  if (!PyArg_ParseTuple(args, "y*y*y*y*iiiiii", &bases_b, &offs_b, &preds_b,
-                        &seq_b, &m, &x, &o1, &e1, &o2, &e2)) {
-    return nullptr;
-  }
-  const uint8_t* bases = static_cast<const uint8_t*>(bases_b.buf);
-  const int32_t* offs = static_cast<const int32_t*>(offs_b.buf);
-  const int32_t* preds = static_cast<const int32_t*>(preds_b.buf);
-  const uint8_t* seq = static_cast<const uint8_t*>(seq_b.buf);
-  const int64_t V = bases_b.len;
-  const int64_t n = seq_b.len;
-  const int64_t W = n + 1;
-
+struct Workspace {
   std::vector<int32_t> H, M, F1, F2, E1, E2;
-  std::vector<int32_t> aln;  // flattened (rank, pos) pairs, reversed
-  int32_t score = 0;
+  std::vector<int32_t> Hpre, Mrow, F1p, F2p;
+};
 
-  Py_BEGIN_ALLOW_THREADS
+// DP + traceback in rank space.  offs/preds use rank+1 row indices (row 0
+// is the virtual source).  Appends (rank|-1, pos|-1) pairs in FORWARD
+// alignment order to `aln`; returns the score.
+int32_t AlignCore(const uint8_t* bases, const int32_t* offs,
+                  const int32_t* preds, int64_t V, const uint8_t* seq,
+                  int64_t n, int m, int x, int o1, int e1, int o2, int e2,
+                  Workspace& ws, std::vector<int32_t>& aln) {
+  const int64_t W = n + 1;
+  auto& H = ws.H;
+  auto& M = ws.M;
+  auto& F1 = ws.F1;
+  auto& F2 = ws.F2;
+  auto& E1 = ws.E1;
+  auto& E2 = ws.E2;
   H.assign((V + 1) * W, kNeg);
   M.assign((V + 1) * W, kNeg);
   F1.assign((V + 1) * W, kNeg);
@@ -61,7 +66,14 @@ PyObject* py_align_graph(PyObject*, PyObject* args) {
                     o2 + static_cast<int32_t>(j - 1) * e2);
   }
 
-  std::vector<int32_t> Hpre(W), Mrow(W), F1p(W), F2p(W);
+  auto& Hpre = ws.Hpre;
+  auto& Mrow = ws.Mrow;
+  auto& F1p = ws.F1p;
+  auto& F2p = ws.F2p;
+  Hpre.resize(W);
+  Mrow.resize(W);
+  F1p.resize(W);
+  F2p.resize(W);
   for (int64_t i = 1; i <= V; ++i) {
     const uint8_t base = bases[i - 1];
     const int32_t* p0 = &preds[offs[i - 1]];
@@ -111,8 +123,7 @@ PyObject* py_align_graph(PyObject*, PyObject* args) {
     for (int64_t j = 1; j <= n; ++j) {
       E1i[j] = p1 + o1;
       E2i[j] = p2 + o2;
-      const int32_t h =
-          std::max(Hpre[j], std::max(E1i[j], E2i[j]));
+      const int32_t h = std::max(Hpre[j], std::max(E1i[j], E2i[j]));
       Hi[j] = h;
       p1 = std::max(p1 + e1, Hpre[j]);
       p2 = std::max(p2 + e2, Hpre[j]);
@@ -127,9 +138,11 @@ PyObject* py_align_graph(PyObject*, PyObject* args) {
   for (int64_t i = 0; i <= V; ++i) {
     if (H[i * W + n] > H[end_rank * W + n]) end_rank = i;
   }
-  score = H[end_rank * W + n];
+  const int32_t score = H[end_rank * W + n];
 
-  // Traceback (same branch order as the numpy version).
+  // Traceback (same branch order as the numpy version); pairs pushed in
+  // reverse, flipped to forward order before returning.
+  const size_t aln0 = aln.size();
   int64_t i = end_rank, j = n;
   while (j > 0) {
     if (i == 0) {
@@ -152,8 +165,7 @@ PyObject* py_align_graph(PyObject*, PyObject* args) {
       bool took = false;
       // preds in caller order, then the source row.
       for (int64_t k = 0; k <= np && !took; ++k) {
-        const int64_t pr =
-            (np == 0) ? 0 : (k < np ? p0[k] : 0);
+        const int64_t pr = (np == 0) ? 0 : (k < np ? p0[k] : 0);
         if (H[pr * W + j - 1] + s == h) {
           aln.push_back(static_cast<int32_t>(i - 1));
           aln.push_back(static_cast<int32_t>(j - 1));
@@ -188,10 +200,34 @@ PyObject* py_align_graph(PyObject*, PyObject* args) {
     --j;
   }
   // pairs were pushed (rank, pos) in reverse alignment order; reverse by
-  // pair.
-  std::reverse(aln.begin(), aln.end());
-  for (size_t k = 0; k + 1 < aln.size(); k += 2) {
+  // pair within the appended region.
+  std::reverse(aln.begin() + aln0, aln.end());
+  for (size_t k = aln0; k + 1 < aln.size(); k += 2) {
     std::swap(aln[k], aln[k + 1]);
+  }
+  return score;
+}
+
+PyObject* py_align_graph(PyObject*, PyObject* args) {
+  Py_buffer bases_b, offs_b, preds_b, seq_b;
+  int m, x, o1, e1, o2, e2;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*iiiiii", &bases_b, &offs_b, &preds_b,
+                        &seq_b, &m, &x, &o1, &e1, &o2, &e2)) {
+    return nullptr;
+  }
+  const uint8_t* bases = static_cast<const uint8_t*>(bases_b.buf);
+  const int32_t* offs = static_cast<const int32_t*>(offs_b.buf);
+  const int32_t* preds = static_cast<const int32_t*>(preds_b.buf);
+  const uint8_t* seq = static_cast<const uint8_t*>(seq_b.buf);
+  const int64_t V = bases_b.len;
+  const int64_t n = seq_b.len;
+
+  std::vector<int32_t> aln;
+  int32_t score = 0;
+  Py_BEGIN_ALLOW_THREADS {
+    Workspace ws;
+    score = AlignCore(bases, offs, preds, V, seq, n, m, x, o1, e1, o2, e2,
+                      ws, aln);
   }
   Py_END_ALLOW_THREADS
 
@@ -204,10 +240,217 @@ PyObject* py_align_graph(PyObject*, PyObject* args) {
       (Py_ssize_t)(aln.size() * sizeof(int32_t)));
 }
 
+// ---------------------------------------------------------------------------
+// Full-native POA pipeline (ops/poa.py::poa twin).
+
+// Mirrors ops/poa.py::_Graph.  Edge lists keep INSERTION order (the Python
+// dicts' iteration order) because alignment tie-breaking and the consensus
+// walk depend on it.  `rings` mirror the shared Python column lists: every
+// node in an alignment ring shares one member list.
+struct Graph {
+  std::vector<uint8_t> base;
+  std::vector<int32_t> ring_id;
+  std::vector<std::vector<int32_t>> rings;
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> in_e, out_e;
+  std::vector<int32_t> support;
+
+  int32_t new_node(uint8_t b) {
+    const int32_t v = static_cast<int32_t>(base.size());
+    base.push_back(b);
+    ring_id.push_back(static_cast<int32_t>(rings.size()));
+    rings.push_back({v});
+    in_e.emplace_back();
+    out_e.emplace_back();
+    support.push_back(0);
+    return v;
+  }
+
+  void add_edge(int32_t p, int32_t v) {
+    bool found = false;
+    for (auto& kv : in_e[v]) {
+      if (kv.first == p) {
+        ++kv.second;
+        found = true;
+        break;
+      }
+    }
+    if (!found) in_e[v].push_back({p, 1});
+    found = false;
+    for (auto& kv : out_e[p]) {
+      if (kv.first == v) {
+        ++kv.second;
+        found = true;
+        break;
+      }
+    }
+    if (!found) out_e[p].push_back({v, 1});
+  }
+
+  // Python topo_order: stack seeded with zero-indegree ids sorted
+  // ascending, list.pop() = LIFO, successors pushed in out-edge insertion
+  // order.
+  void topo(std::vector<int32_t>& order) const {
+    const int64_t nn = static_cast<int64_t>(base.size());
+    std::vector<int32_t> indeg(nn);
+    for (int64_t v = 0; v < nn; ++v) {
+      indeg[v] = static_cast<int32_t>(in_e[v].size());
+    }
+    std::vector<int32_t> stack;
+    for (int64_t v = 0; v < nn; ++v) {
+      if (indeg[v] == 0) stack.push_back(static_cast<int32_t>(v));
+    }
+    order.clear();
+    order.reserve(nn);
+    while (!stack.empty()) {
+      const int32_t v = stack.back();
+      stack.pop_back();
+      order.push_back(v);
+      for (const auto& kv : out_e[v]) {
+        if (--indeg[kv.first] == 0) stack.push_back(kv.first);
+      }
+    }
+  }
+};
+
+// poa_all(seqs_concat_u8, lens_i32, m, x, o1, e1, o2, e2) -> consensus
+// bytes (int8 codes).  Twin of ops/poa.py::poa over code arrays.
+PyObject* py_poa_all(PyObject*, PyObject* args) {
+  Py_buffer seqs_b, lens_b;
+  int m, x, o1, e1, o2, e2;
+  if (!PyArg_ParseTuple(args, "y*y*iiiiii", &seqs_b, &lens_b, &m, &x, &o1,
+                        &e1, &o2, &e2)) {
+    return nullptr;
+  }
+  const uint8_t* seqs = static_cast<const uint8_t*>(seqs_b.buf);
+  const int32_t* lens = static_cast<const int32_t*>(lens_b.buf);
+  const int64_t nseq = lens_b.len / static_cast<int64_t>(sizeof(int32_t));
+
+  std::vector<uint8_t> cons;
+  Py_BEGIN_ALLOW_THREADS {
+    Graph g;
+    Workspace ws;
+    std::vector<int32_t> order, rank, offs, preds, aln;
+    std::vector<uint8_t> bases_r;
+    int64_t off = 0;
+    for (int64_t si = 0; si < nseq; ++si) {
+      const uint8_t* seq = seqs + off;
+      const int64_t n = lens[si];
+      off += n;
+      if (n == 0) continue;
+      if (g.base.empty()) {
+        // backbone from the first non-empty sequence
+        int32_t prev = -1;
+        for (int64_t t = 0; t < n; ++t) {
+          const int32_t cur = g.new_node(seq[t]);
+          ++g.support[cur];
+          if (prev >= 0) g.add_edge(prev, cur);
+          prev = cur;
+        }
+        continue;
+      }
+      // flatten to rank space (insertion-order preds, rank+1 indices)
+      g.topo(order);
+      const int64_t V = static_cast<int64_t>(order.size());
+      rank.assign(g.base.size(), 0);
+      for (int64_t i = 0; i < V; ++i) rank[order[i]] = static_cast<int32_t>(i);
+      bases_r.resize(V);
+      offs.assign(V + 1, 0);
+      preds.clear();
+      for (int64_t i = 0; i < V; ++i) {
+        const int32_t v = order[i];
+        bases_r[i] = g.base[v];
+        for (const auto& kv : g.in_e[v]) {
+          preds.push_back(rank[kv.first] + 1);
+        }
+        offs[i + 1] = static_cast<int32_t>(preds.size());
+      }
+      aln.clear();
+      AlignCore(bases_r.data(), offs.data(), preds.data(), V, seq, n, m, x,
+                o1, e1, o2, e2, ws, aln);
+      // fuse (ops/poa.py::_fuse): ring-merge matched columns
+      int32_t prev = -1;
+      for (size_t k = 0; k + 1 < aln.size(); k += 2) {
+        const int32_t r = aln[k];
+        const int32_t jp = aln[k + 1];
+        if (jp < 0) continue;  // graph node skipped, no seq char
+        const uint8_t b = seq[jp];
+        const int32_t node = (r >= 0) ? order[r] : -1;
+        int32_t cur;
+        if (node >= 0 && g.base[node] == b) {
+          cur = node;
+        } else if (node >= 0) {
+          cur = -1;
+          for (const int32_t r2 : g.rings[g.ring_id[node]]) {
+            if (g.base[r2] == b) {
+              cur = r2;
+              break;
+            }
+          }
+          if (cur < 0) {
+            cur = g.new_node(b);
+            g.rings[g.ring_id[node]].push_back(cur);
+            g.ring_id[cur] = g.ring_id[node];
+          }
+        } else {
+          cur = g.new_node(b);
+        }
+        ++g.support[cur];
+        if (prev >= 0) g.add_edge(prev, cur);
+        prev = cur;
+      }
+    }
+
+    // consensus (ops/poa.py::_consensus): heaviest-bundle walk with the
+    // (2w - 1) length-bias discount; ties by accumulated support, end node
+    // = first maximum in topological order.
+    if (!g.base.empty()) {
+      g.topo(order);
+      std::vector<std::pair<int64_t, int64_t>> best(g.base.size(), {0, 0});
+      std::vector<int32_t> back(g.base.size(), -1);
+      for (const int32_t v : order) {
+        for (const auto& kv : g.in_e[v]) {
+          const int32_t p = kv.first;
+          const std::pair<int64_t, int64_t> cand{
+              best[p].first + 2 * static_cast<int64_t>(kv.second) - 1,
+              best[p].second + g.support[p]};
+          if (cand > best[v]) {
+            best[v] = cand;
+            back[v] = p;
+          }
+        }
+      }
+      int32_t end = -1;
+      std::pair<int64_t, int64_t> bk{INT64_MIN, INT64_MIN};
+      for (const int32_t v : order) {
+        const std::pair<int64_t, int64_t> key{
+            best[v].first, static_cast<int64_t>(g.support[v])};
+        if (key > bk) {
+          bk = key;
+          end = v;
+        }
+      }
+      std::vector<uint8_t> rev;
+      for (int32_t v = end; v >= 0; v = back[v]) rev.push_back(g.base[v]);
+      cons.assign(rev.rbegin(), rev.rend());
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&seqs_b);
+  PyBuffer_Release(&lens_b);
+  static const char kEmpty[] = "";
+  const char* data =
+      cons.empty() ? kEmpty : reinterpret_cast<const char*>(cons.data());
+  return Py_BuildValue("y#", data, (Py_ssize_t)cons.size());
+}
+
 PyMethodDef kMethods[] = {
     {"align_graph", py_align_graph, METH_VARARGS,
      "align_graph(bases, pred_offsets_i32, preds_i32, seq, m, x, o1, e1, "
      "o2, e2) -> (score, aln_rank_pos_i32_pairs)"},
+    {"poa_all", py_poa_all, METH_VARARGS,
+     "poa_all(seqs_concat_u8, lens_i32, m, x, o1, e1, o2, e2) -> consensus "
+     "codes (bytes)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

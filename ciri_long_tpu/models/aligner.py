@@ -42,6 +42,12 @@ EXT_CAP = 1000         # max bases considered in end extension
 # with zero clips.
 EXT_SCORES = dict(match=2, mismatch=4, gap_open=8, gap_extend=2, zdrop=100)
 
+try:
+    from ciri_long_tpu import _nwcore as _nwc
+    _STITCH_NATIVE = getattr(_nwc, 'stitch', None)
+except ImportError:
+    _STITCH_NATIVE = None
+
 
 class GenomeAligner:
     def __init__(self, genome: Genome, k: Optional[int] = None,
@@ -414,7 +420,51 @@ class GenomeAligner:
 
     # ------------------------------------------------------------------
     def _stitch(self, r, q, qc, qlen, strand, score) -> Optional[Hit]:
-        """Fill inter-anchor gaps into a cigar; extend both ends."""
+        """Fill inter-anchor gaps into a cigar; extend both ends.
+
+        Dispatches to the native core (native/nwcore.cpp::stitch) when
+        available -- byte-identical to _stitch_py (parity fuzz:
+        tests/test_stitch_native.py); CIRI_NATIVE_STITCH=0 forces the
+        Python path."""
+        import os
+        if _STITCH_NATIVE is not None and \
+                os.environ.get('CIRI_NATIVE_STITCH', '1') not in \
+                ('0', 'false', ''):
+            r_st0 = int(r[0])
+            ctg, _ = self.genome.locate(r_st0)
+            if ctg is None:
+                return None
+            ctg_lo = int(self.genome.offsets[ctg])
+            ctg_hi = ctg_lo + int(self.genome.contig_len[ctg])
+            ret = _STITCH_NATIVE(
+                np.ascontiguousarray(qc, np.int8),
+                self.genome.codes,
+                np.ascontiguousarray(np.asarray(r, np.int64)),
+                np.ascontiguousarray(np.asarray(q, np.int64)),
+                self.k, ctg_lo, ctg_hi, MIN_INTRON, self.SPLICE_BONUS,
+                EXT_CAP, 2, 4, 4, 2,
+                EXT_SCORES['match'], EXT_SCORES['mismatch'],
+                EXT_SCORES['gap_open'], EXT_SCORES['gap_extend'],
+                EXT_SCORES['zdrop'])
+            q_st, r_st, q_en, r_en, mlen, blen, cig = ret
+            cigar = [(int(x) >> 4, int(x) & 0xF)
+                     for x in np.frombuffer(cig, np.uint32)]
+            ctg2, local_st = self.genome.locate(r_st)
+            _, local_en = self.genome.locate(r_en - 1)
+            if ctg2 != ctg:
+                return None
+            if strand > 0:
+                oq_st, oq_en = q_st, q_en
+            else:
+                oq_st, oq_en = qlen - q_en, qlen - q_st
+            return Hit(ctg=ctg, strand=strand, q_st=oq_st, q_en=oq_en,
+                       r_st=local_st, r_en=local_en + 1, mlen=mlen,
+                       blen=blen, cigar=cigar, score=score, mapq=60,
+                       ctg_len=self.genome.contig_len[ctg])
+        return self._stitch_py(r, q, qc, qlen, strand, score)
+
+    def _stitch_py(self, r, q, qc, qlen, strand, score) -> Optional[Hit]:
+        """Python stitcher (parity oracle for the native core)."""
         k = self.k
         gcodes = self.genome.codes
         cigar = []

@@ -1,19 +1,30 @@
-// _nwcore: native banded global alignment with traceback.
+// _nwcore: native banded global alignment with traceback + the chain
+// stitcher built from it.
 //
 // The host-side pairwise workhorse behind ops/traceback.py: unit-vs-
 // representative consensus alignment (CCS stage), inter-anchor stitching
 // and the splice flank matrices all reduce to small global affine-gap
 // alignments.  The numpy row-vectorised DP pays ~20 us of interpreter
-// overhead per row; this core runs the sheared-band DP at C++ speed.
+// overhead per row; these cores run the DP at C++ speed.
 //
-// Semantics mirror ops/traceback.py::_banded_nw / _nw_full_vec exactly:
+// Entry points:
+//   nw_banded / extend / prefix_matrix -- pairwise primitives (twins of
+//     ops/traceback.py::_banded_nw / extend_align / _nw_matrix).
+//   stitch -- the whole GenomeAligner._stitch inner loop (the role ksw2
+//     gap filling plays for minimap2's chains): inter-anchor gap cigars,
+//     gapped splice-junction placement with the GT-AG bonus, both-end
+//     z-drop extensions and match counting, byte-identical to the Python
+//     path (models/aligner.py::_stitch_py; parity fuzz in
+//     tests/test_stitch_native.py).
+//
+// Semantics mirror ops/traceback.py exactly:
 //   - scores: match / -mismatch over codes 0..3, N (4) scores 0,
 //     PAD (5) poisons; gap of length L costs open + (L-1)*extend
 //   - global alignment of ALL of q to ALL of r
-//   - returns None (Py_None) when the band cannot connect the corners,
-//     so the Python wrapper can double the band and retry.
+//   - nw_banded returns None (Py_None) when the band cannot connect the
+//     corners, so callers can double the band and retry.
 //
-// Cigar ops: 0=M 1=I (consumes q) 2=D (consumes r), encoded as
+// Cigar ops: 0=M 1=I (consumes q) 2=D 3=N (consume r), encoded as
 // uint32 (length << 4 | op).
 
 #define PY_SSIZE_T_CLEAN
@@ -36,33 +47,36 @@ inline int32_t cell_score(uint8_t a, uint8_t b, int32_t match,
   return a == b ? match : -mismatch;
 }
 
-// Sheared band: for row i, valid columns j in [lo(i), hi(i)] with
-// |j - i*m/n| bounded; we use the simple |j - i| <= band + |n - m| window
-// around the main diagonal, matching the numpy fallback's reachability.
-PyObject* py_nw_banded(PyObject*, PyObject* args) {
-  Py_buffer qb, rb;
-  int band;
-  int match, mismatch, gap_open, gap_extend;
-  if (!PyArg_ParseTuple(args, "y*y*iiiii", &qb, &rb, &band, &match,
-                        &mismatch, &gap_open, &gap_extend)) {
-    return nullptr;
+// run-length cigar with merging append (uint32 length<<4|op)
+struct Cigar {
+  std::vector<uint32_t> ops;
+  void emit(uint32_t op, int64_t len) {
+    if (len <= 0) return;
+    if (!ops.empty() && (ops.back() & 0xfu) == op) {
+      ops.back() += static_cast<uint32_t>(len) << 4;
+    } else {
+      ops.push_back((static_cast<uint32_t>(len) << 4) | op);
+    }
   }
-  const uint8_t* q = static_cast<const uint8_t*>(qb.buf);
-  const uint8_t* r = static_cast<const uint8_t*>(rb.buf);
-  const int64_t n = qb.len;
-  const int64_t m = rb.len;
+  void emit_runs(const std::vector<uint32_t>& runs) {
+    for (uint32_t r : runs) emit(r & 0xfu, r >> 4);
+  }
+};
 
+// ---------------------------------------------------------------------------
+// Banded global NW core (twin of py_nw_banded's DP).  Returns false when
+// the band cannot connect the corners.  Appends merged runs to `ops`.
+bool nw_banded_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
+                    int64_t band, int match, int mismatch, int gap_open,
+                    int gap_extend, int32_t* score_out,
+                    std::vector<uint32_t>* ops_out) {
   // band measured around the shifted diagonal (handles n != m)
   const int64_t lo_off = std::min<int64_t>(0, m - n) - band;
   const int64_t hi_off = std::max<int64_t>(0, m - n) + band;
   const int64_t W = hi_off - lo_off + 1;
 
-  std::vector<int32_t> H, E, F;
-  bool feasible = true;
-  Py_BEGIN_ALLOW_THREADS
-  H.assign((n + 1) * W, kNeg);
-  E.assign((n + 1) * W, kNeg);
-  F.assign((n + 1) * W, kNeg);
+  std::vector<int32_t> H((n + 1) * W, kNeg), E((n + 1) * W, kNeg),
+      F((n + 1) * W, kNeg);
   auto T = [&](int64_t i, int64_t j) { return i * W + (j - i - lo_off); };
   auto in_band = [&](int64_t i, int64_t j) {
     return j >= 0 && j <= m && (j - i) >= lo_off && (j - i) <= hi_off;
@@ -76,7 +90,7 @@ PyObject* py_nw_banded(PyObject*, PyObject* args) {
   for (int64_t i = 1; i <= n; ++i) {
     const int64_t jlo = std::max<int64_t>(0, i + lo_off);
     const int64_t jhi = std::min<int64_t>(m, i + hi_off);
-    if (jlo > jhi) { feasible = false; break; }
+    if (jlo > jhi) return false;
     if (jlo == 0) {
       H[T(i, 0)] = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
       F[T(i, 0)] = H[T(i, 0)];
@@ -95,94 +109,111 @@ PyObject* py_nw_banded(PyObject*, PyObject* args) {
       H[T(i, j)] = std::max(d, std::max(e, f));
     }
   }
-  Py_END_ALLOW_THREADS
-
-  auto T2 = [&](int64_t i, int64_t j) { return i * W + (j - i - lo_off); };
-  auto in_band2 = [&](int64_t i, int64_t j) {
-    return j >= 0 && j <= m && (j - i) >= lo_off && (j - i) <= hi_off;
-  };
-
-  if (!feasible || !in_band2(n, m) || H[T2(n, m)] <= kNeg / 2) {
-    PyBuffer_Release(&qb);
-    PyBuffer_Release(&rb);
-    Py_RETURN_NONE;
-  }
-  const int32_t score = H[T2(n, m)];
+  if (!in_band(n, m) || H[T(n, m)] <= kNeg / 2) return false;
+  *score_out = H[T(n, m)];
+  if (ops_out == nullptr) return true;
 
   // traceback (same 3-state machine as the numpy fallback)
-  std::vector<uint32_t> ops;
-  auto push = [&](uint32_t op) {
-    if (!ops.empty() && (ops.back() & 0xfu) == op) {
-      ops.back() += 1u << 4;
-    } else {
-      ops.push_back((1u << 4) | op);
-    }
-  };
+  Cigar cig;
   int64_t i = n, j = m;
   int state = 0;  // 0=H 1=E 2=F
   while (i > 0 || j > 0) {
     if (state == 0) {
-      if (j > 0 && in_band2(i, j) && H[T2(i, j)] == E[T2(i, j)]) {
+      if (j > 0 && in_band(i, j) && H[T(i, j)] == E[T(i, j)]) {
         state = 1;
-      } else if (i > 0 && in_band2(i, j) && H[T2(i, j)] == F[T2(i, j)]) {
+      } else if (i > 0 && in_band(i, j) && H[T(i, j)] == F[T(i, j)]) {
         state = 2;
       } else if (i > 0 && j > 0) {
-        push(0); --i; --j;
+        cig.emit(0, 1); --i; --j;
       } else if (j > 0) {
-        push(2); --j;
+        cig.emit(2, 1); --j;
       } else {
-        push(1); --i;
+        cig.emit(1, 1); --i;
       }
     } else if (state == 1) {
-      push(2);
-      const bool stay = j > 1 && in_band2(i, j - 1) &&
-          E[T2(i, j)] == E[T2(i, j - 1)] - gap_extend;
+      cig.emit(2, 1);
+      const bool stay = j > 1 && in_band(i, j - 1) &&
+          E[T(i, j)] == E[T(i, j - 1)] - gap_extend;
       --j;
       if (!stay) state = 0;
     } else {
-      push(1);
-      const bool stay = i > 1 && in_band2(i - 1, j) &&
-          F[T2(i, j)] == F[T2(i - 1, j)] - gap_extend;
+      cig.emit(1, 1);
+      const bool stay = i > 1 && in_band(i - 1, j) &&
+          F[T(i, j)] == F[T(i - 1, j)] - gap_extend;
       --i;
       if (!stay) state = 0;
     }
   }
-  std::reverse(ops.begin(), ops.end());
-
-  PyObject* cig = PyBytes_FromStringAndSize(
-      reinterpret_cast<const char*>(ops.data()),
-      static_cast<Py_ssize_t>(ops.size() * sizeof(uint32_t)));
-  PyBuffer_Release(&qb);
-  PyBuffer_Release(&rb);
-  if (cig == nullptr) return nullptr;
-  PyObject* out = Py_BuildValue("(iN)", score, cig);
-  return out;
+  std::reverse(cig.ops.begin(), cig.ops.end());
+  *ops_out = std::move(cig.ops);
+  return true;
 }
 
-// Extension alignment anchored at (0,0) with z-drop; returns
-// (best, q_used, r_used, cigar) -- the C++ twin of
-// ops/traceback.py::extend_align (same tie/state semantics).
-//
+// banded_global_cigar driver (ops/traceback.py::banded_global_cigar +
+// _nw_native): default band |n-m|+16, doubled until the score is stable;
+// returns the SMALLER band's cigar when two consecutive bands agree.
+void nw_cigar_driver(const uint8_t* q, int64_t n, const uint8_t* r,
+                     int64_t m, int match, int mismatch, int gap_open,
+                     int gap_extend, int32_t* score_out,
+                     std::vector<uint32_t>* runs) {
+  runs->clear();
+  if (n == 0) {
+    *score_out = 0;
+    if (m) runs->push_back((static_cast<uint32_t>(m) << 4) | 2u);
+    return;
+  }
+  if (m == 0) {
+    *score_out = 0;
+    runs->push_back((static_cast<uint32_t>(n) << 4) | 1u);
+    return;
+  }
+  int64_t band = std::llabs(n - m) + 16;
+  const int64_t big = std::max(n, m);
+  int32_t score = 0;
+  bool have = nw_banded_core(q, n, r, m, band, match, mismatch, gap_open,
+                             gap_extend, &score, runs);
+  while (true) {
+    if (band >= big) {
+      if (!have) {
+        have = nw_banded_core(q, n, r, m, big, match, mismatch, gap_open,
+                              gap_extend, &score, runs);
+      }
+      *score_out = score;  // full band is always feasible
+      return;
+    }
+    const int64_t nxt_band = std::min(2 * band, big);
+    int32_t score2 = 0;
+    std::vector<uint32_t> runs2;
+    const bool have2 = nw_banded_core(q, n, r, m, nxt_band, match, mismatch,
+                                      gap_open, gap_extend, &score2, &runs2);
+    if (have && have2 && score2 == score) {
+      *score_out = score;
+      return;  // keep the smaller band's cigar (Python _nw_native)
+    }
+    band = nxt_band;
+    have = have2;
+    score = score2;
+    *runs = std::move(runs2);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Extension core (twin of py_extend / ops/traceback.py::extend_align).
 // Banded: row i computes columns [max(1, i-W), min(m, i+drift+W)] with
 // drift = max(0, m-n) and W = kExtBand; kNeg sentinels one cell outside
-// each band edge stand in for the uncomputed region, so no full-matrix
-// initialisation is needed (the memset used to cost as much as the DP).
-// Exact whenever the optimal path drifts < W off the main diagonal --
-// always true for the clip re-alignments this serves (<=10% indel noise
-// over <=~1 kb clips).
+// each band edge stand in for the uncomputed region.  Exact whenever the
+// optimal path drifts < W off the main diagonal.
 constexpr int64_t kExtBand = 128;
 
-PyObject* py_extend(PyObject*, PyObject* args) {
-  Py_buffer qb, rb;
-  int match, mismatch, gap_open, gap_extend, zdrop;
-  if (!PyArg_ParseTuple(args, "y*y*iiiii", &qb, &rb, &match, &mismatch,
-                        &gap_open, &gap_extend, &zdrop)) {
-    return nullptr;
-  }
-  const uint8_t* q = static_cast<const uint8_t*>(qb.buf);
-  const uint8_t* r = static_cast<const uint8_t*>(rb.buf);
-  const int64_t n = qb.len;
-  const int64_t m = rb.len;
+void extend_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
+                 int match, int mismatch, int gap_open, int gap_extend,
+                 int zdrop, int32_t* best_out, int64_t* qi_out,
+                 int64_t* rj_out, std::vector<uint32_t>* runs) {
+  runs->clear();
+  *best_out = 0;
+  *qi_out = 0;
+  *rj_out = 0;
+  if (n == 0 || m == 0) return;
 
   const int64_t Wm = m + 1;
   std::unique_ptr<int32_t[]> Hb(new int32_t[(n + 1) * Wm]);
@@ -193,8 +224,6 @@ PyObject* py_extend(PyObject*, PyObject* args) {
   int32_t* F = Fb.get();
   int32_t best = 0;
   int64_t bi = 0, bj = 0;
-  int64_t last_row = 0;
-  Py_BEGIN_ALLOW_THREADS
   const int64_t drift = std::max<int64_t>(0, m - n);
   auto hi_of = [&](int64_t i) { return std::min(m, i + drift + kExtBand); };
 
@@ -247,7 +276,6 @@ PyObject* py_extend(PyObject*, PyObject* args) {
       Ei[hi + 1] = kNeg;
       Fi[hi + 1] = kNeg;
     }
-    last_row = i;
     if (row_best > best) {
       best = row_best;
       bi = i;
@@ -258,23 +286,9 @@ PyObject* py_extend(PyObject*, PyObject* args) {
       break;
     }
   }
-  (void)last_row;
-  Py_END_ALLOW_THREADS
+  if (best <= 0) return;
 
-  if (best <= 0) {
-    PyBuffer_Release(&qb);
-    PyBuffer_Release(&rb);
-    return Py_BuildValue("(iiiy#)", 0, 0, 0, "", (Py_ssize_t)0);
-  }
-
-  std::vector<uint32_t> ops;
-  auto push = [&](uint32_t op) {
-    if (!ops.empty() && (ops.back() & 0xfu) == op) {
-      ops.back() += 1u << 4;
-    } else {
-      ops.push_back((1u << 4) | op);
-    }
-  };
+  Cigar cig;
   int64_t i = bi, j = bj;
   int state = 0;
   while (i > 0 || j > 0) {
@@ -284,66 +298,45 @@ PyObject* py_extend(PyObject*, PyObject* args) {
       } else if (i > 0 && H[i * Wm + j] == F[i * Wm + j]) {
         state = 2;
       } else if (i > 0 && j > 0) {
-        push(0); --i; --j;
+        cig.emit(0, 1); --i; --j;
       } else if (j > 0) {
-        push(2); --j;
+        cig.emit(2, 1); --j;
       } else {
-        push(1); --i;
+        cig.emit(1, 1); --i;
       }
     } else if (state == 1) {
-      push(2);
+      cig.emit(2, 1);
       const bool stay =
           j > 1 && E[i * Wm + j] == E[i * Wm + j - 1] - gap_extend;
       --j;
       if (!stay) state = 0;
     } else {
-      push(1);
+      cig.emit(1, 1);
       const bool stay =
           i > 1 && F[i * Wm + j] == F[(i - 1) * Wm + j] - gap_extend;
       --i;
       if (!stay) state = 0;
     }
   }
-  std::reverse(ops.begin(), ops.end());
-  PyBuffer_Release(&qb);
-  PyBuffer_Release(&rb);
-  return Py_BuildValue("(iLLy#)", (int)best, (long long)bi, (long long)bj,
-                       reinterpret_cast<const char*>(ops.data()),
-                       (Py_ssize_t)(ops.size() * sizeof(uint32_t)));
+  std::reverse(cig.ops.begin(), cig.ops.end());
+  *best_out = best;
+  *qi_out = bi;
+  *rj_out = bj;
+  *runs = std::move(cig.ops);
 }
 
-// Global-alignment prefix-score matrix H[(n+1)*(m+1)] as int32 bytes
-// (ops/traceback.py::_nw_matrix twin, for splice_junction_align).
-PyObject* py_prefix_matrix(PyObject*, PyObject* args) {
-  Py_buffer qb, rb;
-  int match, mismatch, gap_open, gap_extend;
-  if (!PyArg_ParseTuple(args, "y*y*iiii", &qb, &rb, &match, &mismatch,
-                        &gap_open, &gap_extend)) {
-    return nullptr;
-  }
-  const uint8_t* q = static_cast<const uint8_t*>(qb.buf);
-  const uint8_t* r = static_cast<const uint8_t*>(rb.buf);
-  const int64_t n = qb.len;
-  const int64_t m = rb.len;
+// ---------------------------------------------------------------------------
+// Global-alignment prefix-score matrix H[(n+1)*(m+1)] (twin of
+// ops/traceback.py::_nw_matrix, for splice_junction_align).
+void prefix_matrix_core(const uint8_t* q, int64_t n, const uint8_t* r,
+                        int64_t m, int match, int mismatch, int gap_open,
+                        int gap_extend, int32_t* H) {
   const int64_t Wm = m + 1;
-
-  PyObject* out = PyBytes_FromStringAndSize(
-      nullptr, (Py_ssize_t)((n + 1) * Wm * sizeof(int32_t)));
-  if (out == nullptr) {
-    PyBuffer_Release(&qb);
-    PyBuffer_Release(&rb);
-    return nullptr;
-  }
-  int32_t* H = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(out));
-  Py_BEGIN_ALLOW_THREADS
-  std::vector<int32_t> Erow(Wm, kNeg), Fcol((size_t)n + 1, kNeg);
   std::vector<int32_t> Fprev(Wm, kNeg), Fcur(Wm, kNeg);
   H[0] = 0;
   for (int64_t j = 1; j <= m; ++j) {
     H[j] = -gap_open - static_cast<int32_t>(j - 1) * gap_extend;
   }
-  std::vector<int32_t> Eprev(Wm, kNeg);
-  for (int64_t j = 1; j <= m; ++j) Eprev[j] = H[j];
   for (int64_t i = 1; i <= n; ++i) {
     int32_t* Hi = &H[i * Wm];
     const int32_t* Hp = &H[(i - 1) * Wm];
@@ -360,10 +353,329 @@ PyObject* py_prefix_matrix(PyObject*, PyObject* args) {
     }
     std::swap(Fprev, Fcur);
   }
+}
+
+// Gapped splice-junction placement (twin of ops/traceback.py::
+// splice_junction_align): place an intron of length G inside ref_gap
+// while aligning qg across it with gaps; canonical GT..AG / CT..AC
+// motifs earn `bonus`.  Appends the cigar (incl. the N op) to `out`.
+void splice_junction_core(const uint8_t* qg, int64_t L, const uint8_t* ref_gap,
+                          int64_t G, int match, int mismatch, int gap_open,
+                          int gap_extend, int bonus, Cigar& out) {
+  if (L == 0) {
+    if (G) out.emit(3, G);
+    return;
+  }
+  const uint8_t* ref_left = ref_gap;       // [0, L)
+  const uint8_t* ref_right = ref_gap + G;  // [G, G+L)
+  const int64_t Wm = L + 1;
+  std::vector<int32_t> Hl(Wm * Wm), Hr(Wm * Wm);
+  std::vector<uint8_t> qrev(L), rrev(L);
+  for (int64_t t = 0; t < L; ++t) {
+    qrev[t] = qg[L - 1 - t];
+    rrev[t] = ref_right[L - 1 - t];
+  }
+  prefix_matrix_core(qg, L, ref_left, L, match, mismatch, gap_open,
+                     gap_extend, Hl.data());
+  prefix_matrix_core(qrev.data(), L, rrev.data(), L, match, mismatch,
+                     gap_open, gap_extend, Hr.data());
+
+  // M[a, j] = Hl[a, j] + Hr[L-a, L-j]; col_best[j] = max_a M[a, j]
+  // (+ motif bonus); j_star / a_star = first maxima (numpy argmax order).
+  std::vector<int64_t> col_best(Wm, INT64_MIN);
+  for (int64_t j = 0; j <= L; ++j) {
+    for (int64_t a = 0; a <= L; ++a) {
+      const int64_t v = static_cast<int64_t>(Hl[a * Wm + j]) +
+                        Hr[(L - a) * Wm + (L - j)];
+      if (v > col_best[j]) col_best[j] = v;
+    }
+  }
+  if (G >= 4) {
+    for (int64_t j = 0; j <= L; ++j) {
+      const uint8_t don1 = ref_gap[j], don2 = ref_gap[j + 1];
+      const uint8_t acc1 = ref_gap[G - 2 + j], acc2 = ref_gap[G - 1 + j];
+      const bool gt_ag = don1 == 2 && don2 == 3 && acc1 == 0 && acc2 == 2;
+      const bool ct_ac = don1 == 1 && don2 == 3 && acc1 == 0 && acc2 == 1;
+      if (gt_ag || ct_ac) col_best[j] += bonus;
+    }
+  }
+  int64_t j_star = 0;
+  for (int64_t j = 1; j <= L; ++j) {
+    if (col_best[j] > col_best[j_star]) j_star = j;
+  }
+  int64_t a_star = 0;
+  int64_t a_best = INT64_MIN;
+  for (int64_t a = 0; a <= L; ++a) {
+    const int64_t v = static_cast<int64_t>(Hl[a * Wm + j_star]) +
+                      Hr[(L - a) * Wm + (L - j_star)];
+    if (v > a_best) {
+      a_best = v;
+      a_star = a;
+    }
+  }
+
+  int32_t sc;
+  std::vector<uint32_t> runs;
+  if (a_star > 0 || j_star > 0) {
+    nw_cigar_driver(qg, a_star, ref_left, j_star, match, mismatch, gap_open,
+                    gap_extend, &sc, &runs);
+    out.emit_runs(runs);
+  }
+  out.emit(3, G);
+  if (a_star < L || j_star < L) {
+    nw_cigar_driver(qg + a_star, L - a_star, ref_right + j_star, L - j_star,
+                    match, mismatch, gap_open, gap_extend, &sc, &runs);
+    out.emit_runs(runs);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Python wrappers for the pairwise primitives.
+
+PyObject* py_nw_banded(PyObject*, PyObject* args) {
+  Py_buffer qb, rb;
+  int band;
+  int match, mismatch, gap_open, gap_extend;
+  if (!PyArg_ParseTuple(args, "y*y*iiiii", &qb, &rb, &band, &match,
+                        &mismatch, &gap_open, &gap_extend)) {
+    return nullptr;
+  }
+  int32_t score = 0;
+  std::vector<uint32_t> ops;
+  bool ok = false;
+  Py_BEGIN_ALLOW_THREADS
+  ok = nw_banded_core(static_cast<const uint8_t*>(qb.buf), qb.len,
+                      static_cast<const uint8_t*>(rb.buf), rb.len, band,
+                      match, mismatch, gap_open, gap_extend, &score, &ops);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&rb);
+  if (!ok) Py_RETURN_NONE;
+  PyObject* cig = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(ops.data()),
+      static_cast<Py_ssize_t>(ops.size() * sizeof(uint32_t)));
+  if (cig == nullptr) return nullptr;
+  return Py_BuildValue("(iN)", score, cig);
+}
+
+PyObject* py_extend(PyObject*, PyObject* args) {
+  Py_buffer qb, rb;
+  int match, mismatch, gap_open, gap_extend, zdrop;
+  if (!PyArg_ParseTuple(args, "y*y*iiiii", &qb, &rb, &match, &mismatch,
+                        &gap_open, &gap_extend, &zdrop)) {
+    return nullptr;
+  }
+  int32_t best = 0;
+  int64_t bi = 0, bj = 0;
+  std::vector<uint32_t> ops;
+  Py_BEGIN_ALLOW_THREADS
+  extend_core(static_cast<const uint8_t*>(qb.buf), qb.len,
+              static_cast<const uint8_t*>(rb.buf), rb.len, match, mismatch,
+              gap_open, gap_extend, zdrop, &best, &bi, &bj, &ops);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&rb);
+  static const char kEmpty[] = "";
+  const char* data =
+      ops.empty() ? kEmpty : reinterpret_cast<const char*>(ops.data());
+  return Py_BuildValue("(iLLy#)", (int)best, (long long)bi, (long long)bj,
+                       data, (Py_ssize_t)(ops.size() * sizeof(uint32_t)));
+}
+
+PyObject* py_prefix_matrix(PyObject*, PyObject* args) {
+  Py_buffer qb, rb;
+  int match, mismatch, gap_open, gap_extend;
+  if (!PyArg_ParseTuple(args, "y*y*iiii", &qb, &rb, &match, &mismatch,
+                        &gap_open, &gap_extend)) {
+    return nullptr;
+  }
+  const int64_t n = qb.len;
+  const int64_t m = rb.len;
+  const int64_t Wm = m + 1;
+  PyObject* out = PyBytes_FromStringAndSize(
+      nullptr, (Py_ssize_t)((n + 1) * Wm * sizeof(int32_t)));
+  if (out == nullptr) {
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&rb);
+    return nullptr;
+  }
+  int32_t* H = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(out));
+  Py_BEGIN_ALLOW_THREADS
+  prefix_matrix_core(static_cast<const uint8_t*>(qb.buf), n,
+                     static_cast<const uint8_t*>(rb.buf), m, match, mismatch,
+                     gap_open, gap_extend, H);
   Py_END_ALLOW_THREADS
   PyBuffer_Release(&qb);
   PyBuffer_Release(&rb);
   return out;
+}
+
+// ---------------------------------------------------------------------------
+// stitch(qc, gcodes, r_i64, q_i64, k, ctg_lo, ctg_hi, min_intron,
+//        splice_bonus, ext_cap,
+//        nw_match, nw_mismatch, nw_go, nw_ge,
+//        ext_match, ext_mismatch, ext_go, ext_ge, ext_zdrop)
+//   -> (q_st, r_st, q_en, r_en, mlen, blen, cigar_u32_bytes)
+//
+// Native twin of models/aligner.py::_stitch_py: r/q are the chain's
+// global-reference / query anchor starts, qc the (strand-oriented) query
+// codes, gcodes the whole packed genome; [ctg_lo, ctg_hi) bound the end
+// extensions to the anchor contig.  Coordinates returned are global; the
+// Python wrapper maps them to contig-local Hit fields.
+PyObject* py_stitch(PyObject*, PyObject* args) {
+  Py_buffer qc_b, g_b, r_b, q_b;
+  int k, min_intron, bonus, ext_cap;
+  long long ctg_lo, ctg_hi;
+  int nw_m, nw_x, nw_go, nw_ge;
+  int ex_m, ex_x, ex_go, ex_ge, ex_z;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*iLLiii" "iiii" "iiiii", &qc_b, &g_b,
+                        &r_b, &q_b, &k, &ctg_lo, &ctg_hi, &min_intron,
+                        &bonus, &ext_cap, &nw_m, &nw_x, &nw_go, &nw_ge,
+                        &ex_m, &ex_x, &ex_go, &ex_ge, &ex_z)) {
+    return nullptr;
+  }
+  const uint8_t* qc = static_cast<const uint8_t*>(qc_b.buf);
+  const int64_t qlen = qc_b.len;
+  const uint8_t* g = static_cast<const uint8_t*>(g_b.buf);
+  const int64_t* r = static_cast<const int64_t*>(r_b.buf);
+  const int64_t* q = static_cast<const int64_t*>(q_b.buf);
+  const int64_t na = r_b.len / static_cast<int64_t>(sizeof(int64_t));
+
+  Cigar cigar;
+  int64_t q_st = 0, r_st = 0, q_en = 0, r_en = 0;
+  int64_t mlen = 0, blen = 0;
+  Py_BEGIN_ALLOW_THREADS {
+    std::vector<uint32_t> runs;
+    int32_t sc;
+    int64_t q_cur = q[0], r_cur = r[0];
+    for (int64_t t = 1; t < na; ++t) {
+      if (q[t] <= q_cur || r[t] <= r_cur) {
+        continue;  // anchor swallowed by a widened splice window
+      }
+      const int64_t dq = q[t] - q_cur;
+      const int64_t dr = r[t] - r_cur;
+      if (dr - dq >= min_intron) {
+        // Widen the junction window past the flanking anchors (see
+        // _stitch_py): trim up to k+6 trailing M off the cigar and absorb
+        // the next anchor's k-mer, then let the gapped splice aligner
+        // decide the boundary.
+        int64_t back = 0;
+        const int64_t limit = k + 6;
+        while (!cigar.ops.empty() && (cigar.ops.back() & 0xfu) == 0 &&
+               back < limit) {
+          const int64_t l0 = cigar.ops.back() >> 4;
+          const int64_t take = std::min(l0, limit - back);
+          if (take == l0) {
+            cigar.ops.pop_back();
+          } else {
+            cigar.ops.back() =
+                (static_cast<uint32_t>(l0 - take) << 4) | 0u;
+          }
+          back += take;
+        }
+        const int64_t q0 = q_cur - back, r0 = r_cur - back;
+        const int64_t q1 = q[t] + k, r1 = r[t] + k;
+        splice_junction_core(qc + q0, q1 - q0, g + r0, dr - dq, nw_m, nw_x,
+                             nw_go, nw_ge, bonus, cigar);
+        q_cur = q1;
+        r_cur = r1;
+        continue;
+      }
+      if (dq == dr) {
+        cigar.emit(0, dq);
+      } else if (dq == 0) {
+        cigar.emit(2, dr);
+      } else if (dr == 0) {
+        cigar.emit(1, dq);
+      } else {
+        nw_cigar_driver(qc + q_cur, dq, g + r_cur, dr, nw_m, nw_x, nw_go,
+                        nw_ge, &sc, &runs);
+        cigar.emit_runs(runs);
+      }
+      q_cur = q[t];
+      r_cur = r[t];
+    }
+    if (q_cur <= q[na - 1]) {
+      const int64_t tail_m = q[na - 1] + k - q_cur;
+      cigar.emit(0, tail_m);
+      q_cur += tail_m;
+      r_cur += tail_m;
+    }
+
+    q_st = q[0];
+    r_st = r[0];
+    q_en = q_cur;
+    r_en = r_cur;
+
+    // right extension
+    const int64_t tail_n = std::min<int64_t>(ext_cap, qlen - q_en);
+    const int64_t rt_n =
+        std::min<int64_t>(ctg_hi, r_en + tail_n + 64) - r_en;
+    if (tail_n > 0 && rt_n > 0) {
+      int32_t best;
+      int64_t qi, rj;
+      extend_core(qc + q_en, tail_n, g + r_en, rt_n, ex_m, ex_x, ex_go,
+                  ex_ge, ex_z, &best, &qi, &rj, &runs);
+      cigar.emit_runs(runs);
+      q_en += qi;
+      r_en += rj;
+    }
+
+    // left extension (on reversed sequences)
+    const int64_t head_n = q_st - std::max<int64_t>(0, q_st - ext_cap);
+    const int64_t rh_n =
+        r_st - std::max<int64_t>(ctg_lo, r_st - head_n - 64);
+    if (head_n > 0 && rh_n > 0) {
+      std::vector<uint8_t> head(head_n), rhead(rh_n);
+      for (int64_t t = 0; t < head_n; ++t) head[t] = qc[q_st - 1 - t];
+      for (int64_t t = 0; t < rh_n; ++t) rhead[t] = g[r_st - 1 - t];
+      int32_t best;
+      int64_t qi, rj;
+      extend_core(head.data(), head_n, rhead.data(), rh_n, ex_m, ex_x,
+                  ex_go, ex_ge, ex_z, &best, &qi, &rj, &runs);
+      std::reverse(runs.begin(), runs.end());
+      Cigar merged;
+      merged.emit_runs(runs);
+      merged.emit_runs(cigar.ops);
+      cigar.ops = std::move(merged.ops);
+      q_st -= qi;
+      r_st -= rj;
+    }
+
+    // match counting (models/aligner.py::_count_matches)
+    int64_t qi = q_st, ri = r_st;
+    for (const uint32_t run : cigar.ops) {
+      const int64_t l = run >> 4;
+      const uint32_t op = run & 0xfu;
+      if (op == 0) {
+        for (int64_t t = 0; t < l; ++t) {
+          if (qc[qi + t] == g[ri + t]) ++mlen;
+        }
+        blen += l;
+        qi += l;
+        ri += l;
+      } else if (op == 1) {
+        qi += l;
+      } else if (op == 2 || op == 3) {
+        blen += l;
+        ri += l;
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&qc_b);
+  PyBuffer_Release(&g_b);
+  PyBuffer_Release(&r_b);
+  PyBuffer_Release(&q_b);
+  static const char kEmpty[] = "";
+  const char* data = cigar.ops.empty()
+                         ? kEmpty
+                         : reinterpret_cast<const char*>(cigar.ops.data());
+  return Py_BuildValue("(LLLLLLy#)", (long long)q_st, (long long)r_st,
+                       (long long)q_en, (long long)r_en, (long long)mlen,
+                       (long long)blen, data,
+                       (Py_ssize_t)(cigar.ops.size() * sizeof(uint32_t)));
 }
 
 PyMethodDef kMethods[] = {
@@ -376,6 +688,10 @@ PyMethodDef kMethods[] = {
     {"prefix_matrix", py_prefix_matrix, METH_VARARGS,
      "prefix_matrix(q, r, match, mismatch, gap_open, gap_extend) -> "
      "int32 H[(n+1)*(m+1)] bytes"},
+    {"stitch", py_stitch, METH_VARARGS,
+     "stitch(qc, gcodes, r_i64, q_i64, k, ctg_lo, ctg_hi, min_intron, "
+     "splice_bonus, ext_cap, nw_scores x4, ext_scores x5) -> "
+     "(q_st, r_st, q_en, r_en, mlen, blen, cigar_u32_bytes)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -249,6 +249,12 @@ def _build_kernel(N, W, CAP, scores):
 
     @jax.jit
     def kernel(qs, rpads1, rpads2, ns, ms, los, his, los2, his2):
+        # inputs arrive int8 (codes): the host->device transfer rides the
+        # remote tunnel, so bytes matter 4x more than the on-device cast
+        qs = qs.astype(jnp.int32)
+        rpads1 = rpads1.astype(jnp.int32)
+        rpads2 = rpads2.astype(jnp.int32)
+
         def one(q, rpad1, rpad2, n, m, lo, hi, lo2, hi2):
             planes, s1 = forward(q, rpad1, n, m, lo, hi, True)
             _, s2 = forward(q, rpad2, n, m, lo2, hi2, False)
@@ -376,8 +382,7 @@ def nw_traceback_submit(qs: Sequence[np.ndarray],
                 rp1[bt, Wb - lo1:Wb - lo1 + m] = r
                 rp2[bt, Wb - lo2:Wb - lo2 + m] = r
                 geom[bt] = (n, m, lo1, hi1, lo2, hi2)
-            out = kernel(qs_p.astype(np.int32), rp1.astype(np.int32),
-                         rp2.astype(np.int32),
+            out = kernel(qs_p, rp1, rp2,
                          geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3],
                          geom[:, 4], geom[:, 5])
             pending.append((part, out))

@@ -53,6 +53,11 @@ def lag_profile(reads, max_lag: int, lag_offset=0, pad_lags=None):
 @functools.partial(jax.jit, static_argnames=("max_lag", "k", "pad_lags"))
 def tandem_counts(reads, max_lag: int, k: int = 11, lag_offset=0,
                   pad_lags=None):
+    return _tandem_counts_impl(reads, max_lag, k, lag_offset, pad_lags)
+
+
+def _tandem_counts_impl(reads, max_lag: int, k: int = 11, lag_offset=0,
+                        pad_lags=None):
     """Exact k-mer self-match counts per lag: out[b, j] = number of
     positions i in read b whose k-mer equals the k-mer at i + (lag_offset +
     j + 1).  This is the device mirror of the host lag voting in
@@ -101,6 +106,43 @@ def tandem_counts(reads, max_lag: int, k: int = 11, lag_offset=0,
     # chunked map keeps the [chunk, B, L] comparison temps bounded
     prof = jax.lax.map(one_lag, lags, batch_size=min(128, max_lag))
     return jnp.transpose(prof).astype(jnp.int32)
+
+
+@_count_dispatch('screen_keep')
+@functools.partial(jax.jit,
+                   static_argnames=("max_lag", "k", "min_period",
+                                    "min_units"))
+def screen_keep(reads, lengths, max_lag: int, k: int = 11,
+                min_period: int = 30, min_units: float = 2.0):
+    """Fused device screen: tandem_counts + the support election of
+    screen_periodic in ONE program, returning only keep[B] bool -- the
+    full [B, max_lag] lag map never crosses the (slow, remote) device->
+    host link.
+
+    The support bar uses exact integer arithmetic (20*sup >= L for the
+    0.05*L term), which is infinitesimally MORE permissive than the
+    host's float bar at representation boundaries -- keep is a superset,
+    so the screen stays sound (over-approximating; see screen_periodic).
+    Callers must pre-handle L < 2*min_period and L/min_units > max_lag
+    (pipeline/find_ccs.py::device_screen does)."""
+    import numpy as np
+
+    counts = _tandem_counts_impl(reads, max_lag, k)      # [B, max_lag]
+    # support windows are static in max_lag: sup[l] = sum counts over lags
+    # in [0.94*l - 4, 1.06*l + 4] (host windows, screen_periodic)
+    lags = np.arange(1, max_lag + 1)
+    lo = np.clip(np.ceil(0.94 * lags - 4).astype(np.int64), 1, max_lag + 1)
+    hi = np.clip(np.floor(1.06 * lags + 4).astype(np.int64), 0, max_lag)
+    cs = jnp.cumsum(counts, axis=1)
+    cs_ext = jnp.pad(cs, ((0, 0), (1, 0)))               # cs_ext[0] = 0
+    sup = cs_ext[:, hi] - cs_ext[:, lo - 1]              # [B, max_lag]
+
+    L = lengths.astype(jnp.int32)[:, None]
+    lag_row = jnp.asarray(lags, jnp.int32)[None, :]
+    valid = (lag_row >= min_period) & \
+        (lag_row.astype(jnp.float32) * min_units <= L.astype(jnp.float32))
+    ok = (sup >= 8) & (20 * sup >= L)
+    return jnp.any(valid & ok, axis=1)
 
 
 def screen_periodic(counts, lengths, min_period=30, min_units=2.0):

@@ -18,7 +18,7 @@ import multiprocessing
 import os
 
 from ciri_long_tpu.io.fastx import read_fastx
-from ciri_long_tpu.ops.ccs import MIN_PERIOD, MIN_UNITS, find_consensus
+from ciri_long_tpu.ops.ccs import K, MIN_PERIOD, MIN_UNITS, find_consensus
 from ciri_long_tpu.utils.logger import ProgressBar
 
 CHUNK_SIZE = 250  # reference job granularity (find_ccs.py:62)
@@ -122,10 +122,16 @@ def _ccs_pipeline(chunks, prog):
 def device_screen(items, batch=256):
     """Run the device tandem pre-screen over (read_id, seq) items; returns
     the set of read ids PROVEN non-periodic (safe to skip).  Reads longer
-    than the bucket ladder are auto-kept."""
+    than the bucket ladder are auto-kept.
+
+    The whole screen (lag counts + support election) runs as one fused
+    device program per batch (ops/period.py::screen_keep) so only a [B]
+    bool crosses the device->host link; batches are SUBMITTED for every
+    bucket before any is fetched, overlapping device execution with host
+    staging (jax dispatch is async)."""
     import numpy as np
 
-    from ciri_long_tpu.ops.period import screen_periodic, tandem_counts
+    from ciri_long_tpu.ops.period import screen_keep
     from ciri_long_tpu.utils.seq import encode_seq
 
     skip = set()
@@ -141,21 +147,26 @@ def device_screen(items, batch=256):
                 by_bucket.setdefault(b, []).append((rid, seq))
                 break
 
+    pending = []
     for b, rows in by_bucket.items():
         max_lag = b // 2
         for i in range(0, len(rows), batch):
             part = rows[i:i + batch]
             mat = np.full((len(part), b), 5, np.int8)
-            lens = []
+            lens = np.zeros(len(part), np.int32)
             for t, (rid, seq) in enumerate(part):
                 codes = encode_seq(seq)
                 mat[t, :len(codes)] = codes
-                lens.append(len(codes))
-            counts = np.asarray(tandem_counts(mat, max_lag))
-            keep = screen_periodic(counts, lens, MIN_PERIOD, MIN_UNITS)
-            for t, (rid, seq) in enumerate(part):
-                if not keep[t]:
-                    skip.add(rid)
+                lens[t] = len(codes)
+            pending.append(
+                (part, screen_keep(mat, lens, max_lag, K,
+                                   MIN_PERIOD, MIN_UNITS)))
+
+    for part, keep_dev in pending:
+        keep = np.asarray(keep_dev)
+        for t, (rid, seq) in enumerate(part):
+            if not keep[t]:
+                skip.add(rid)
     return skip
 
 

@@ -154,6 +154,104 @@ def build_kernel_r3(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
     return kernel
 
 
+def build_kernel_wave(jnp, jax, pl, pltpu, *, btile, lqp, lrpw, match,
+                      mismatch, gap_open, gap_extend):
+    """Anti-diagonal wavefront layout: lanes = QUERY positions, one step
+    per diagonal d (cell (i, j=d-i) at lane i).  The within-row E
+    dependency that costs the rank-2 kernel its 12-level prefix scan
+    becomes a same-lane read of the previous diagonal (E[i,j-1] / H0[i,j-1]
+    both live at lane i, diag d-1); F and the match diagonal are one-lane
+    rolls.  Per-step vector cost ~30 ops on [btile, lqp] vs ~55 on
+    [btile, lrp] for the scan kernel, at lr/(lq+lr) lane utilisation
+    (80% on the 1024x4096 bench shape).
+
+    The reference base enters at lane 0 and shifts one lane per step
+    (r_diag[i] = r[d-i]); cells before their start hold H=0 / E,F<0, which
+    reproduces the scan kernel's boundary conditions exactly (see
+    the 0-fill / NEG-fill wheres)."""
+
+    def kernel(q_ref, r_ref, out_ref, Hd1, Hd2, H0d1, Ed1, Fd1,
+               best_val, best_d, r_diag, rblk):
+        q = q_ref[:]
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+        is_lane0 = i_idx == 0
+        q_is_n = q == 4
+        q_is_pad = q >= 5
+
+        Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Hd2[:] = jnp.zeros((btile, lqp), jnp.int32)
+        H0d1[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        best_val[:] = jnp.zeros((btile, lqp), jnp.int32)
+        best_d[:] = jnp.full((btile, lqp), -1, jnp.int32)
+        r_diag[:] = jnp.full((btile, lqp), 5, jnp.int32)
+
+        def step(d, r_col):
+            rd = jnp.where(is_lane0, r_col, pltpu.roll(r_diag[:], 1, axis=1))
+            r_diag[:] = rd
+            s = jnp.where(q == rd, match, -mismatch)
+            s = jnp.where(q_is_n | (rd == 4), 0, s)
+            s = jnp.where(q_is_pad | (rd >= 5), NEG, s)
+
+            h1 = Hd1[:]
+            h1s = pltpu.roll(h1, 1, axis=1)
+            f1s = pltpu.roll(Fd1[:], 1, axis=1)
+            Fv = jnp.where(is_lane0, NEG,
+                           jnp.maximum(f1s - gap_extend, h1s - gap_open))
+
+            h2s = jnp.where(is_lane0, 0, pltpu.roll(Hd2[:], 1, axis=1))
+            H0 = jnp.maximum(jnp.maximum(h2s + s, Fv), 0)
+
+            E = jnp.maximum(Ed1[:] - gap_extend, H0d1[:] - gap_open)
+            Hn = jnp.maximum(H0, E)
+
+            better = Hn > best_val[:]
+            best_val[:] = jnp.where(better, Hn, best_val[:])
+            best_d[:] = jnp.where(better, d, best_d[:])
+
+            Hd2[:] = h1
+            Hd1[:] = Hn
+            H0d1[:] = H0
+            Ed1[:] = E
+            Fd1[:] = Fv
+
+        def chunk_body(c, _):
+            base = pl.multiple_of(c * LANES, LANES)
+            rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+            def inner(t, _):
+                step(c * LANES + t, rblk[:, 0:1])
+                rblk[:] = pltpu.roll(rblk[:], LANES - 1, axis=1)
+                return 0
+
+            jax.lax.fori_loop(0, LANES, inner, 0)
+            return 0
+
+        jax.lax.fori_loop(0, lrpw // LANES, chunk_body, 0)
+
+        # tie-break identical to the scan kernel: max score, then smallest
+        # r_end (= best_d - i), then smallest q_end (= i)
+        bv = best_val[:]
+        best = jnp.max(bv, axis=1, keepdims=True)
+        isbest = bv == best
+        j_of = best_d[:] - i_idx
+        jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1, keepdims=True)
+        istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx, BIG),
+                        axis=1, keepdims=True)
+        found = best > 0
+        score = jnp.where(found, best, 0)
+        iout = jnp.where(found, istar, -1)
+        jout = jnp.where(found, jstar, -1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+        out = jnp.where(lane == 0, score,
+                        jnp.where(lane == 1, iout,
+                                  jnp.where(lane == 2, jout, 0)))
+        out_ref[:] = out
+
+    return kernel
+
+
 def build_kernel(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
                  gap_open, gap_extend, nomask7, packbest, tworow,
                  levels=None):
@@ -337,6 +435,34 @@ def make_call(args, params):
         r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrP - Lr)),
                     constant_values=5)
 
+        if args.wave:
+            LrPW = _round_up(LqP + LrP, LANES)
+            r = jnp.pad(r, ((0, 0), (0, LrPW - LrP)), constant_values=5)
+            kernel = build_kernel_wave(
+                jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrpw=LrPW,
+                match=match, mismatch=mismatch, gap_open=gap_open,
+                gap_extend=gap_extend)
+            out = pl.pallas_call(
+                kernel,
+                grid=(Bp // btile,),
+                in_specs=[
+                    pl.BlockSpec((btile, LqP), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((btile, LrPW), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((btile, LANES), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((Bp, LANES), jnp.int32),
+                scratch_shapes=(
+                    [pltpu.VMEM((btile, LqP), jnp.int32)] * 8
+                    + [pltpu.VMEM((btile, LANES), jnp.int32)]),
+                cost_estimate=pl.CostEstimate(
+                    flops=int(30 * Bp * LqP * LrPW),
+                    bytes_accessed=int(4 * Bp * (LqP + LrPW + LANES)),
+                    transcendentals=0),
+            )(q, r)
+            return out[:B, 0], out[:B, 1], out[:B, 2]
         if args.r3:
             kernel = build_kernel_r3(
                 jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrp=LrP,
@@ -396,6 +522,7 @@ def main():
     ap.add_argument("--packbest", action="store_true")
     ap.add_argument("--tworow", action="store_true")
     ap.add_argument("--r3", action="store_true")
+    ap.add_argument("--wave", action="store_true")
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--Lq", type=int, default=1024)
     ap.add_argument("--Lr", type=int, default=4096)
@@ -454,7 +581,7 @@ def main():
     gcups = cells / dt / 1e9
     print(json.dumps({
         "variant": {k: getattr(args, k) for k in
-                    ("btile", "nomask7", "packbest", "tworow", "r3")},
+                    ("btile", "nomask7", "packbest", "tworow", "r3", "wave")},
         "gcups": round(gcups, 2),
         "seconds": round(dt, 3),
         "backend": jax.default_backend(),

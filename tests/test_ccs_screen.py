@@ -172,3 +172,32 @@ def test_ccs_pipeline_matches_chunked(rng):
     flat_ref = [r for c in chunks for r in _ccs_chunk_batched(c)]
     flat_pipe = [r for c in _ccs_pipeline(chunks, _Prog()) for r in c]
     assert flat_ref == flat_pipe
+
+
+def test_screen_keep_fused_superset(rng):
+    """The fused device screen (screen_keep: counts + election in one
+    program, integer support bar) must keep a SUPERSET of what the
+    two-step host election keeps -- its bar is infinitesimally more
+    permissive at float-representation boundaries, never stricter."""
+    from ciri_long_tpu.ops.period import screen_keep
+
+    reads = []
+    for i in range(20):
+        unit = rand_seq(rng, int(rng.integers(60, 350)))
+        reads.append(make_rolling_read(rng, unit, copies=2.5, noise=0.05))
+    for i in range(20):
+        reads.append(rand_seq(rng, int(rng.integers(150, 1000))))
+
+    b = 2048
+    max_lag = b // 2
+    mat = np.full((len(reads), b), 5, np.int8)
+    lens = np.zeros(len(reads), np.int32)
+    for t, seq in enumerate(reads):
+        codes = encode_seq(seq)
+        mat[t, :len(codes)] = codes
+        lens[t] = len(codes)
+    fused = np.asarray(screen_keep(mat, lens, max_lag))
+    counts = np.asarray(tandem_counts(mat, max_lag))
+    twostep = screen_periodic(counts, lens.tolist())
+    assert (fused | ~twostep).all()          # fused >= twostep
+    assert fused.sum() <= twostep.sum() + 2  # and not trivially keep-all

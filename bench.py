@@ -9,21 +9,41 @@ reference targets (Zhao et al. 2013 report 1.5-3 GCUPS/core; the repo
 itself publishes no numbers, BASELINE.md).  vs_baseline is measured GCUPS
 over that 2.0 GCUPS single-core estimate.
 
+Two kernel formulations exist (ops/sw_pallas.py): the anti-diagonal
+wavefront kernel (faster: 317.6 GCUPS measured on this shape) and the
+striped prefix-scan kernel (217-277 GCUPS, band = day-to-day tunnel
+variance, benchmarks/KERNEL_SOL.md).  The remote "axon" compile service
+has been observed to stall for tens of minutes on bad days, so each
+variant runs in a child process under a hard timeout and the scan kernel
+is the fallback -- a hung compile must degrade the number, not zero it.
+
 Prints exactly one JSON line:
   {"metric": "sw_gcups", "value": N, "unit": "GCUPS", "vs_baseline": N}
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
 BASELINE_GCUPS = 2.0
+WAVE_TIMEOUT_S = int(os.environ.get("CIRI_BENCH_WAVE_TIMEOUT", "1500"))
+SCAN_TIMEOUT_S = int(os.environ.get("CIRI_BENCH_SCAN_TIMEOUT", "900"))
 
 
-def main():
+def measure():
+    """Child-process entry: compile + time one kernel variant, print the
+    JSON line.  Which variant runs is set by CIRI_SW_WAVE in the
+    environment (ops/sw_pallas.py routing)."""
+    import numpy as np
     import jax
+
+    # Persistent compile cache: first remote compile can run minutes;
+    # cached executables make repeat runs start in seconds (same setup
+    # as cli/main.py:70).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from ciri_long_tpu.ops.sw import SWParams, sw_score_ends_auto
 
     rng = np.random.default_rng(0)
@@ -66,6 +86,45 @@ def main():
         "unit": "GCUPS",
         "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
     }))
+
+
+def run_variant(wave, timeout_s):
+    """Run one variant in a child; return its JSON line or None."""
+    env = dict(os.environ)
+    env["CIRI_SW_WAVE"] = "1" if wave else "0"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure"],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+    except subprocess.TimeoutExpired:
+        print(f"[bench] {'wave' if wave else 'scan'} variant timed out "
+              f"after {timeout_s}s", file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if parsed.get("metric") == "sw_gcups":
+            return line
+    print(f"[bench] {'wave' if wave else 'scan'} variant failed "
+          f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}", file=sys.stderr)
+    return None
+
+
+def main():
+    if "--measure" in sys.argv:
+        measure()
+        return
+    line = run_variant(wave=True, timeout_s=WAVE_TIMEOUT_S)
+    if line is None:
+        line = run_variant(wave=False, timeout_s=SCAN_TIMEOUT_S)
+    if line is None:
+        print("[bench] all variants failed; device unreachable?",
+              file=sys.stderr)
+        sys.exit(1)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -138,6 +138,168 @@ def _sw_kernel(q_ref, r_ref, out_ref, H, F, best_val, best_i, qblk,
     out_ref[:] = out
 
 
+def _sw_wave_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, H0d1, Ed1, Fd1,
+                    best_val, best_d, r_diag, rblk,
+                    *, btile, lqp, lrpw, match, mismatch, gap_open,
+                    gap_extend):
+    """Anti-diagonal wavefront layout: lanes = QUERY positions, one step
+    per diagonal d (cell (i, j=d-i) lives at lane i on step d).
+
+    The within-row E dependency that costs the striped kernel its
+    log-shift prefix scan becomes a same-lane read of the previous
+    diagonal (E[i,j-1] and H0[i,j-1] both sit at lane i, diag d-1); the F
+    and match-diagonal dependencies are single-lane rolls.  Per-step
+    vector cost ~30 ops on [btile, lqp] vs ~55 on [btile, lrp] for the
+    scan kernel, at lr/(lq+lr) lane utilisation -- measured 317.6 GCUPS
+    vs 216-277 on the 1024x4096 bench shape (misc/kexp.py --wave).
+
+    The reference base enters at lane 0 and shifts one lane per step
+    (r_diag[i] = r[d-i]); lanes ahead of their start column hold H=0 and
+    E,F<0, reproducing the scan kernel's boundary conditions exactly.
+    Results (score / q_end / r_end incl. tie-breaks) are identical --
+    tests/test_sw_pallas.py fuzzes both against the oracle."""
+    q = q_ref[:]
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+    is_lane0 = i_idx == 0
+    q_is_n = q == 4
+    q_is_pad = q >= 5
+
+    Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
+    Hd2[:] = jnp.zeros((btile, lqp), jnp.int32)
+    H0d1[:] = jnp.zeros((btile, lqp), jnp.int32)
+    Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+    Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+    best_val[:] = jnp.zeros((btile, lqp), jnp.int32)
+    best_d[:] = jnp.full((btile, lqp), -1, jnp.int32)
+    r_diag[:] = jnp.full((btile, lqp), 5, jnp.int32)
+
+    def step(d, r_col):
+        rd = jnp.where(is_lane0, r_col, pltpu.roll(r_diag[:], 1, axis=1))
+        r_diag[:] = rd
+        s = jnp.where(q == rd, match, -mismatch)
+        s = jnp.where(q_is_n | (rd == 4), 0, s)
+        s = jnp.where(q_is_pad | (rd >= 5), NEG, s)
+
+        h1 = Hd1[:]
+        h1s = pltpu.roll(h1, 1, axis=1)
+        f1s = pltpu.roll(Fd1[:], 1, axis=1)
+        Fv = jnp.where(is_lane0, NEG,
+                       jnp.maximum(f1s - gap_extend, h1s - gap_open))
+
+        h2s = jnp.where(is_lane0, 0, pltpu.roll(Hd2[:], 1, axis=1))
+        H0 = jnp.maximum(jnp.maximum(h2s + s, Fv), 0)
+
+        E = jnp.maximum(Ed1[:] - gap_extend, H0d1[:] - gap_open)
+        Hn = jnp.maximum(H0, E)
+
+        better = Hn > best_val[:]
+        best_val[:] = jnp.where(better, Hn, best_val[:])
+        best_d[:] = jnp.where(better, d, best_d[:])
+
+        Hd2[:] = h1
+        Hd1[:] = Hn
+        H0d1[:] = H0
+        Ed1[:] = E
+        Fd1[:] = Fv
+
+    def chunk_body(c, _):
+        base = pl.multiple_of(c * LANES, LANES)
+        rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+        def inner(t, _):
+            step(c * LANES + t, rblk[:, 0:1])
+            rblk[:] = pltpu.roll(rblk[:], LANES - 1, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, LANES, inner, 0)
+        return 0
+
+    jax.lax.fori_loop(0, lrpw // LANES, chunk_body, 0)
+
+    # tie-break identical to the scan kernel: max score, then smallest
+    # r_end (= best_d - i), then smallest q_end (= i)
+    bv = best_val[:]
+    best = jnp.max(bv, axis=1, keepdims=True)
+    isbest = bv == best
+    j_of = best_d[:] - i_idx
+    jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1, keepdims=True)
+    istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx, BIG),
+                    axis=1, keepdims=True)
+    found = best > 0
+    score = jnp.where(found, best, 0)
+    iout = jnp.where(found, istar, -1)
+    jout = jnp.where(found, jstar, -1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+    out = jnp.where(lane == 0, score,
+                    jnp.where(lane == 1, iout,
+                              jnp.where(lane == 2, jout, 0)))
+    out_ref[:] = out
+
+
+# 128-row stripes won the wavefront sweep (64: 283 / 128: 317.6 GCUPS on
+# the B=512 x 1024 x 4096 bench config; 256 hit a multi-minute Mosaic
+# compile, same cliff as the scan kernel at 128)
+WAVE_BTILE = 128
+
+
+def _fit_btile_wave(lqp, lrpw, requested):
+    """Largest wave batch tile in budget: 8 scratch rows + q + r blocks
+    (double-buffered) + ~4 step-live temporaries, all [*, lqp] except r."""
+    per_row = 4 * (14 * lqp + 2 * lrpw + 2 * LANES)
+    fit = max(8, (VMEM_BUDGET // per_row) // 8 * 8)
+    return int(min(requested, fit))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "btile"))
+def sw_score_ends_wave(query, ref, params, interpret=False,
+                       btile=WAVE_BTILE):
+    """sw_score_ends contract on the wavefront kernel."""
+    assert params.gap_open >= params.gap_extend
+    B, Lq = query.shape
+    _, Lr = ref.shape
+    LqP = _round_up(Lq, LANES)
+    LrP = _round_up(Lr, LANES)
+    LrPW = _round_up(LqP + LrP, LANES)   # diagonals = lq + lr steps
+    btile = _fit_btile_wave(LqP, LrPW, btile)
+    Bp = _round_up(B, btile)
+
+    q = jnp.pad(query.astype(jnp.int32), ((0, Bp - B), (0, LqP - Lq)),
+                constant_values=5)
+    r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrPW - Lr)),
+                constant_values=5)
+
+    kernel = functools.partial(
+        _sw_wave_kernel, btile=btile, lqp=LqP, lrpw=LrPW,
+        match=params.match, mismatch=params.mismatch,
+        gap_open=params.gap_open, gap_extend=params.gap_extend)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // btile,),
+        in_specs=[
+            pl.BlockSpec((btile, LqP), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, LrPW), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((btile, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, LANES), jnp.int32),
+        scratch_shapes=(
+            [pltpu.VMEM((btile, LqP), jnp.int32)] * 8
+            + [pltpu.VMEM((btile, LANES), jnp.int32)]),
+        cost_estimate=pl.CostEstimate(
+            flops=int(30 * Bp * LqP * LrPW), bytes_accessed=int(
+                4 * Bp * (LqP + LrPW + LANES)), transcendentals=0),
+        interpret=interpret,
+    )(q, r)
+
+    score = out[:B, 0]
+    q_end = out[:B, 1]
+    r_end = out[:B, 2]
+    return score, q_end, r_end
+
+
 VMEM_BUDGET = 20 * 1024 * 1024
 
 
@@ -151,9 +313,29 @@ def _fit_btile(lqp, lrp, requested):
     return int(min(requested, fit))
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret", "btile"))
 def sw_score_ends_pallas(query, ref, params, interpret=False, btile=BTILE):
-    """Same contract as ops.sw.sw_score_ends, on the Pallas TPU kernel."""
+    """Same contract as ops.sw.sw_score_ends, on the Pallas TPU kernels.
+
+    Shape routing (outside the jits, so the env override can never hit a
+    stale trace): the wavefront kernel wins whenever the reference axis
+    dominates (its lane utilisation is lr/(lq+lr); measured crossover vs
+    the scan kernel sits near lr = 2*lq), which covers the production
+    clip-vs-window alignments.  CIRI_SW_WAVE=0/1 forces a path."""
+    import os
+    _, Lq = query.shape
+    _, Lr = ref.shape
+    flag = os.environ.get('CIRI_SW_WAVE')
+    use_wave = (_round_up(Lr, LANES) >= 2 * _round_up(Lq, LANES)
+                if flag in (None, '') else flag not in ('0', 'false'))
+    if use_wave:
+        return sw_score_ends_wave(query, ref, params, interpret=interpret)
+    return _sw_score_ends_scan(query, ref, params, interpret=interpret,
+                               btile=btile)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "btile"))
+def _sw_score_ends_scan(query, ref, params, interpret=False, btile=BTILE):
+    """The striped/prefix-scan kernel path (original formulation)."""
     assert params.gap_open >= params.gap_extend
     B, Lq = query.shape
     _, Lr = ref.shape

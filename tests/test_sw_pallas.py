@@ -40,3 +40,51 @@ def test_pallas_with_n_and_pad(rng):
     exp = sw_oracle(q[0, :6], r[0, :6], *params)
     assert (int(s[0]), int(qe[0]), int(re[0])) == exp
     assert s[1] == 0 and qe[1] == -1 and re[1] == -1
+
+
+@pytest.mark.parametrize("params", [SWParams(1, 1, 1, 1), SWParams(10, 4, 8, 2)])
+def test_wave_matches_scan_and_oracle(rng, params):
+    """Wavefront kernel (lanes = query positions): identical scores, ends
+    and tie-breaks to the scan implementations and the oracle."""
+    from ciri_long_tpu.ops.sw_pallas import sw_score_ends_wave
+
+    qs = [rng.integers(0, 5, int(rng.integers(5, 30))).astype(np.int8)
+          for _ in range(10)]
+    rs = [rng.integers(0, 5, int(rng.integers(5, 70))).astype(np.int8)
+          for _ in range(10)]
+    q, _ = pad_encoded(qs)
+    r, _ = pad_encoded(rs)
+    s1, qe1, re1 = map(np.asarray, sw_score_ends(q, r, params))
+    s2, qe2, re2 = map(np.asarray,
+                       sw_score_ends_wave(q, r, params, interpret=True))
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(qe1, qe2)
+    np.testing.assert_array_equal(re1, re2)
+    for i in range(len(qs)):
+        assert (int(s2[i]), int(qe2[i]), int(re2[i])) == \
+            sw_oracle(qs[i], rs[i], *params)
+
+
+def test_wave_routing_and_empty_rows(rng):
+    """sw_score_ends_pallas routes long-reference shapes to the wavefront
+    kernel (CIRI_SW_WAVE honours overrides); all-pad rows report
+    (0, -1, -1) on both paths."""
+    import os
+
+    params = SWParams(2, 3, 4, 2)
+    q = np.full((4, 12), 5, np.int8)
+    r = np.full((4, 300), 5, np.int8)   # LrP >= 2 * LqP -> wave
+    q[0, :7] = [0, 1, 2, 3, 0, 1, 2]
+    r[0, 100:107] = [0, 1, 2, 3, 0, 1, 2]
+    got = [np.asarray(x)
+           for x in sw_score_ends_pallas(q, r, params, interpret=True)]
+    assert (got[0][0], got[1][0], got[2][0]) == (14, 6, 106)
+    assert got[0][1] == 0 and got[1][1] == -1 and got[2][1] == -1
+    os.environ['CIRI_SW_WAVE'] = '0'
+    try:
+        scan = [np.asarray(x)
+                for x in sw_score_ends_pallas(q, r, params, interpret=True)]
+    finally:
+        del os.environ['CIRI_SW_WAVE']
+    for a, b in zip(got, scan):
+        np.testing.assert_array_equal(a, b)

@@ -342,10 +342,28 @@ def decode_chains(packed, scores, nch):
 @_count_dispatch('chain.backtrack_fetch')
 def backtrack_chains(f, pre, valid, min_score, min_anchors, max_chains=10):
     """Greedy per-read chain extraction from (f, pre) -- host side,
-    identical to models/aligner.py::_chain's backtrack."""
+    identical to models/aligner.py::_chain's backtrack.  Native C++ core
+    when built (native/chaincore.cpp::backtrack, parity fuzz in
+    tests/test_chaincore.py); numpy fallback below."""
     f = np.asarray(f)
     pre = np.asarray(pre)
     valid = np.asarray(valid)
+    try:
+        from ciri_long_tpu import _chaincore
+        native = getattr(_chaincore, 'backtrack', None)
+    except ImportError:
+        native = None
+    if native is not None:
+        out = []
+        for b in range(f.shape[0]):
+            rows = native(
+                np.ascontiguousarray(f[b], np.float64),
+                np.ascontiguousarray(pre[b], np.int64),
+                np.ascontiguousarray(valid[b], np.uint8),
+                float(min_score), int(min_anchors), int(max_chains))
+            out.append([(np.frombuffer(p, np.int64).copy(), s)
+                        for p, s in rows])
+        return out
     out = []
     for b in range(f.shape[0]):
         order = np.argsort(-f[b], kind='stable')

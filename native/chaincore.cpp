@@ -197,11 +197,75 @@ PyObject* py_sketch(PyObject*, PyObject* args) {
       (Py_ssize_t)out_strand.size());
 }
 
+// Greedy chain extraction (native twin of ops/chain.py::backtrack_chains'
+// per-row body): candidates in stable descending-f order, each unused
+// survivor walked back through pre[] (marking used), kept when the path
+// has >= min_anchors, until max_chains.
+PyObject* py_backtrack(PyObject*, PyObject* args) {
+  Py_buffer fb, pb, vb;
+  double min_score;
+  int min_anchors, max_chains;
+  if (!PyArg_ParseTuple(args, "y*y*y*dii", &fb, &pb, &vb, &min_score,
+                        &min_anchors, &max_chains)) {
+    return nullptr;
+  }
+  const double* f = static_cast<const double*>(fb.buf);
+  const int64_t* pre = static_cast<const int64_t*>(pb.buf);
+  const uint8_t* valid = static_cast<const uint8_t*>(vb.buf);
+  const Py_ssize_t n = fb.len / static_cast<Py_ssize_t>(sizeof(double));
+
+  std::vector<std::pair<std::vector<int64_t>, double>> chains;
+  Py_BEGIN_ALLOW_THREADS {
+    std::vector<int64_t> order(n);
+    for (Py_ssize_t i = 0; i < n; ++i) order[i] = i;
+    // np.argsort(-f, kind='stable'): descending f, ties by ascending index
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return f[a] > f[b]; });
+    std::vector<uint8_t> used(n, 0);
+    for (const int64_t idx : order) {
+      if (!valid[idx] || used[idx] || f[idx] < min_score) continue;
+      std::vector<int64_t> path;
+      int64_t v = idx;
+      while (v != -1 && !used[v]) {
+        path.push_back(v);
+        used[v] = 1;
+        v = pre[v];
+      }
+      if (static_cast<int>(path.size()) < min_anchors) continue;
+      std::reverse(path.begin(), path.end());
+      chains.emplace_back(std::move(path), f[idx]);
+      if (static_cast<int>(chains.size()) >= max_chains) break;
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&fb);
+  PyBuffer_Release(&pb);
+  PyBuffer_Release(&vb);
+  PyObject* out = PyList_New(static_cast<Py_ssize_t>(chains.size()));
+  if (out == nullptr) return nullptr;
+  for (size_t c = 0; c < chains.size(); ++c) {
+    PyObject* tup = Py_BuildValue(
+        "(y#d)", reinterpret_cast<const char*>(chains[c].first.data()),
+        (Py_ssize_t)(chains[c].first.size() * sizeof(int64_t)),
+        chains[c].second);
+    if (tup == nullptr) {
+      Py_DECREF(out);
+      return nullptr;
+    }
+    PyList_SET_ITEM(out, static_cast<Py_ssize_t>(c), tup);
+  }
+  return out;
+}
+
 PyMethodDef kMethods[] = {
     {"chain", py_chain, METH_VARARGS,
      "chain(r, q, ctg, k, window, max_gap_r, max_gap_q) -> (f, pre) bytes"},
     {"sketch", py_sketch, METH_VARARGS,
      "sketch(codes, k, w) -> (canon_u32, pos_i64, strand_u8) bytes"},
+    {"backtrack", py_backtrack, METH_VARARGS,
+     "backtrack(f_f64, pre_i64, valid_u8, min_score, min_anchors, "
+     "max_chains) -> [(path_i64_bytes, score), ...]"},
     {nullptr, nullptr, 0, nullptr},
 };
 

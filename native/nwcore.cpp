@@ -64,64 +64,177 @@ struct Cigar {
 };
 
 // ---------------------------------------------------------------------------
-// Banded global NW core (twin of py_nw_banded's DP).  Returns false when
-// the band cannot connect the corners.  Appends merged runs to `ops`.
-bool nw_banded_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
-                    int64_t band, int match, int mismatch, int gap_open,
-                    int gap_extend, int32_t* score_out,
-                    std::vector<uint32_t>* ops_out) {
-  // band measured around the shifted diagonal (handles n != m)
+// Banded global NW cores (twin of py_nw_banded's DP).
+//
+// Banded storage: row i keeps relative columns c = j - i - lo_off + 1 in
+// [1, W]; c = 0 and c = W + 1 hold kNeg sentinels so the inner loop reads
+// out-of-band neighbours without any in_band branching (a read one past a
+// row's valid range always lands on a sentinel -- band edges move by at
+// most one column per row).  With stride = W + 2 the neighbours sit at
+// fixed offsets: left = idx - 1, diag(i-1, j-1) = idx - stride,
+// up(i-1, j) = idx - stride + 1.
+//
+// Semantics (scores, traceback preference order, tie-breaks) are
+// byte-identical to the original in_band-guarded formulation: a sentinel
+// kNeg is exactly what the old code substituted for out-of-band reads,
+// and on any feasible path traceback equality tests against kNeg-derived
+// values can never fire (path cells score > kNeg/2; kNeg-derived values
+// stay below it).
+struct NWScratch {
+  std::vector<int32_t> H, E, F;          // traceback matrices
+  std::vector<int32_t> h0, h1, f0, f1;   // score-only rolling rows
+};
+NWScratch& nw_scratch() {
+  static thread_local NWScratch s;
+  return s;
+}
+
+inline void grow(std::vector<int32_t>& v, size_t need) {
+  if (v.size() < need) v.resize(need);
+}
+
+// Score-only pass: two rolling rows, no traceback storage.  Returns false
+// when the band cannot connect the corners.
+bool nw_banded_score(const uint8_t* q, int64_t n, const uint8_t* r,
+                     int64_t m, int64_t band, int match, int mismatch,
+                     int gap_open, int gap_extend, int32_t* score_out) {
   const int64_t lo_off = std::min<int64_t>(0, m - n) - band;
   const int64_t hi_off = std::max<int64_t>(0, m - n) + band;
   const int64_t W = hi_off - lo_off + 1;
+  const int64_t stride = W + 2;
 
-  std::vector<int32_t> H((n + 1) * W, kNeg), E((n + 1) * W, kNeg),
-      F((n + 1) * W, kNeg);
-  auto T = [&](int64_t i, int64_t j) { return i * W + (j - i - lo_off); };
-  auto in_band = [&](int64_t i, int64_t j) {
-    return j >= 0 && j <= m && (j - i) >= lo_off && (j - i) <= hi_off;
-  };
+  NWScratch& s = nw_scratch();
+  grow(s.h0, stride); grow(s.h1, stride);
+  grow(s.f0, stride); grow(s.f1, stride);
+  int32_t* hp = s.h0.data();
+  int32_t* hc = s.h1.data();
+  int32_t* fp = s.f0.data();
+  int32_t* fc = s.f1.data();
 
-  H[T(0, 0)] = 0;
-  for (int64_t j = 1; j <= m && in_band(0, j); ++j) {
-    H[T(0, j)] = -gap_open - static_cast<int32_t>(j - 1) * gap_extend;
-    E[T(0, j)] = H[T(0, j)];
+  // row 0: j in [0, min(m, hi_off)], c = j - lo_off + 1
+  {
+    const int64_t jhi = std::min<int64_t>(m, hi_off);
+    const int64_t cl = -lo_off + 1;           // c at j = 0
+    hp[cl - 1] = kNeg; fp[cl - 1] = kNeg;
+    hp[cl] = 0; fp[cl] = kNeg;
+    for (int64_t j = 1; j <= jhi; ++j) {
+      hp[cl + j] = -gap_open - static_cast<int32_t>(j - 1) * gap_extend;
+      fp[cl + j] = kNeg;
+    }
+    hp[cl + jhi + 1] = kNeg; fp[cl + jhi + 1] = kNeg;
   }
   for (int64_t i = 1; i <= n; ++i) {
     const int64_t jlo = std::max<int64_t>(0, i + lo_off);
     const int64_t jhi = std::min<int64_t>(m, i + hi_off);
     if (jlo > jhi) return false;
+    const int64_t cl = jlo - i - lo_off + 1;
+    int64_t c = cl;
+    hc[c - 1] = kNeg; fc[c - 1] = kNeg;
+    int32_t e = kNeg;  // E(i, previous j) for the scalar within-row chain
     if (jlo == 0) {
-      H[T(i, 0)] = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
-      F[T(i, 0)] = H[T(i, 0)];
+      hc[c] = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
+      fc[c] = hc[c];
+      ++c;
     }
-    for (int64_t j = std::max<int64_t>(1, jlo); j <= jhi; ++j) {
-      const int32_t hl = in_band(i, j - 1) ? H[T(i, j - 1)] : kNeg;
-      const int32_t el = in_band(i, j - 1) ? E[T(i, j - 1)] : kNeg;
-      const int32_t hu = in_band(i - 1, j) ? H[T(i - 1, j)] : kNeg;
-      const int32_t fu = in_band(i - 1, j) ? F[T(i - 1, j)] : kNeg;
-      const int32_t hd = in_band(i - 1, j - 1) ? H[T(i - 1, j - 1)] : kNeg;
-      const int32_t e = std::max(el - gap_extend, hl - gap_open);
-      const int32_t f = std::max(fu - gap_extend, hu - gap_open);
-      const int32_t d = hd + cell_score(q[i - 1], r[j - 1], match, mismatch);
-      E[T(i, j)] = e;
-      F[T(i, j)] = f;
-      H[T(i, j)] = std::max(d, std::max(e, f));
+    const uint8_t qi = q[i - 1];
+    for (int64_t j = std::max<int64_t>(1, jlo); j <= jhi; ++j, ++c) {
+      e = std::max(e - gap_extend, hc[c - 1] - gap_open);
+      const int32_t f =
+          std::max(fp[c + 1] - gap_extend, hp[c + 1] - gap_open);
+      const int32_t d = hp[c] + cell_score(qi, r[j - 1], match, mismatch);
+      fc[c] = f;
+      hc[c] = std::max(d, std::max(e, f));
     }
+    hc[c] = kNeg; fc[c] = kNeg;
+    std::swap(hp, hc);
+    std::swap(fp, fc);
   }
-  if (!in_band(n, m) || H[T(n, m)] <= kNeg / 2) return false;
-  *score_out = H[T(n, m)];
-  if (ops_out == nullptr) return true;
+  const int32_t score = hp[m - n - lo_off + 1];
+  if (score <= kNeg / 2) return false;
+  *score_out = score;
+  return true;
+}
 
-  // traceback (same 3-state machine as the numpy fallback)
+// Full pass with traceback.  Appends merged runs to `ops_out` (score-only
+// when ops_out is null, kept for the direct py_nw_banded entry).
+bool nw_banded_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
+                    int64_t band, int match, int mismatch, int gap_open,
+                    int gap_extend, int32_t* score_out,
+                    std::vector<uint32_t>* ops_out) {
+  if (ops_out == nullptr) {
+    return nw_banded_score(q, n, r, m, band, match, mismatch, gap_open,
+                           gap_extend, score_out);
+  }
+  const int64_t lo_off = std::min<int64_t>(0, m - n) - band;
+  const int64_t hi_off = std::max<int64_t>(0, m - n) + band;
+  const int64_t W = hi_off - lo_off + 1;
+  const int64_t stride = W + 2;
+
+  NWScratch& s = nw_scratch();
+  const size_t need = static_cast<size_t>((n + 1) * stride);
+  grow(s.H, need); grow(s.E, need); grow(s.F, need);
+  int32_t* H = s.H.data();
+  int32_t* E = s.E.data();
+  int32_t* F = s.F.data();
+  auto T = [&](int64_t i, int64_t j) {
+    return i * stride + (j - i - lo_off) + 1;
+  };
+
+  // row 0
+  {
+    const int64_t jhi = std::min<int64_t>(m, hi_off);
+    const int64_t cl = -lo_off + 1;
+    H[cl - 1] = kNeg; E[cl - 1] = kNeg; F[cl - 1] = kNeg;
+    H[cl] = 0; E[cl] = kNeg; F[cl] = kNeg;
+    for (int64_t j = 1; j <= jhi; ++j) {
+      const int32_t v = -gap_open - static_cast<int32_t>(j - 1) * gap_extend;
+      H[cl + j] = v; E[cl + j] = v; F[cl + j] = kNeg;
+    }
+    H[cl + jhi + 1] = kNeg; E[cl + jhi + 1] = kNeg; F[cl + jhi + 1] = kNeg;
+  }
+  for (int64_t i = 1; i <= n; ++i) {
+    const int64_t jlo = std::max<int64_t>(0, i + lo_off);
+    const int64_t jhi = std::min<int64_t>(m, i + hi_off);
+    if (jlo > jhi) return false;
+    const int64_t base = i * stride;
+    int64_t c = jlo - i - lo_off + 1;
+    H[base + c - 1] = kNeg; E[base + c - 1] = kNeg; F[base + c - 1] = kNeg;
+    if (jlo == 0) {
+      const int32_t v = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
+      H[base + c] = v; F[base + c] = v; E[base + c] = kNeg;
+      ++c;
+    }
+    const uint8_t qi = q[i - 1];
+    int32_t* Hc = H + base;
+    int32_t* Ec = E + base;
+    int32_t* Fc = F + base;
+    const int32_t* Hu = Hc - stride + 1;  // up:   (i-1, j)  at [c]
+    const int32_t* Fu = Fc - stride + 1;
+    const int32_t* Hd = Hc - stride;      // diag: (i-1, j-1) at [c]
+    for (int64_t j = std::max<int64_t>(1, jlo); j <= jhi; ++j, ++c) {
+      const int32_t e = std::max(Ec[c - 1] - gap_extend,
+                                 Hc[c - 1] - gap_open);
+      const int32_t f = std::max(Fu[c] - gap_extend, Hu[c] - gap_open);
+      const int32_t d = Hd[c] + cell_score(qi, r[j - 1], match, mismatch);
+      Ec[c] = e;
+      Fc[c] = f;
+      Hc[c] = std::max(d, std::max(e, f));
+    }
+    Hc[c] = kNeg; Ec[c] = kNeg; Fc[c] = kNeg;
+  }
+  if (H[T(n, m)] <= kNeg / 2) return false;
+  *score_out = H[T(n, m)];
+
+  // traceback (same 3-state machine as the numpy fallback; sentinel reads
+  // reproduce the old in_band == false branches exactly)
   Cigar cig;
   int64_t i = n, j = m;
   int state = 0;  // 0=H 1=E 2=F
   while (i > 0 || j > 0) {
     if (state == 0) {
-      if (j > 0 && in_band(i, j) && H[T(i, j)] == E[T(i, j)]) {
+      if (j > 0 && H[T(i, j)] == E[T(i, j)]) {
         state = 1;
-      } else if (i > 0 && in_band(i, j) && H[T(i, j)] == F[T(i, j)]) {
+      } else if (i > 0 && H[T(i, j)] == F[T(i, j)]) {
         state = 2;
       } else if (i > 0 && j > 0) {
         cig.emit(0, 1); --i; --j;
@@ -132,13 +245,13 @@ bool nw_banded_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
       }
     } else if (state == 1) {
       cig.emit(2, 1);
-      const bool stay = j > 1 && in_band(i, j - 1) &&
+      const bool stay = j > 1 &&
           E[T(i, j)] == E[T(i, j - 1)] - gap_extend;
       --j;
       if (!stay) state = 0;
     } else {
       cig.emit(1, 1);
-      const bool stay = i > 1 && in_band(i - 1, j) &&
+      const bool stay = i > 1 &&
           F[T(i, j)] == F[T(i - 1, j)] - gap_extend;
       --i;
       if (!stay) state = 0;
@@ -152,6 +265,11 @@ bool nw_banded_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
 // banded_global_cigar driver (ops/traceback.py::banded_global_cigar +
 // _nw_native): default band |n-m|+16, doubled until the score is stable;
 // returns the SMALLER band's cigar when two consecutive bands agree.
+// The band ladder runs on cheap score-only rolling passes; the full
+// traceback DP runs exactly once, at the confirmed band -- the DP is
+// deterministic, so its cigar equals what a traceback pass at that band
+// in the ladder would have produced (outputs byte-identical to the
+// two-full-passes formulation this replaces).
 void nw_cigar_driver(const uint8_t* q, int64_t n, const uint8_t* r,
                      int64_t m, int match, int mismatch, int gap_open,
                      int gap_extend, int32_t* score_out,
@@ -169,32 +287,24 @@ void nw_cigar_driver(const uint8_t* q, int64_t n, const uint8_t* r,
   }
   int64_t band = std::llabs(n - m) + 16;
   const int64_t big = std::max(n, m);
-  int32_t score = 0;
-  bool have = nw_banded_core(q, n, r, m, band, match, mismatch, gap_open,
-                             gap_extend, &score, runs);
-  while (true) {
-    if (band >= big) {
-      if (!have) {
-        have = nw_banded_core(q, n, r, m, big, match, mismatch, gap_open,
-                              gap_extend, &score, runs);
-      }
-      *score_out = score;  // full band is always feasible
-      return;
+  if (band < big) {
+    int32_t s1 = 0;
+    bool have = nw_banded_score(q, n, r, m, band, match, mismatch, gap_open,
+                                gap_extend, &s1);
+    while (band < big) {
+      const int64_t nxt = std::min(2 * band, big);
+      int32_t s2 = 0;
+      const bool have2 = nw_banded_score(q, n, r, m, nxt, match, mismatch,
+                                         gap_open, gap_extend, &s2);
+      if (have && have2 && s1 == s2) break;  // smaller band's cigar wins
+      band = nxt;
+      have = have2;
+      s1 = s2;
     }
-    const int64_t nxt_band = std::min(2 * band, big);
-    int32_t score2 = 0;
-    std::vector<uint32_t> runs2;
-    const bool have2 = nw_banded_core(q, n, r, m, nxt_band, match, mismatch,
-                                      gap_open, gap_extend, &score2, &runs2);
-    if (have && have2 && score2 == score) {
-      *score_out = score;
-      return;  // keep the smaller band's cigar (Python _nw_native)
-    }
-    band = nxt_band;
-    have = have2;
-    score = score2;
-    *runs = std::move(runs2);
   }
+  // a band that survived the ladder (or covers everything) is feasible
+  nw_banded_core(q, n, r, m, band, match, mismatch, gap_open, gap_extend,
+                 score_out, runs);
 }
 
 // ---------------------------------------------------------------------------
@@ -215,72 +325,81 @@ void extend_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
   *rj_out = 0;
   if (n == 0 || m == 0) return;
 
-  const int64_t Wm = m + 1;
-  std::unique_ptr<int32_t[]> Hb(new int32_t[(n + 1) * Wm]);
-  std::unique_ptr<int32_t[]> Eb(new int32_t[(n + 1) * Wm]);
-  std::unique_ptr<int32_t[]> Fb(new int32_t[(n + 1) * Wm]);
-  int32_t* H = Hb.get();
-  int32_t* E = Eb.get();
-  int32_t* F = Fb.get();
+  // Banded storage (row i keeps c = j - i + kExtBand + 2; sentinels one
+  // past each row's written range) -- the DP only ever touches a
+  // (2*kExtBand + drift)-wide stripe, so storing the full m+1 columns per
+  // row (the previous layout) paid ~Wm/stride times the memory traffic.
+  // Index arithmetic matches the nw cores: left = idx-1, diag = idx -
+  // stride, up = idx - stride + 1.  Outputs are byte-identical: the same
+  // cells are computed, with the same sentinel semantics at band edges.
+  const int64_t drift = std::max<int64_t>(0, m - n);
+  const int64_t B = kExtBand;
+  const int64_t stride = drift + 2 * B + 4;
+  auto hi_of = [&](int64_t i) { return std::min(m, i + drift + B); };
+  auto C = [&](int64_t i, int64_t j) { return j - i + B + 2; };
+
+  NWScratch& s = nw_scratch();
+  const size_t need = static_cast<size_t>((n + 1) * stride);
+  grow(s.H, need); grow(s.E, need); grow(s.F, need);
+  int32_t* H = s.H.data();
+  int32_t* E = s.E.data();
+  int32_t* F = s.F.data();
+  auto T = [&](int64_t i, int64_t j) { return i * stride + C(i, j); };
+
   int32_t best = 0;
   int64_t bi = 0, bj = 0;
-  const int64_t drift = std::max<int64_t>(0, m - n);
-  auto hi_of = [&](int64_t i) { return std::min(m, i + drift + kExtBand); };
 
   const int64_t hi0 = hi_of(0);
-  H[0] = 0;
-  E[0] = kNeg;
-  F[0] = kNeg;
-  for (int64_t j = 1; j <= hi0; ++j) {
-    H[j] = -gap_open - static_cast<int32_t>(j - 1) * gap_extend;
-    E[j] = H[j];
-    F[j] = kNeg;
-  }
-  if (hi0 < m) {
-    H[hi0 + 1] = kNeg;
-    E[hi0 + 1] = kNeg;
-    F[hi0 + 1] = kNeg;
+  {
+    const int64_t c0 = C(0, 0);
+    H[c0 - 1] = kNeg; E[c0 - 1] = kNeg; F[c0 - 1] = kNeg;
+    H[c0] = 0; E[c0] = kNeg; F[c0] = kNeg;
+    for (int64_t j = 1; j <= hi0; ++j) {
+      const int32_t v = -gap_open - static_cast<int32_t>(j - 1) * gap_extend;
+      H[c0 + j] = v; E[c0 + j] = v; F[c0 + j] = kNeg;
+    }
+    H[c0 + hi0 + 1] = kNeg; E[c0 + hi0 + 1] = kNeg; F[c0 + hi0 + 1] = kNeg;
   }
   for (int64_t i = 1; i <= n; ++i) {
-    const int64_t lo = std::max<int64_t>(1, i - kExtBand);
+    const int64_t lo = std::max<int64_t>(1, i - B);
     const int64_t hi = hi_of(i);
-    int32_t* Hi = &H[i * Wm];
-    int32_t* Ei = &E[i * Wm];
-    int32_t* Fi = &F[i * Wm];
-    const int32_t* Hp = &H[(i - 1) * Wm];
-    const int32_t* Fp = &F[(i - 1) * Wm];
+    const int64_t base = i * stride;
+    int64_t c = C(i, lo) - 1;  // border column (j = lo-1 = 0) or sentinel
+    int32_t* Hc = H + base;
+    int32_t* Ec = E + base;
+    int32_t* Fc = F + base;
+    const int32_t* Hu = Hc - stride + 1;
+    const int32_t* Fu = Fc - stride + 1;
+    const int32_t* Hd = Hc - stride;
     int32_t row_best;
     if (lo == 1) {
-      Hi[0] = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
-      Fi[0] = Hi[0];
-      Ei[0] = kNeg;
-      row_best = Hi[0];
+      const int32_t v = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
+      Hc[c - 1] = kNeg; Ec[c - 1] = kNeg; Fc[c - 1] = kNeg;
+      Hc[c] = v; Fc[c] = v; Ec[c] = kNeg;
+      row_best = v;
     } else {
-      Hi[lo - 1] = kNeg;
-      Ei[lo - 1] = kNeg;
-      Fi[lo - 1] = kNeg;
+      Hc[c] = kNeg; Ec[c] = kNeg; Fc[c] = kNeg;
       row_best = kNeg;
     }
-    for (int64_t j = lo; j <= hi; ++j) {
-      const int32_t e = std::max(Ei[j - 1] - gap_extend, Hi[j - 1] - gap_open);
-      const int32_t f = std::max(Fp[j] - gap_extend, Hp[j] - gap_open);
-      const int32_t d =
-          Hp[j - 1] + cell_score(q[i - 1], r[j - 1], match, mismatch);
-      Ei[j] = e;
-      Fi[j] = f;
-      Hi[j] = std::max(d, std::max(e, f));
-      if (Hi[j] > row_best) row_best = Hi[j];
+    ++c;
+    const uint8_t qi = q[i - 1];
+    for (int64_t j = lo; j <= hi; ++j, ++c) {
+      const int32_t e = std::max(Ec[c - 1] - gap_extend,
+                                 Hc[c - 1] - gap_open);
+      const int32_t f = std::max(Fu[c] - gap_extend, Hu[c] - gap_open);
+      const int32_t d = Hd[c] + cell_score(qi, r[j - 1], match, mismatch);
+      Ec[c] = e;
+      Fc[c] = f;
+      const int32_t h = std::max(d, std::max(e, f));
+      Hc[c] = h;
+      if (h > row_best) row_best = h;
     }
-    if (hi < m) {
-      Hi[hi + 1] = kNeg;
-      Ei[hi + 1] = kNeg;
-      Fi[hi + 1] = kNeg;
-    }
+    Hc[c] = kNeg; Ec[c] = kNeg; Fc[c] = kNeg;
     if (row_best > best) {
       best = row_best;
       bi = i;
       for (int64_t j = (lo == 1 ? 0 : lo); j <= hi; ++j) {
-        if (Hi[j] == row_best) { bj = j; break; }
+        if (Hc[C(i, j)] == row_best) { bj = j; break; }
       }
     } else if (best - row_best > zdrop) {
       break;
@@ -293,9 +412,9 @@ void extend_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
   int state = 0;
   while (i > 0 || j > 0) {
     if (state == 0) {
-      if (j > 0 && H[i * Wm + j] == E[i * Wm + j]) {
+      if (j > 0 && H[T(i, j)] == E[T(i, j)]) {
         state = 1;
-      } else if (i > 0 && H[i * Wm + j] == F[i * Wm + j]) {
+      } else if (i > 0 && H[T(i, j)] == F[T(i, j)]) {
         state = 2;
       } else if (i > 0 && j > 0) {
         cig.emit(0, 1); --i; --j;
@@ -307,13 +426,13 @@ void extend_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
     } else if (state == 1) {
       cig.emit(2, 1);
       const bool stay =
-          j > 1 && E[i * Wm + j] == E[i * Wm + j - 1] - gap_extend;
+          j > 1 && E[T(i, j)] == E[T(i, j - 1)] - gap_extend;
       --j;
       if (!stay) state = 0;
     } else {
       cig.emit(1, 1);
       const bool stay =
-          i > 1 && F[i * Wm + j] == F[(i - 1) * Wm + j] - gap_extend;
+          i > 1 && F[T(i, j)] == F[T(i - 1, j)] - gap_extend;
       --i;
       if (!stay) state = 0;
     }

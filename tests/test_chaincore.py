@@ -79,3 +79,42 @@ def test_native_sketch_degenerate():
                   np.full(100, 4, np.int8)):
         out = minimizers(codes, 15, 5)
         assert all(len(x) == 0 for x in out)
+
+
+def test_native_backtrack_parity(rng):
+    """C++ backtrack (chaincore.cpp::py_backtrack) vs the numpy greedy:
+    identical chain sets, order, paths and scores, incl. valid masks,
+    ties in f (stable order) and the max_chains cutoff."""
+    import builtins
+    from ciri_long_tpu.ops import chain as chain_mod
+
+    orig = builtins.__import__
+
+    def block(name, *a, **k):
+        if name == 'ciri_long_tpu' and a and a[2] and \
+                '_chaincore' in (a[2] or ()):
+            raise ImportError
+        return orig(name, *a, **k)
+
+    for _ in range(40):
+        B = int(rng.integers(1, 4))
+        N = int(rng.integers(1, 120))
+        # small integer-valued scores make f-ties common
+        f = rng.integers(0, 12, (B, N)).astype(np.float64)
+        pre = rng.integers(-1, N, (B, N)).astype(np.int64)
+        valid = rng.random((B, N)) < 0.9
+        ms = float(rng.integers(0, 8))
+        ma = int(rng.integers(1, 4))
+        mc = int(rng.integers(1, 6))
+        nat = chain_mod.backtrack_chains(f, pre, valid, ms, ma, mc)
+        builtins.__import__ = block
+        try:
+            ref = chain_mod.backtrack_chains(f, pre, valid, ms, ma, mc)
+        finally:
+            builtins.__import__ = orig
+        assert len(nat) == len(ref)
+        for rn, rr in zip(nat, ref):
+            assert len(rn) == len(rr)
+            for (pn, sn), (pr, sr) in zip(rn, rr):
+                np.testing.assert_array_equal(pn, pr)
+                assert sn == sr

@@ -83,6 +83,7 @@ struct Cigar {
 struct NWScratch {
   std::vector<int32_t> H, E, F;          // traceback matrices
   std::vector<int32_t> h0, h1, f0, f1;   // score-only rolling rows
+  std::vector<int32_t> tmp;              // dp_row pass-1 staging
 };
 NWScratch& nw_scratch() {
   static thread_local NWScratch s;
@@ -91,6 +92,92 @@ NWScratch& nw_scratch() {
 
 inline void grow(std::vector<int32_t>& v, size_t need) {
   if (v.size() < need) v.resize(need);
+}
+
+// One DP row, split into compiler-vectorizable passes.  Exact splitting
+// of the E recurrence needs gap_open >= gap_extend (the repo-wide kernel
+// convention; callers assert/fall back):
+//   E[j] = max(E[j-1] - ge, H[j-1] - go),  H[j-1] = max(tmp[j-1], E[j-1])
+//        = max(E[j-1] - ge, tmp[j-1] - go)         since go >= ge,
+// a first-order recurrence over the precomputed tmp = max(diag, F) --
+// the same affine identity the TPU prefix-scan kernel rests on
+// (ops/sw.py).  Values produced are bit-identical to the fused loop.
+//
+// Pointers are pre-offset so index t is column j0 + t: Hd = diag(i-1,
+// j-1), Hu/Fu = up(i-1, j).  e0_E / e0_H are the left neighbour of the
+// first column (border cell or kNeg sentinel).
+inline void dp_row(uint8_t qi, const uint8_t* rrow, int64_t len,
+                   const int32_t* Hd, const int32_t* Hu, const int32_t* Fu,
+                   int32_t* H, int32_t* E, int32_t* F, int32_t* tmp,
+                   int32_t e0_E, int32_t e0_H, int match, int mismatch,
+                   int gap_open, int gap_extend) {
+  // pass 1 (vectorizes): diagonal + vertical, no intra-row dependency
+  for (int64_t t = 0; t < len; ++t) {
+    const uint8_t b = rrow[t];
+    int32_t sc = (qi == b) ? match : -mismatch;
+    sc = (qi == 4 || b == 4) ? 0 : sc;
+    sc = (qi >= 5 || b >= 5) ? kNeg : sc;
+    const int32_t f = std::max(Fu[t] - gap_extend, Hu[t] - gap_open);
+    F[t] = f;
+    tmp[t] = std::max(Hd[t] + sc, f);
+  }
+  // pass 2 (serial, 2 ops/cell): the E chain
+  int32_t e = std::max(e0_E - gap_extend, e0_H - gap_open);
+  E[0] = e;
+  for (int64_t t = 1; t < len; ++t) {
+    e = std::max(e - gap_extend, tmp[t - 1] - gap_open);
+    E[t] = e;
+  }
+  // pass 3 (vectorizes): fold E into H
+  for (int64_t t = 0; t < len; ++t) H[t] = std::max(tmp[t], E[t]);
+}
+
+// Score-only variant: E stays scalar, fold fused into the chain.
+inline void dp_row_score(uint8_t qi, const uint8_t* rrow, int64_t len,
+                         const int32_t* Hd, const int32_t* Hu,
+                         const int32_t* Fu, int32_t* H, int32_t* F,
+                         int32_t* tmp, int32_t e0_E, int32_t e0_H,
+                         int match, int mismatch, int gap_open,
+                         int gap_extend) {
+  for (int64_t t = 0; t < len; ++t) {
+    const uint8_t b = rrow[t];
+    int32_t sc = (qi == b) ? match : -mismatch;
+    sc = (qi == 4 || b == 4) ? 0 : sc;
+    sc = (qi >= 5 || b >= 5) ? kNeg : sc;
+    const int32_t f = std::max(Fu[t] - gap_extend, Hu[t] - gap_open);
+    F[t] = f;
+    tmp[t] = std::max(Hd[t] + sc, f);
+  }
+  int32_t e = std::max(e0_E - gap_extend, e0_H - gap_open);
+  H[0] = std::max(tmp[0], e);
+  for (int64_t t = 1; t < len; ++t) {
+    e = std::max(e - gap_extend, tmp[t - 1] - gap_open);
+    H[t] = std::max(tmp[t], e);
+  }
+}
+
+// Fused fallbacks for the (unused in production) gap_open < gap_extend
+// case, where the split E recurrence is not exact: the original direct
+// formulation.
+inline void dp_row_fused(uint8_t qi, const uint8_t* rrow, int64_t len,
+                         const int32_t* Hd, const int32_t* Hu,
+                         const int32_t* Fu, int32_t* H, int32_t* E,
+                         int32_t* F, int32_t e0_E, int32_t e0_H,
+                         int match, int mismatch, int gap_open,
+                         int gap_extend) {
+  int32_t eprev = e0_E, hprev = e0_H;
+  for (int64_t t = 0; t < len; ++t) {
+    const int32_t e = std::max(eprev - gap_extend, hprev - gap_open);
+    const int32_t f = std::max(Fu[t] - gap_extend, Hu[t] - gap_open);
+    const int32_t d =
+        Hd[t] + cell_score(qi, rrow[t], match, mismatch);
+    const int32_t h = std::max(d, std::max(e, f));
+    E[t] = e;
+    F[t] = f;
+    H[t] = h;
+    eprev = e;
+    hprev = h;
+  }
 }
 
 // Score-only pass: two rolling rows, no traceback storage.  Returns false
@@ -123,6 +210,9 @@ bool nw_banded_score(const uint8_t* q, int64_t n, const uint8_t* r,
     }
     hp[cl + jhi + 1] = kNeg; fp[cl + jhi + 1] = kNeg;
   }
+  NWScratch& scr = s;
+  grow(scr.tmp, stride);
+  int32_t* tmp = scr.tmp.data();
   for (int64_t i = 1; i <= n; ++i) {
     const int64_t jlo = std::max<int64_t>(0, i + lo_off);
     const int64_t jhi = std::min<int64_t>(m, i + hi_off);
@@ -130,20 +220,26 @@ bool nw_banded_score(const uint8_t* q, int64_t n, const uint8_t* r,
     const int64_t cl = jlo - i - lo_off + 1;
     int64_t c = cl;
     hc[c - 1] = kNeg; fc[c - 1] = kNeg;
-    int32_t e = kNeg;  // E(i, previous j) for the scalar within-row chain
     if (jlo == 0) {
       hc[c] = -gap_open - static_cast<int32_t>(i - 1) * gap_extend;
       fc[c] = hc[c];
       ++c;
     }
-    const uint8_t qi = q[i - 1];
-    for (int64_t j = std::max<int64_t>(1, jlo); j <= jhi; ++j, ++c) {
-      e = std::max(e - gap_extend, hc[c - 1] - gap_open);
-      const int32_t f =
-          std::max(fp[c + 1] - gap_extend, hp[c + 1] - gap_open);
-      const int32_t d = hp[c] + cell_score(qi, r[j - 1], match, mismatch);
-      fc[c] = f;
-      hc[c] = std::max(d, std::max(e, f));
+    const int64_t j0 = std::max<int64_t>(1, jlo);
+    const int64_t len = jhi - j0 + 1;
+    if (len > 0) {
+      // e0: E of the left neighbour is kNeg (border E / sentinel); its H
+      // is the border ramp or the kNeg sentinel just written.
+      if (gap_open >= gap_extend) {
+        dp_row_score(q[i - 1], r + j0 - 1, len, hp + c, hp + c + 1,
+                     fp + c + 1, hc + c, fc + c, tmp, kNeg, hc[c - 1],
+                     match, mismatch, gap_open, gap_extend);
+      } else {
+        dp_row_fused(q[i - 1], r + j0 - 1, len, hp + c, hp + c + 1,
+                     fp + c + 1, hc + c, tmp, fc + c, kNeg, hc[c - 1],
+                     match, mismatch, gap_open, gap_extend);
+      }
+      c += len;
     }
     hc[c] = kNeg; fc[c] = kNeg;
     std::swap(hp, hc);
@@ -173,9 +269,11 @@ bool nw_banded_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
   NWScratch& s = nw_scratch();
   const size_t need = static_cast<size_t>((n + 1) * stride);
   grow(s.H, need); grow(s.E, need); grow(s.F, need);
+  grow(s.tmp, stride);
   int32_t* H = s.H.data();
   int32_t* E = s.E.data();
   int32_t* F = s.F.data();
+  int32_t* tmp = s.tmp.data();
   auto T = [&](int64_t i, int64_t j) {
     return i * stride + (j - i - lo_off) + 1;
   };
@@ -204,21 +302,24 @@ bool nw_banded_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
       H[base + c] = v; F[base + c] = v; E[base + c] = kNeg;
       ++c;
     }
-    const uint8_t qi = q[i - 1];
     int32_t* Hc = H + base;
     int32_t* Ec = E + base;
     int32_t* Fc = F + base;
-    const int32_t* Hu = Hc - stride + 1;  // up:   (i-1, j)  at [c]
-    const int32_t* Fu = Fc - stride + 1;
-    const int32_t* Hd = Hc - stride;      // diag: (i-1, j-1) at [c]
-    for (int64_t j = std::max<int64_t>(1, jlo); j <= jhi; ++j, ++c) {
-      const int32_t e = std::max(Ec[c - 1] - gap_extend,
-                                 Hc[c - 1] - gap_open);
-      const int32_t f = std::max(Fu[c] - gap_extend, Hu[c] - gap_open);
-      const int32_t d = Hd[c] + cell_score(qi, r[j - 1], match, mismatch);
-      Ec[c] = e;
-      Fc[c] = f;
-      Hc[c] = std::max(d, std::max(e, f));
+    const int64_t j0 = std::max<int64_t>(1, jlo);
+    const int64_t len = jhi - j0 + 1;
+    if (len > 0) {
+      const int32_t* Hp = Hc - stride;  // prev row, same relative column
+      const int32_t* Fp = Fc - stride;
+      if (gap_open >= gap_extend) {
+        dp_row(q[i - 1], r + j0 - 1, len, Hp + c, Hp + c + 1, Fp + c + 1,
+               Hc + c, Ec + c, Fc + c, tmp, Ec[c - 1], Hc[c - 1],
+               match, mismatch, gap_open, gap_extend);
+      } else {
+        dp_row_fused(q[i - 1], r + j0 - 1, len, Hp + c, Hp + c + 1,
+                     Fp + c + 1, Hc + c, Ec + c, Fc + c, Ec[c - 1],
+                     Hc[c - 1], match, mismatch, gap_open, gap_extend);
+      }
+      c += len;
     }
     Hc[c] = kNeg; Ec[c] = kNeg; Fc[c] = kNeg;
   }
@@ -341,9 +442,11 @@ void extend_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
   NWScratch& s = nw_scratch();
   const size_t need = static_cast<size_t>((n + 1) * stride);
   grow(s.H, need); grow(s.E, need); grow(s.F, need);
+  grow(s.tmp, stride);
   int32_t* H = s.H.data();
   int32_t* E = s.E.data();
   int32_t* F = s.F.data();
+  int32_t* tmp = s.tmp.data();
   auto T = [&](int64_t i, int64_t j) { return i * stride + C(i, j); };
 
   int32_t best = 0;
@@ -382,17 +485,21 @@ void extend_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
       row_best = kNeg;
     }
     ++c;
-    const uint8_t qi = q[i - 1];
-    for (int64_t j = lo; j <= hi; ++j, ++c) {
-      const int32_t e = std::max(Ec[c - 1] - gap_extend,
-                                 Hc[c - 1] - gap_open);
-      const int32_t f = std::max(Fu[c] - gap_extend, Hu[c] - gap_open);
-      const int32_t d = Hd[c] + cell_score(qi, r[j - 1], match, mismatch);
-      Ec[c] = e;
-      Fc[c] = f;
-      const int32_t h = std::max(d, std::max(e, f));
-      Hc[c] = h;
-      if (h > row_best) row_best = h;
+    const int64_t len = hi - lo + 1;
+    if (len > 0) {
+      if (gap_open >= gap_extend) {
+        dp_row(q[i - 1], r + lo - 1, len, Hd + c, Hu + c, Fu + c,
+               Hc + c, Ec + c, Fc + c, tmp, Ec[c - 1], Hc[c - 1],
+               match, mismatch, gap_open, gap_extend);
+      } else {
+        dp_row_fused(q[i - 1], r + lo - 1, len, Hd + c, Hu + c, Fu + c,
+                     Hc + c, Ec + c, Fc + c, Ec[c - 1], Hc[c - 1],
+                     match, mismatch, gap_open, gap_extend);
+      }
+      for (int64_t t = 0; t < len; ++t) {  // vectorizable row max
+        if (Hc[c + t] > row_best) row_best = Hc[c + t];
+      }
+      c += len;
     }
     Hc[c] = kNeg; Ec[c] = kNeg; Fc[c] = kNeg;
     if (row_best > best) {

@@ -6,31 +6,31 @@ fastxcodec = Extension(
     'ciri_long_tpu._fastxcodec',
     sources=['native/fastxcodec.cpp'],
     libraries=['z'],
-    extra_compile_args=['-O3', '-std=c++17'],
+    extra_compile_args=['-O3', '-march=native', '-std=c++17'],
 )
 
 chaincore = Extension(
     'ciri_long_tpu._chaincore',
     sources=['native/chaincore.cpp'],
-    extra_compile_args=['-O3', '-std=c++17'],
+    extra_compile_args=['-O3', '-march=native', '-std=c++17'],
 )
 
 nwcore = Extension(
     'ciri_long_tpu._nwcore',
     sources=['native/nwcore.cpp'],
-    extra_compile_args=['-O3', '-std=c++17'],
+    extra_compile_args=['-O3', '-march=native', '-std=c++17'],
 )
 
 alncore = Extension(
     'ciri_long_tpu._alncore',
     sources=['native/alncore.cpp'],
-    extra_compile_args=['-O3', '-std=c++17'],
+    extra_compile_args=['-O3', '-march=native', '-std=c++17'],
 )
 
 poacore = Extension(
     'ciri_long_tpu._poacore',
     sources=['native/poacore.cpp'],
-    extra_compile_args=['-O3', '-std=c++17'],
+    extra_compile_args=['-O3', '-march=native', '-std=c++17'],
 )
 
 setup(

@@ -12,7 +12,7 @@ parallelism table: read-only state is host-replicated, reads are the
 sharded axis).
 """
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 
@@ -114,6 +114,7 @@ class MinimizerIndex(NamedTuple):
     codes: np.ndarray    # u32 canonical k-mers, sorted
     pos: np.ndarray      # u32 global genome coordinate of k-mer start
     strand: np.ndarray   # u8
+    buckets: Optional[np.ndarray] = None  # i64[65537] top-16-bit offsets
 
     @classmethod
     def build(cls, genome, k: int, w: int) -> "MinimizerIndex":
@@ -130,11 +131,30 @@ class MinimizerIndex(NamedTuple):
             keep &= ~bad
         code, pos, strand = code[keep], pos[keep], strand[keep]
         order = np.argsort(code, kind='stable')
-        return cls(k, w, code[order], pos[order].astype(np.uint32),
-                   strand[order])
+        code = code[order]
+        # top-16-bit bucket offsets: each lookup binary-searches a
+        # ~dozen-entry bucket instead of the whole table
+        buckets = np.searchsorted(
+            code, (np.arange(65537, dtype=np.int64) << 16)).astype(np.int64)
+        return cls(k, w, code, pos[order].astype(np.uint32),
+                   strand[order], buckets)
 
     def lookup(self, query_codes: np.ndarray):
-        """Ranges [lo, hi) into the sorted table for each query k-mer."""
+        """Ranges [lo, hi) into the sorted table for each query k-mer.
+        Bucketed C++ search when built (chaincore.cpp::py_lookup, exact
+        searchsorted equivalence asserted in tests); numpy otherwise."""
+        if self.buckets is not None and len(query_codes):
+            try:
+                from ciri_long_tpu import _chaincore
+                native = getattr(_chaincore, 'lookup', None)
+            except ImportError:
+                native = None
+            if native is not None:
+                lob, hib = native(
+                    self.codes, self.buckets,
+                    np.ascontiguousarray(query_codes, np.uint32))
+                return (np.frombuffer(lob, np.int64),
+                        np.frombuffer(hib, np.int64))
         lo = np.searchsorted(self.codes, query_codes, side='left')
         hi = np.searchsorted(self.codes, query_codes, side='right')
         return lo, hi

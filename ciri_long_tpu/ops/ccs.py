@@ -283,10 +283,32 @@ def detect_units(codes, k: int = K):
     anchor segmentation, no consensus yet.  Returns None when the read is
     not a rolling-circle candidate, else (period, segments, units) with
     segments/units as (start, end) pairs (units = the consensus-eligible
-    subset)."""
+    subset).  Native C++ core when built (native/ccscore.cpp, parity fuzz
+    in tests/test_ccs.py); numpy cascade fallback below."""
     L = len(codes)
     if L < 2 * MIN_PERIOD:
         return None
+
+    try:
+        from ciri_long_tpu import _ccscore
+    except ImportError:
+        _ccscore = None
+    if _ccscore is not None:
+        hit = _ccscore.detect(
+            np.ascontiguousarray(codes, np.uint8).tobytes(), k,
+            MIN_PERIOD, MIN_UNITS)
+        if hit is None:
+            return None
+        period, bs_raw = hit
+        bs = [int(x) for x in np.frombuffer(bs_raw, np.int64)]
+        if len(bs) < 3:
+            return None
+        segments = list(zip(bs[:-1], bs[1:]))
+        units = [(st, en) for st, en in segments
+                 if 0.75 * period <= en - st <= 1.35 * period]
+        if len(units) < 2:
+            return None
+        return period, segments, units
 
     km, pos = _kmer_codes(codes, k)
     lags = _lag_votes(km, pos)

@@ -258,6 +258,45 @@ PyObject* py_backtrack(PyObject*, PyObject* args) {
   return out;
 }
 
+// Bucketed range lookup into the sorted minimizer table (the mm_idx_get
+// role): bstart[b] pre-resolves the top 16 bits of the query code, so
+// each query binary-searches a ~dozen-entry bucket instead of the whole
+// multi-megabyte table.  Results equal np.searchsorted(codes, q,
+// 'left'/'right') exactly (codes sorted; all values with top bits b live
+// in [bstart[b], bstart[b+1])).
+PyObject* py_lookup(PyObject*, PyObject* args) {
+  Py_buffer tb, bb, qb;
+  if (!PyArg_ParseTuple(args, "y*y*y*", &tb, &bb, &qb)) return nullptr;
+  const uint32_t* table = static_cast<const uint32_t*>(tb.buf);
+  const int64_t* bstart = static_cast<const int64_t*>(bb.buf);
+  const uint32_t* q = static_cast<const uint32_t*>(qb.buf);
+  const Py_ssize_t nq = qb.len / static_cast<Py_ssize_t>(sizeof(uint32_t));
+  const Py_ssize_t nb =
+      bb.len / static_cast<Py_ssize_t>(sizeof(int64_t)) - 1;  // 65536
+
+  std::vector<int64_t> lo(nq), hi(nq);
+  Py_BEGIN_ALLOW_THREADS
+  for (Py_ssize_t t = 0; t < nq; ++t) {
+    const uint32_t v = q[t];
+    const int64_t b = static_cast<int64_t>(v >> 16);
+    const uint32_t* first = table + (b < nb ? bstart[b] : 0);
+    const uint32_t* last = table + (b < nb ? bstart[b + 1] : 0);
+    lo[t] = std::lower_bound(first, last, v) - table;
+    hi[t] = std::upper_bound(first, last, v) - table;
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&tb);
+  PyBuffer_Release(&bb);
+  PyBuffer_Release(&qb);
+  static const char kEmpty[1] = {0};
+  auto buf = [&](const void* p) {
+    return p == nullptr ? kEmpty : static_cast<const char*>(p);
+  };
+  return Py_BuildValue(
+      "(y#y#)", buf(lo.data()), (Py_ssize_t)(nq * sizeof(int64_t)),
+      buf(hi.data()), (Py_ssize_t)(nq * sizeof(int64_t)));
+}
+
 PyMethodDef kMethods[] = {
     {"chain", py_chain, METH_VARARGS,
      "chain(r, q, ctg, k, window, max_gap_r, max_gap_q) -> (f, pre) bytes"},
@@ -266,6 +305,9 @@ PyMethodDef kMethods[] = {
     {"backtrack", py_backtrack, METH_VARARGS,
      "backtrack(f_f64, pre_i64, valid_u8, min_score, min_anchors, "
      "max_chains) -> [(path_i64_bytes, score), ...]"},
+    {"lookup", py_lookup, METH_VARARGS,
+     "lookup(table_u32_sorted, bucket_starts_i64[65537], queries_u32) -> "
+     "(lo_i64, hi_i64) bytes"},
     {nullptr, nullptr, 0, nullptr},
 };
 

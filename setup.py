@@ -33,12 +33,18 @@ poacore = Extension(
     extra_compile_args=['-O3', '-march=native', '-std=c++17'],
 )
 
+ccscore = Extension(
+    'ciri_long_tpu._ccscore',
+    sources=['native/ccscore.cpp'],
+    extra_compile_args=['-O3', '-march=native', '-std=c++17'],
+)
+
 setup(
     name='ciri-long-tpu',
     version=__version__,
     description='TPU-native circular RNA identification from Nanopore long reads',
     packages=find_packages(include=['ciri_long_tpu', 'ciri_long_tpu.*']),
-    ext_modules=[fastxcodec, chaincore, nwcore, poacore, alncore],
+    ext_modules=[fastxcodec, chaincore, nwcore, poacore, alncore, ccscore],
     python_requires='>=3.10',
     install_requires=[
         'jax',

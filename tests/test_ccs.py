@@ -79,3 +79,60 @@ def test_linear_mrna_like_read(rng):
 
 def test_short_read_rejected():
     assert find_consensus("ACGT" * 10) == (None, None)
+
+
+def test_native_detect_parity(rng):
+    """C++ detect (ccscore.cpp) vs the numpy cascade: identical
+    period/segments/units (or identical None) across rolling-circle,
+    linear, noisy and N-bearing reads."""
+    import builtins
+    from ciri_long_tpu.ops import ccs as ccs_mod
+
+    orig = builtins.__import__
+
+    def block(name, *a, **k):
+        if name == 'ciri_long_tpu' and a and a[2] and \
+                '_ccscore' in (a[2] or ()):
+            raise ImportError
+        return orig(name, *a, **k)
+
+    def make_read(case):
+        if case == 0:    # clean rolling circle
+            unit = rng.integers(0, 4, int(rng.integers(40, 400)))
+            reps = float(rng.uniform(2.2, 8.0))
+            seq = np.tile(unit, int(np.ceil(reps)))[:int(len(unit) * reps)]
+        elif case == 1:  # noisy rolling circle (subs + indels)
+            unit = rng.integers(0, 4, int(rng.integers(60, 300)))
+            parts = []
+            for _ in range(int(rng.integers(2, 7))):
+                u = unit.copy()
+                sub = rng.random(len(u)) < 0.04
+                u[sub] = rng.integers(0, 4, int(sub.sum()))
+                keep = rng.random(len(u)) > 0.02
+                parts.append(u[keep])
+            seq = np.concatenate(parts)
+        elif case == 2:  # linear random
+            seq = rng.integers(0, 4, int(rng.integers(30, 1500)))
+        else:            # rolling circle with N stretches
+            unit = rng.integers(0, 4, int(rng.integers(50, 200)))
+            seq = np.tile(unit, 4).copy()
+            ii = rng.integers(0, len(seq), max(1, len(seq) // 40))
+            seq[ii] = 4
+        return seq.astype(np.int8)
+
+    for t in range(60):
+        seq = make_read(t % 4)
+        nat = ccs_mod.detect_units(seq)
+        builtins.__import__ = block
+        try:
+            ref = ccs_mod.detect_units(seq)
+        finally:
+            builtins.__import__ = orig
+        if ref is None or nat is None:
+            assert ref is None and nat is None, (t, ref, nat)
+            continue
+        assert nat[0] == ref[0], (t, nat[0], ref[0])
+        assert [tuple(map(int, s)) for s in nat[1]] == \
+            [tuple(map(int, s)) for s in ref[1]]
+        assert [tuple(map(int, s)) for s in nat[2]] == \
+            [tuple(map(int, s)) for s in ref[2]]

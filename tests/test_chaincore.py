@@ -118,3 +118,27 @@ def test_native_backtrack_parity(rng):
             for (pn, sn), (pr, sr) in zip(rn, rr):
                 np.testing.assert_array_equal(pn, pr)
                 assert sn == sr
+
+
+def test_native_lookup_parity(rng):
+    """Bucketed C++ lookup == np.searchsorted left/right on the sorted
+    minimizer table, across empty buckets, duplicates and extremes."""
+    from ciri_long_tpu import _chaincore
+
+    table = np.sort(rng.choice(
+        np.array([0, 1, 5, 0xffff, 0x10000, 0x10001, 0xdeadbeef,
+                  0xffffffff], np.uint32), 50))
+    table = np.sort(np.concatenate(
+        [table, rng.integers(0, 2**32, 5000).astype(np.uint32)]))
+    buckets = np.searchsorted(
+        table, (np.arange(65537, dtype=np.int64) << 16)).astype(np.int64)
+    qs = np.concatenate([
+        rng.integers(0, 2**32, 3000).astype(np.uint32),
+        rng.choice(table, 500),
+        np.array([0, 0xffffffff], np.uint32)])
+    lob, hib = _chaincore.lookup(table, buckets,
+                                 np.ascontiguousarray(qs, np.uint32))
+    lo = np.frombuffer(lob, np.int64)
+    hi = np.frombuffer(hib, np.int64)
+    np.testing.assert_array_equal(lo, np.searchsorted(table, qs, 'left'))
+    np.testing.assert_array_equal(hi, np.searchsorted(table, qs, 'right'))

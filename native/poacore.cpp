@@ -52,12 +52,23 @@ int32_t AlignCore(const uint8_t* bases, const int32_t* offs,
   auto& F2 = ws.F2;
   auto& E1 = ws.E1;
   auto& E2 = ws.E2;
-  H.assign((V + 1) * W, kNeg);
-  M.assign((V + 1) * W, kNeg);
-  F1.assign((V + 1) * W, kNeg);
-  F2.assign((V + 1) * W, kNeg);
-  E1.assign((V + 1) * W, kNeg);
-  E2.assign((V + 1) * W, kNeg);
+  // Rows 1..V are fully written in topological order before any read, so
+  // only row 0 needs initialising -- a full-matrix fill would double the
+  // memory traffic of the whole DP.
+  const size_t cells = static_cast<size_t>((V + 1) * W);
+  if (H.size() < cells) {
+    H.resize(cells);
+    M.resize(cells);
+    F1.resize(cells);
+    F2.resize(cells);
+    E1.resize(cells);
+    E2.resize(cells);
+  }
+  std::fill(M.begin(), M.begin() + W, kNeg);
+  std::fill(F1.begin(), F1.begin() + W, kNeg);
+  std::fill(F2.begin(), F2.begin() + W, kNeg);
+  std::fill(E1.begin(), E1.begin() + W, kNeg);
+  std::fill(E2.begin(), E2.begin() + W, kNeg);
 
   // Row 0 = virtual source: consume a seq prefix as one two-piece gap.
   H[0] = 0;
@@ -80,33 +91,43 @@ int32_t AlignCore(const uint8_t* bases, const int32_t* offs,
     const int64_t np = offs[i] - offs[i - 1];
 
     // F over real preds only (source stands in when there are none).
-    for (int64_t j = 0; j <= n; ++j) {
-      int32_t f1 = kNeg, f2 = kNeg, hmax = kNeg;
-      if (np == 0) {
-        f1 = F1[j];
-        f2 = F2[j];
-        hmax = H[j];
-      } else {
-        for (int64_t k = 0; k < np; ++k) {
-          const int64_t pr = p0[k];
-          f1 = std::max(f1, F1[pr * W + j]);
-          f2 = std::max(f2, F2[pr * W + j]);
-          hmax = std::max(hmax, H[pr * W + j]);
+    // Per-predecessor row pointers keep the inner loops unit-stride and
+    // compiler-vectorizable; max over preds distributes over the +e/+o
+    // forms, so values equal the fused per-cell reduction exactly.
+    {
+      const int64_t pr = (np == 0) ? 0 : p0[0];
+      const int32_t* F1r = &F1[pr * W];
+      const int32_t* F2r = &F2[pr * W];
+      const int32_t* Hr = &H[pr * W];
+      for (int64_t j = 0; j <= n; ++j) {
+        F1p[j] = std::max(F1r[j] + e1, Hr[j] + o1);
+        F2p[j] = std::max(F2r[j] + e2, Hr[j] + o2);
+      }
+      for (int64_t k = 1; k < np; ++k) {
+        const int32_t* F1k = &F1[p0[k] * W];
+        const int32_t* F2k = &F2[p0[k] * W];
+        const int32_t* Hk = &H[p0[k] * W];
+        for (int64_t j = 0; j <= n; ++j) {
+          F1p[j] = std::max(F1p[j], std::max(F1k[j] + e1, Hk[j] + o1));
+          F2p[j] = std::max(F2p[j], std::max(F2k[j] + e2, Hk[j] + o2));
         }
       }
-      F1p[j] = std::max(f1 + e1, hmax + o1);
-      F2p[j] = std::max(f2 + e2, hmax + o2);
     }
 
     // M over preds + source.
-    Mrow[0] = kNeg;
-    for (int64_t j = 1; j <= n; ++j) {
-      const int32_t s = (seq[j - 1] == base) ? m : x;
-      int32_t hp = H[j - 1];  // source row
+    {
+      Mrow[0] = kNeg;
+      const int32_t* Hs = &H[0];  // source row
+      for (int64_t j = 1; j <= n; ++j) Mrow[j] = Hs[j - 1];
       for (int64_t k = 0; k < np; ++k) {
-        hp = std::max(hp, H[p0[k] * W + j - 1]);
+        const int32_t* Hk = &H[p0[k] * W];
+        for (int64_t j = 1; j <= n; ++j) {
+          Mrow[j] = std::max(Mrow[j], Hk[j - 1]);
+        }
       }
-      Mrow[j] = hp + s;
+      for (int64_t j = 1; j <= n; ++j) {
+        Mrow[j] += (seq[j - 1] == base) ? m : x;
+      }
     }
 
     for (int64_t j = 0; j <= n; ++j) {
@@ -120,6 +141,8 @@ int32_t AlignCore(const uint8_t* bases, const int32_t* offs,
     int32_t* E2i = &E2[i * W];
     int32_t p1 = Hpre[0], p2 = Hpre[0];
     Hi[0] = Hpre[0];
+    E1i[0] = kNeg;  // never read (traceback stops at j == 0), kept defined
+    E2i[0] = kNeg;
     for (int64_t j = 1; j <= n; ++j) {
       E1i[j] = p1 + o1;
       E2i[j] = p2 + o2;

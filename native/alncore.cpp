@@ -48,41 +48,58 @@ inline int32_t cell_score(uint8_t a, uint8_t b, int32_t match,
 void sw_forward(const uint8_t* q, int n, const uint8_t* r, int m,
                 int32_t match, int32_t mismatch, int32_t gO, int32_t gE,
                 int32_t* best_out, int32_t* i_out, int32_t* j_out,
-                std::vector<int32_t>& H, std::vector<int32_t>& F) {
+                std::vector<int32_t>& H, std::vector<int32_t>& F,
+                std::vector<int32_t>& tmp) {
   H.assign(m, 0);
   F.assign(m, kNeg);
+  if (tmp.size() < static_cast<size_t>(m)) tmp.resize(m);
+  int32_t* Hv = H.data();
+  int32_t* Fv_ = F.data();
+  int32_t* T = tmp.data();
   int32_t best = 0;
   int32_t best_i = -1;
   int32_t best_j = m;  // kernel init: best_j = Lr
   for (int i = 0; i < n; ++i) {
-    int32_t h_diag = 0;               // H_prev[j-1]; j=0 sees empty prefix
-    int64_t pmax = kNeg;              // running max of H0[k] + k*gE, k < j
-    int32_t row_best = INT32_MIN;
-    int32_t row_j = -1;
-    for (int j = 0; j < m; ++j) {
-      const int32_t Hp = H[j];
-      const int32_t Fv = std::max(F[j] - gE, Hp - gO);
-      const int32_t s = cell_score(q[i], r[j], match, mismatch);
-      const int32_t H0 = std::max(std::max(h_diag + s, Fv), 0);
-      const int64_t E = pmax - gO - static_cast<int64_t>(j - 1) * gE;
-      const int32_t Hn =
-          std::max<int64_t>(H0, E) > INT32_MAX
-              ? INT32_MAX
-              : static_cast<int32_t>(std::max<int64_t>(H0, E));
-      pmax = std::max<int64_t>(pmax, static_cast<int64_t>(H0) +
-                                         static_cast<int64_t>(j) * gE);
-      if (Hn > row_best) {
-        row_best = Hn;
-        row_j = j;
-      }
-      F[j] = Fv;
-      H[j] = Hn;
-      h_diag = Hp;
+    const uint8_t qi = q[i];
+    // pass 1 (vectorizable): F update + diagonal into tmp = H0; the diag
+    // reads H[j-1] of the PREVIOUS row, which pass 1 never overwrites.
+    {
+      const int32_t f0 = std::max(Fv_[0] - gE, Hv[0] - gO);
+      Fv_[0] = f0;
+      T[0] = std::max(std::max(cell_score(qi, r[0], match, mismatch), f0),
+                      0);  // j = 0 sees the empty prefix (diag = 0)
     }
-    if (row_best > best || (row_best == best && row_j < best_j)) {
-      best = row_best;
-      best_j = row_j;
-      best_i = i;
+    for (int j = 1; j < m; ++j) {
+      const uint8_t b = r[j];
+      int32_t s = (qi == b) ? match : -mismatch;
+      s = (qi == 4 || b == 4) ? 0 : s;
+      s = (qi >= 5 || b >= 5) ? kNeg : s;
+      const int32_t f = std::max(Fv_[j] - gE, Hv[j] - gO);
+      Fv_[j] = f;
+      T[j] = std::max(std::max(Hv[j - 1] + s, f), 0);
+    }
+    // pass 2 (serial, 3 ops/cell): the prefix-max E chain, exactly the
+    // ops/sw.py kernel's cummax identity (int64 to match its clamping)
+    int64_t pmax = kNeg;  // running max of H0[k] + k*gE, k < j
+    for (int j = 0; j < m; ++j) {
+      const int64_t E = pmax - gO - static_cast<int64_t>(j - 1) * gE;
+      const int64_t hn = std::max<int64_t>(T[j], E);
+      pmax = std::max<int64_t>(
+          pmax, static_cast<int64_t>(T[j]) + static_cast<int64_t>(j) * gE);
+      Hv[j] = hn > INT32_MAX ? INT32_MAX : static_cast<int32_t>(hn);
+    }
+    // pass 3 (vectorizable): row max; the argmax scan only runs when the
+    // row can actually improve the running best.
+    int32_t row_best = INT32_MIN;
+    for (int j = 0; j < m; ++j) row_best = std::max(row_best, Hv[j]);
+    if (row_best >= best) {
+      int row_j = 0;
+      while (Hv[row_j] != row_best) ++row_j;
+      if (row_best > best || row_j < best_j) {
+        best = row_best;
+        best_j = row_j;
+        best_i = i;
+      }
     }
   }
   *best_out = best;
@@ -107,7 +124,7 @@ PyObject* py_sw_align_many(PyObject*, PyObject* args) {
   const int32_t* rlens = static_cast<const int32_t*>(rlb.buf);
 
   std::vector<int32_t> out(static_cast<size_t>(B) * 5);
-  std::vector<int32_t> H, F;
+  std::vector<int32_t> H, F, tmp;
   std::vector<uint8_t> rq, rr;
 
   for (int b = 0; b < B; ++b) {
@@ -121,7 +138,7 @@ PyObject* py_sw_align_many(PyObject*, PyObject* args) {
       ie = je = -1;
     } else {
       sw_forward(qs, n, rs, m, match, mismatch, gO, gE, &best, &ie, &je, H,
-                 F);
+                 F, tmp);
     }
     int32_t* o = out.data() + static_cast<size_t>(b) * 5;
     if (best <= 0) {
@@ -136,7 +153,7 @@ PyObject* py_sw_align_many(PyObject*, PyObject* args) {
     std::reverse(rr.begin(), rr.end());
     int32_t s2, io, jo;
     sw_forward(rq.data(), ie + 1, rr.data(), je + 1, match, mismatch, gO,
-               gE, &s2, &io, &jo, H, F);
+               gE, &s2, &io, &jo, H, F, tmp);
     o[0] = best;
     o[1] = ie - io;  // q_begin
     o[2] = ie;       // q_end
@@ -256,24 +273,33 @@ PyObject* py_sw_traceback(PyObject*, PyObject* args) {
   std::vector<int32_t> E(static_cast<size_t>(n + 1) * stride, kNeg);
   std::vector<int32_t> F(static_cast<size_t>(n + 1) * stride, kNeg);
 
+  std::vector<int32_t> tmp(m + 1);
   for (int i = 1; i <= n; ++i) {
     int32_t* Hrow = H.data() + i * stride;
     const int32_t* Hprev = H.data() + (i - 1) * stride;
     int32_t* Erow = E.data() + i * stride;
     int32_t* Frow = F.data() + i * stride;
     const int32_t* Fprev = F.data() + (i - 1) * stride;
+    const uint8_t qi = q[i - 1];
+    // pass 1 (vectorizable): F + diagonal into tmp = h0
+    for (int j = 1; j <= m; ++j) {
+      const uint8_t b = r[j - 1];
+      int32_t s = (qi == b) ? match : -mismatch;
+      s = (qi == 4 || b == 4) ? 0 : s;
+      s = (qi >= 5 || b >= 5) ? kNeg : s;
+      const int32_t f = std::max(Fprev[j] - gE, Hprev[j] - gO);
+      Frow[j] = f;
+      tmp[j] = std::max(std::max(Hprev[j - 1] + s, f), 0);
+    }
+    // pass 2 (serial): the prefix-max E chain
     int64_t pmax = kNeg;
     for (int j = 1; j <= m; ++j) {
-      const int32_t Fv = std::max(Fprev[j] - gE, Hprev[j] - gO);
-      Frow[j] = Fv;
-      const int32_t s = cell_score(q[i - 1], r[j - 1], match, mismatch);
-      const int32_t h0 = std::max(std::max(Hprev[j - 1] + s, Fv), 0);
       const int64_t e =
           (j == 1) ? kNeg : pmax - gO - static_cast<int64_t>(j - 2) * gE;
       Erow[j] = static_cast<int32_t>(std::max<int64_t>(e, kNeg));
-      pmax = std::max<int64_t>(pmax, static_cast<int64_t>(h0) +
+      pmax = std::max<int64_t>(pmax, static_cast<int64_t>(tmp[j]) +
                                          static_cast<int64_t>(j - 1) * gE);
-      Hrow[j] = std::max<int64_t>(h0, Erow[j]);
+      Hrow[j] = std::max<int64_t>(tmp[j], Erow[j]);
     }
   }
 

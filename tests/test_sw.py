@@ -147,3 +147,26 @@ def test_banded_global_cigar_matches_oracle(rng):
         assert score == exp, (n, m)
         sc, qi, rj = apply_cigar_score(q, r, cigar, 2, 4, 4, 2)
         assert sc == score and qi == n and rj == m
+
+
+def test_banded_global_cigar_gap_open_lt_extend(rng):
+    """gap_open < gap_extend exercises nwcore's fused fallback rows (the
+    split E recurrence needs open >= extend); scores must still match the
+    direct-recurrence oracle and cigars must re-score exactly."""
+    from ciri_long_tpu.ops.traceback import banded_global_cigar
+    from tests.oracles import nw_oracle, apply_cigar_score
+
+    params = (2, 3, 1, 4)   # open < extend
+    for _ in range(10):
+        n = int(rng.integers(1, 60))
+        m = int(rng.integers(1, 60))
+        q = rng.integers(0, 5, n).astype(np.int8)
+        r = rng.integers(0, 5, m).astype(np.int8)
+        score, cigar = banded_global_cigar(q, r, None, *params)
+        assert score == nw_oracle(q, r, *params), (n, m)
+        # the cigar must consume all of q and r; its run-merged affine
+        # re-score is NOT comparable here (with open < extend the DP's
+        # optimum re-opens gaps per base, which merged runs can't express
+        # -- the repo-wide open >= extend convention exists for this)
+        _, qi, rj = apply_cigar_score(q, r, cigar, *params)
+        assert qi == n and rj == m

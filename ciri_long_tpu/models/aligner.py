@@ -310,6 +310,28 @@ class GenomeAligner:
                -1: (np.zeros(0, np.int64), np.zeros(0, np.int64))}
         if len(qh) == 0:
             return out
+        idx = self.index
+        if idx.buckets is not None:
+            # one native call for the whole lookup/gather/sort cascade
+            # (chaincore.cpp::py_anchors; parity fuzz in
+            # tests/test_chaincore.py); numpy fallback below
+            try:
+                from ciri_long_tpu import _chaincore
+                native = getattr(_chaincore, 'anchors', None)
+            except ImportError:
+                native = None
+            if native is not None:
+                rp, qp, rm, qm = native(
+                    idx.codes, idx.buckets, idx.pos, idx.strand,
+                    np.ascontiguousarray(qh, np.uint32),
+                    np.ascontiguousarray(qpos, np.int64),
+                    np.ascontiguousarray(qstrand, np.uint8),
+                    self.k, qlen, int(self.cfg.max_occ))
+                out[1] = (np.frombuffer(rp, np.int64),
+                          np.frombuffer(qp, np.int64))
+                out[-1] = (np.frombuffer(rm, np.int64),
+                           np.frombuffer(qm, np.int64))
+                return out
         lo, hi = self.index.lookup(qh)
         occ = hi - lo
         keep = (occ > 0) & (occ <= self.cfg.max_occ)

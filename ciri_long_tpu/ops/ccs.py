@@ -202,6 +202,22 @@ def center_star_consensus(units, cigars=None):
         return np.zeros(0, np.int8)
     if U == 1:
         return units[0]
+    if cigars is None:
+        # host fast path: the whole star (NW per unit + votes + insertion
+        # slots) in one C++ call (nwcore.cpp::py_center_star; parity fuzz
+        # in tests/test_ccs.py)
+        try:
+            from ciri_long_tpu import _nwcore
+            native = getattr(_nwcore, 'center_star', None)
+        except ImportError:
+            native = None
+        if native is not None:
+            offs = np.zeros(U + 1, np.int64)
+            offs[1:] = np.cumsum([len(u) for u in units])
+            buf = native(
+                np.ascontiguousarray(np.concatenate(units), np.int8), offs,
+                2, 4, 4, 2)
+            return np.frombuffer(buf, np.int8).copy()
     rep_i = star_rep_index(units)
     rep = units[rep_i]
     n = len(rep)

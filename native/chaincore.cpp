@@ -297,6 +297,86 @@ PyObject* py_lookup(PyObject*, PyObject* args) {
       buf(hi.data()), (Py_ssize_t)(nq * sizeof(int64_t)));
 }
 
+// Whole-read anchor assembly (models/aligner.py::_anchors): bucketed
+// lookup of each query minimizer, occurrence-capped gather of (ref_pos,
+// query_pos) pairs split by strand agreement ('-' anchors flip the query
+// coordinate into revcomp space), each strand sorted by (r, q) -- the
+// np.lexsort((q, r)) order.  One call replaces the per-read numpy
+// repeat/cumsum/lexsort cascade.
+PyObject* py_anchors(PyObject*, PyObject* args) {
+  Py_buffer tb, bb, pb, sb, qh_b, qp_b, qs_b;
+  int k;
+  long long qlen, max_occ;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*iLL", &tb, &bb, &pb, &sb,
+                        &qh_b, &qp_b, &qs_b, &k, &qlen, &max_occ)) {
+    return nullptr;
+  }
+  const uint32_t* table = static_cast<const uint32_t*>(tb.buf);
+  const int64_t* bstart = static_cast<const int64_t*>(bb.buf);
+  const uint32_t* tpos = static_cast<const uint32_t*>(pb.buf);
+  const uint8_t* tstrand = static_cast<const uint8_t*>(sb.buf);
+  const uint32_t* qh = static_cast<const uint32_t*>(qh_b.buf);
+  const int64_t* qpos = static_cast<const int64_t*>(qp_b.buf);
+  const uint8_t* qstrand = static_cast<const uint8_t*>(qs_b.buf);
+  const Py_ssize_t nq = qh_b.len / static_cast<Py_ssize_t>(sizeof(uint32_t));
+
+  std::vector<std::pair<int64_t, int64_t>> plus, minus;
+  Py_BEGIN_ALLOW_THREADS {
+    for (Py_ssize_t t = 0; t < nq; ++t) {
+      const uint32_t v = qh[t];
+      const int64_t b = static_cast<int64_t>(v >> 16);
+      const uint32_t* first = table + bstart[b];
+      const uint32_t* last = table + bstart[b + 1];
+      const int64_t lo = std::lower_bound(first, last, v) - table;
+      const int64_t hi = std::upper_bound(first, last, v) - table;
+      const int64_t occ = hi - lo;
+      if (occ == 0 || occ > max_occ) continue;
+      for (int64_t e = lo; e < hi; ++e) {
+        if (tstrand[e] == qstrand[t]) {
+          plus.emplace_back(static_cast<int64_t>(tpos[e]), qpos[t]);
+        } else {
+          minus.emplace_back(static_cast<int64_t>(tpos[e]),
+                             qlen - (qpos[t] + k));
+        }
+      }
+    }
+    std::sort(plus.begin(), plus.end());
+    std::sort(minus.begin(), minus.end());
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&tb);
+  PyBuffer_Release(&bb);
+  PyBuffer_Release(&pb);
+  PyBuffer_Release(&sb);
+  PyBuffer_Release(&qh_b);
+  PyBuffer_Release(&qp_b);
+  PyBuffer_Release(&qs_b);
+
+  // interleave back into separate r/q arrays per strand
+  auto pack = [](const std::vector<std::pair<int64_t, int64_t>>& v,
+                 std::vector<int64_t>& r_out, std::vector<int64_t>& q_out) {
+    r_out.resize(v.size());
+    q_out.resize(v.size());
+    for (size_t t = 0; t < v.size(); ++t) {
+      r_out[t] = v[t].first;
+      q_out[t] = v[t].second;
+    }
+  };
+  std::vector<int64_t> rp, qp, rm, qm;
+  pack(plus, rp, qp);
+  pack(minus, rm, qm);
+  static const char kEmpty[1] = {0};
+  auto buf = [&](const std::vector<int64_t>& v) {
+    return v.empty() ? kEmpty : reinterpret_cast<const char*>(v.data());
+  };
+  return Py_BuildValue(
+      "(y#y#y#y#)",
+      buf(rp), (Py_ssize_t)(rp.size() * sizeof(int64_t)),
+      buf(qp), (Py_ssize_t)(qp.size() * sizeof(int64_t)),
+      buf(rm), (Py_ssize_t)(rm.size() * sizeof(int64_t)),
+      buf(qm), (Py_ssize_t)(qm.size() * sizeof(int64_t)));
+}
+
 PyMethodDef kMethods[] = {
     {"chain", py_chain, METH_VARARGS,
      "chain(r, q, ctg, k, window, max_gap_r, max_gap_q) -> (f, pre) bytes"},
@@ -308,6 +388,9 @@ PyMethodDef kMethods[] = {
     {"lookup", py_lookup, METH_VARARGS,
      "lookup(table_u32_sorted, bucket_starts_i64[65537], queries_u32) -> "
      "(lo_i64, hi_i64) bytes"},
+    {"anchors", py_anchors, METH_VARARGS,
+     "anchors(table_u32, bstart_i64, pos_u32, strand_u8, qh_u32, qpos_i64, "
+     "qstrand_u8, k, qlen, max_occ) -> (r+, q+, r-, q-) i64 bytes"},
     {nullptr, nullptr, 0, nullptr},
 };
 

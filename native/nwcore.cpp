@@ -904,6 +904,171 @@ PyObject* py_stitch(PyObject*, PyObject* args) {
                        (Py_ssize_t)(cigar.ops.size() * sizeof(uint32_t)));
 }
 
+// center_star(units_i8_concat, offsets_i64[U+1], match, mismatch,
+//             gap_open, gap_extend) -> consensus int8 bytes
+//
+// Native twin of ops/ccs.py::center_star_consensus for U >= 2 units on
+// the host path (the device path injects precomputed cigars and keeps
+// the Python implementation): banded-NW alignment of every unit to the
+// median-length representative, per-column {A,C,G,T,N,del} vote with the
+// representative's half-vote tie-break, and majority insertion slots
+// with Counter.most_common() semantics (max count, ties to the
+// first-seen length, donor = first unit holding the modal length).
+PyObject* py_center_star(PyObject*, PyObject* args) {
+  Py_buffer ub, ob;
+  int match, mismatch, go, ge;
+  if (!PyArg_ParseTuple(args, "y*y*iiii", &ub, &ob, &match, &mismatch, &go,
+                        &ge)) {
+    return nullptr;
+  }
+  const uint8_t* data = static_cast<const uint8_t*>(ub.buf);
+  const int64_t* offs = static_cast<const int64_t*>(ob.buf);
+  const int64_t U = ob.len / static_cast<Py_ssize_t>(sizeof(int64_t)) - 1;
+
+  std::vector<int8_t> cons;
+  Py_BEGIN_ALLOW_THREADS {
+    // median-length representative (stable sort by length)
+    std::vector<int64_t> order(U);
+    for (int64_t t = 0; t < U; ++t) order[t] = t;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return (offs[a + 1] - offs[a]) < (offs[b + 1] - offs[b]);
+    });
+    const int64_t rep_i = order[U / 2];
+    const uint8_t* rep = data + offs[rep_i];
+    const int64_t n = offs[rep_i + 1] - offs[rep_i];
+
+    std::vector<int8_t> base_mat(U * n, -1);
+    std::vector<int32_t> ins_len(U * (n + 1), 0);
+    std::vector<int64_t> ins_qi(U * (n + 1), -1);
+    std::vector<uint32_t> runs;
+    int32_t sc;
+    for (int64_t ui = 0; ui < U; ++ui) {
+      const uint8_t* u = data + offs[ui];
+      const int64_t nu = offs[ui + 1] - offs[ui];
+      int8_t* row = base_mat.data() + ui * n;
+      if (ui == rep_i) {
+        for (int64_t j = 0; j < n; ++j) row[j] = static_cast<int8_t>(rep[j]);
+        continue;
+      }
+      nw_cigar_driver(u, nu, rep, n, match, mismatch, go, ge, &sc, &runs);
+      int64_t qi = 0, ri = 0;
+      for (const uint32_t run : runs) {
+        const int64_t l = run >> 4;
+        const uint32_t op = run & 0xfu;
+        if (op == 0) {
+          for (int64_t t = 0; t < l; ++t) {
+            row[ri + t] = static_cast<int8_t>(u[qi + t]);
+          }
+          qi += l;
+          ri += l;
+        } else if (op == 1) {
+          ins_len[ui * (n + 1) + ri] = static_cast<int32_t>(l);
+          ins_qi[ui * (n + 1) + ri] = qi;
+          qi += l;
+        } else {
+          ri += l;
+        }
+      }
+    }
+
+    // per-column vote over {A, C, G, T, N, del}; representative's own
+    // call gets a half-vote (doubled counts + 1)
+    std::vector<int8_t> winner(n);
+    std::vector<uint8_t> keep(n);
+    for (int64_t j = 0; j < n; ++j) {
+      int32_t counts[6] = {0, 0, 0, 0, 0, 0};
+      for (int64_t ui = 0; ui < U; ++ui) {
+        const int8_t v = base_mat[ui * n + j];
+        ++counts[v < 0 ? 5 : v];
+      }
+      int64_t c2[6];
+      for (int t = 0; t < 6; ++t) c2[t] = 2 * counts[t];
+      c2[rep[j]] += 1;
+      int w = 0;
+      for (int t = 1; t < 6; ++t) {
+        if (c2[t] > c2[w]) w = t;  // np.argmax: first maximum
+      }
+      winner[j] = static_cast<int8_t>(w);
+      keep[j] = w < 5;
+    }
+
+    // majority insertion slots
+    std::vector<int64_t> qual;
+    for (int64_t p = 0; p <= n; ++p) {
+      int sup = 0;
+      for (int64_t ui = 0; ui < U; ++ui) {
+        if (ins_len[ui * (n + 1) + p] > 0) ++sup;
+      }
+      if (2 * sup > U) qual.push_back(p);
+    }
+
+    if (qual.empty()) {
+      bool any = false;
+      for (int64_t j = 0; j < n; ++j) any = any || keep[j];
+      if (!any) {
+        cons.assign(rep, rep + n);
+      } else {
+        for (int64_t j = 0; j < n; ++j) {
+          if (keep[j]) cons.push_back(winner[j]);
+        }
+      }
+    } else {
+      int64_t prev = 0;
+      for (const int64_t p : qual) {
+        for (int64_t j = prev; j < p; ++j) {
+          if (keep[j]) cons.push_back(winner[j]);
+        }
+        // modal insert length: max count, ties to first-seen (the
+        // Counter.most_common(1) contract -- sorted() is stable over
+        // insertion order)
+        std::vector<std::pair<int32_t, int32_t>> freq;  // (len, count)
+        for (int64_t ui = 0; ui < U; ++ui) {
+          const int32_t l = ins_len[ui * (n + 1) + p];
+          if (l <= 0) continue;
+          bool seen = false;
+          for (auto& f : freq) {
+            if (f.first == l) {
+              ++f.second;
+              seen = true;
+              break;
+            }
+          }
+          if (!seen) freq.emplace_back(l, 1);
+        }
+        int32_t mode = freq[0].first, bestc = freq[0].second;
+        for (const auto& f : freq) {
+          if (f.second > bestc) {
+            mode = f.first;
+            bestc = f.second;
+          }
+        }
+        for (int64_t ui = 0; ui < U; ++ui) {
+          if (ins_len[ui * (n + 1) + p] == mode) {
+            const uint8_t* u = data + offs[ui];
+            const int64_t qi = ins_qi[ui * (n + 1) + p];
+            for (int32_t t = 0; t < mode; ++t) {
+              cons.push_back(static_cast<int8_t>(u[qi + t]));
+            }
+            break;
+          }
+        }
+        prev = p;
+      }
+      for (int64_t j = prev; j < n; ++j) {
+        if (keep[j]) cons.push_back(winner[j]);
+      }
+      if (cons.empty()) cons.assign(rep, rep + n);
+    }
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&ub);
+  PyBuffer_Release(&ob);
+  static const char kEmpty[1] = {0};
+  const char* out = cons.empty() ? kEmpty
+                                 : reinterpret_cast<const char*>(cons.data());
+  return Py_BuildValue("y#", out, (Py_ssize_t)cons.size());
+}
+
 PyMethodDef kMethods[] = {
     {"nw_banded", py_nw_banded, METH_VARARGS,
      "nw_banded(q, r, band, match, mismatch, gap_open, gap_extend) -> "
@@ -914,6 +1079,9 @@ PyMethodDef kMethods[] = {
     {"prefix_matrix", py_prefix_matrix, METH_VARARGS,
      "prefix_matrix(q, r, match, mismatch, gap_open, gap_extend) -> "
      "int32 H[(n+1)*(m+1)] bytes"},
+    {"center_star", py_center_star, METH_VARARGS,
+     "center_star(units_i8_concat, offsets_i64, match, mismatch, gap_open, "
+     "gap_extend) -> consensus int8 bytes"},
     {"stitch", py_stitch, METH_VARARGS,
      "stitch(qc, gcodes, r_i64, q_i64, k, ctg_lo, ctg_hi, min_intron, "
      "splice_bonus, ext_cap, nw_scores x4, ext_scores x5) -> "

@@ -136,3 +136,42 @@ def test_native_detect_parity(rng):
             [tuple(map(int, s)) for s in ref[1]]
         assert [tuple(map(int, s)) for s in nat[2]] == \
             [tuple(map(int, s)) for s in ref[2]]
+
+
+def test_native_center_star_parity(rng):
+    """C++ whole-star consensus (nwcore.cpp::py_center_star) vs the Python
+    implementation: identical bytes across clean/noisy/indel units,
+    insertion-slot majorities and degenerate shapes."""
+    import builtins
+    from ciri_long_tpu.ops import ccs as ccs_mod
+
+    orig = builtins.__import__
+
+    def block(name, *a, **k):
+        if name == 'ciri_long_tpu' and a and a[2] and \
+                '_nwcore' in (a[2] or ()):
+            raise ImportError
+        return orig(name, *a, **k)
+
+    for t in range(30):
+        base = rng.integers(0, 4, int(rng.integers(30, 400))).astype(np.int8)
+        U = int(rng.integers(2, 9))
+        units = []
+        for _ in range(U):
+            u = base.copy()
+            sub = rng.random(len(u)) < 0.06
+            u[sub] = rng.integers(0, 5, int(sub.sum()))
+            if rng.random() < 0.7:     # deletions
+                u = u[rng.random(len(u)) > 0.03]
+            if rng.random() < 0.7:     # insertions
+                ii = int(rng.integers(0, len(u)))
+                ins = rng.integers(0, 4, int(rng.integers(1, 6)))
+                u = np.concatenate([u[:ii], ins, u[ii:]]).astype(np.int8)
+            units.append(u)
+        nat = ccs_mod.center_star_consensus(units)
+        builtins.__import__ = block
+        try:
+            ref = ccs_mod.center_star_consensus(units)
+        finally:
+            builtins.__import__ = orig
+        np.testing.assert_array_equal(nat, ref), t

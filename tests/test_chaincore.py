@@ -142,3 +142,46 @@ def test_native_lookup_parity(rng):
     hi = np.frombuffer(hib, np.int64)
     np.testing.assert_array_equal(lo, np.searchsorted(table, qs, 'left'))
     np.testing.assert_array_equal(hi, np.searchsorted(table, qs, 'right'))
+
+
+def test_native_anchors_parity(rng):
+    """C++ whole-read anchor assembly == the numpy lookup/gather/lexsort
+    cascade, incl. occurrence capping, strand flips and sort order."""
+    import builtins
+    from ciri_long_tpu.io.genome import Genome
+    from ciri_long_tpu.models.aligner import GenomeAligner
+
+    g = "".join(rng.choice(list("ACGT"), 30_000))
+    # plant repeats so max_occ capping fires
+    g = g + g[5000:5400] * 6
+    genome = Genome.from_dict({'c1': g[:20_000], 'c2': g[20_000:]})
+    aln = GenomeAligner(genome)
+
+    orig = builtins.__import__
+
+    def block(name, *a, **k):
+        if name == 'ciri_long_tpu' and a and a[2] and \
+                '_chaincore' in (a[2] or ()):
+            raise ImportError
+        return orig(name, *a, **k)
+
+    from ciri_long_tpu.utils.seq import encode_seq
+    for t in range(12):
+        if t % 3 == 0:
+            s = g[rng.integers(0, 10_000):][:rng.integers(100, 2000)]
+        elif t % 3 == 1:
+            s = "".join(rng.choice(list("ACGTN"), rng.integers(50, 800)))
+        else:   # revcomp slice
+            comp = {'A': 'T', 'C': 'G', 'G': 'C', 'T': 'A'}
+            raw = g[rng.integers(0, 10_000):][:800]
+            s = "".join(comp[c] for c in reversed(raw))
+        codes = encode_seq(s)
+        nat = aln._anchors(codes, len(codes))
+        builtins.__import__ = block
+        try:
+            ref = aln._anchors(codes, len(codes))
+        finally:
+            builtins.__import__ = orig
+        for st in (1, -1):
+            np.testing.assert_array_equal(nat[st][0], ref[st][0])
+            np.testing.assert_array_equal(nat[st][1], ref[st][1])

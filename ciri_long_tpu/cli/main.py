@@ -113,6 +113,25 @@ def call(args):
     timer = StageTimer()
     reads_count = defaultdict(int)
 
+    # splice-site / annotation index (built before the CCS stage so the
+    # scan pool below can be pre-spawned with its file path)
+    gtf_idx, intron_idx, ss_idx = _load_or_build_index(
+        out_dir, gtf_file, circ_file, logger)
+    idx_file = out_dir + '/tmp/ss.idx'
+    idx_file = idx_file if os.path.exists(idx_file) else None
+
+    # Pre-spawn the scan-stage worker pool: spawn workers pay ~3 s of
+    # interpreter + sitecustomize(jax) startup each, which overlaps the
+    # CCS stage for free (Pool() initialises workers asynchronously).
+    # The same pool serves scan_ccs and scan_raw (identical initializer).
+    scan_pool = None
+    if args.threads > 1 and ref_fasta is not None:
+        import multiprocessing
+        from ciri_long_tpu.pipeline.find_bsj import _scan_worker_init
+        ctx_mp = multiprocessing.get_context('spawn')
+        scan_pool = ctx_mp.Pool(args.threads, _scan_worker_init,
+                                (ref_fasta, idx_file))
+
     # Step 1: cyclic consensus
     ccs_fa = '{}/tmp/{}.ccs.fa'.format(out_dir, prefix)
     raw_fa = '{}/tmp/{}.raw.fa'.format(out_dir, prefix)
@@ -131,10 +150,6 @@ def call(args):
         logger.info('reads in: {}'.format(reads_count['total']))
     logger.info('reads with cyclic consensus: {}'.format(reads_count['consensus']))
 
-    # splice-site / annotation index
-    gtf_idx, intron_idx, ss_idx = _load_or_build_index(
-        out_dir, gtf_file, circ_file, logger)
-
     profile_dir = getattr(args, 'profile', None)
     if profile_dir:
         import jax
@@ -143,7 +158,6 @@ def call(args):
     logger.info('[2/4] scanning consensus reads for BSJs')
     with timer.stage('scan_ccs', items=len(ccs_seq)):
         ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx)
-        idx_file = out_dir + '/tmp/ss.idx'
         if getattr(args, 'dist', None) == 'mesh':
             # device-mesh data parallelism: reads sharded over the
             # 'reads' axis, candidates merged with one all_gather
@@ -157,7 +171,7 @@ def call(args):
             tmp_cnt, short_seq = scan_ccs_reads(
                 ctx, ccs_seq, is_canonical, out_dir, prefix,
                 threads=args.threads, ref_fasta=ref_fasta,
-                idx_file=idx_file if os.path.exists(idx_file) else None)
+                idx_file=idx_file, pool=scan_pool)
     for key, value in tmp_cnt.items():
         reads_count[key] += value
 
@@ -175,7 +189,7 @@ def call(args):
             tmp_cnt = recover_ccs_reads(
                 short_ctx, short_seq, is_canonical, out_dir, prefix,
                 threads=args.threads, ref_fasta=ref_fasta,
-                idx_file=idx_file if os.path.exists(idx_file) else None)
+                idx_file=idx_file)
         else:
             # the reference still truncates/creates nothing here; keep the
             # append semantics by ensuring the file exists
@@ -189,9 +203,12 @@ def call(args):
         tmp_cnt, _short = scan_raw_reads(
             ctx, in_file, is_canonical, out_dir, prefix,
             threads=args.threads, ref_fasta=ref_fasta,
-            idx_file=idx_file if os.path.exists(idx_file) else None)
+            idx_file=idx_file, pool=scan_pool)
     for key, value in tmp_cnt.items():
         reads_count[key] += value
+    if scan_pool is not None:
+        scan_pool.terminate()
+        scan_pool.join()
 
     if profile_dir:
         import jax

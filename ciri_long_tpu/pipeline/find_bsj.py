@@ -511,7 +511,7 @@ def _scan_worker_chunk(payload):
 
 def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
                    cfg=DEFAULT.call, threads=1, ref_fasta=None,
-                   idx_file=None):
+                   idx_file=None, pool=None):
     """Scan all CCS reads, write {prefix}.cand_circ.fa
     (find_bsj.py:328-372).
 
@@ -575,12 +575,19 @@ def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
     pending = [(ci, chunk) for ci, chunk in all_chunks
                if ci not in done_chunks]
 
-    pool = result_iter = None
-    if threads > 1 and ref_fasta is not None and len(pending) > 1:
-        import multiprocessing
-        ctx_mp = multiprocessing.get_context('spawn')
-        pool = ctx_mp.Pool(min(threads, len(pending)), _scan_worker_init,
-                           (ref_fasta, idx_file))
+    # ``pool`` lets the CLI pre-spawn workers (their ~3 s interpreter +
+    # sitecustomize startup then overlaps the CCS stage) and share them
+    # with scan_raw_reads; an externally-owned pool is not terminated.
+    own_pool = pool is None
+    result_iter = None
+    if own_pool:
+        pool = None
+        if threads > 1 and ref_fasta is not None and len(pending) > 1:
+            import multiprocessing
+            ctx_mp = multiprocessing.get_context('spawn')
+            pool = ctx_mp.Pool(min(threads, len(pending)),
+                               _scan_worker_init, (ref_fasta, idx_file))
+    if pool is not None and len(pending) > 1:
         result_iter = pool.imap(_scan_worker_chunk,
                                 [(chunk, is_canonical, cfg)
                                  for _, chunk in pending])
@@ -617,7 +624,7 @@ def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
                 done += len(chunk)
                 prog.update(100 * done // max(1, len(items)))
     finally:
-        if pool is not None:
+        if own_pool and pool is not None:
             pool.terminate()
             pool.join()
     prog.update(100)
@@ -863,7 +870,7 @@ def _raw_worker_chunk(payload):
 
 def scan_raw_reads(ctx, in_file, is_canonical, out_dir, prefix,
                    cfg=DEFAULT.call, threads=1, ref_fasta=None,
-                   idx_file=None):
+                   idx_file=None, pool=None):
     """Partial-read pass driver; writes {prefix}.low_confidence.fa
     (find_bsj.py:623-718).  threads > 1 uses the same spawn-pool pattern
     as scan_ccs_reads (the reference pools this pass too,
@@ -885,14 +892,20 @@ def scan_raw_reads(ctx, in_file, is_canonical, out_dir, prefix,
     chunks = [items[i:i + cfg.raw_chunk_size]
               for i in range(0, len(items), cfg.raw_chunk_size)]
 
-    pool = result_iter = None
-    # spawn cost (~1-2 s/worker for interpreter + genome + index) only
-    # pays off with several chunks of raw work per worker
-    if threads > 1 and ref_fasta is not None and len(chunks) >= 2 * threads:
-        import multiprocessing
-        ctx_mp = multiprocessing.get_context('spawn')
-        pool = ctx_mp.Pool(min(threads, len(chunks)), _scan_worker_init,
-                           (ref_fasta, idx_file))
+    own_pool = pool is None
+    result_iter = None
+    # spawn cost (~3 s/worker for interpreter + genome + index) only
+    # pays off with several chunks of raw work per worker -- unless the
+    # CLI already handed us its warm shared pool
+    if own_pool:
+        pool = None
+        if (threads > 1 and ref_fasta is not None
+                and len(chunks) >= 2 * threads):
+            import multiprocessing
+            ctx_mp = multiprocessing.get_context('spawn')
+            pool = ctx_mp.Pool(min(threads, len(chunks)),
+                               _scan_worker_init, (ref_fasta, idx_file))
+    if pool is not None and len(chunks) > 1:
         result_iter = pool.imap(
             _raw_worker_chunk,
             [(c, is_canonical, circ_reads, cfg) for c in chunks])
@@ -915,7 +928,7 @@ def scan_raw_reads(ctx, in_file, is_canonical, out_dir, prefix,
                 n_done += len(chunk)
                 prog.update(min(99, 100 * n_done // max(1, len(items))))
     finally:
-        if pool is not None:
+        if own_pool and pool is not None:
             pool.terminate()
             pool.join()
     prog.update(100)

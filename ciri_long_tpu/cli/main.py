@@ -133,6 +133,25 @@ def call(args):
                                 (ref_fasta, idx_file))
 
     # Step 1: cyclic consensus
+    try:
+        _call_stages(args, logger, timer, reads_count, in_file, out_dir,
+                     prefix, ref_fasta, is_canonical, debugging, gtf_idx,
+                     intron_idx, ss_idx, idx_file, scan_pool)
+    finally:
+        if scan_pool is not None:
+            scan_pool.terminate()
+            scan_pool.join()
+    return _finish_call(args, logger, timer, reads_count, out_dir, prefix)
+
+
+def _call_stages(args, logger, timer, reads_count, in_file, out_dir, prefix,
+                 ref_fasta, is_canonical, debugging, gtf_idx, intron_idx,
+                 ss_idx, idx_file, scan_pool):
+    from ciri_long_tpu.pipeline.find_ccs import find_ccs_reads, load_ccs_reads
+    from ciri_long_tpu.pipeline.find_bsj import (recover_ccs_reads,
+                                                 scan_ccs_reads,
+                                                 scan_raw_reads)
+
     ccs_fa = '{}/tmp/{}.ccs.fa'.format(out_dir, prefix)
     raw_fa = '{}/tmp/{}.raw.fa'.format(out_dir, prefix)
     if not debugging and os.path.exists(ccs_fa) and os.path.exists(raw_fa):
@@ -206,15 +225,14 @@ def call(args):
             idx_file=idx_file, pool=scan_pool)
     for key, value in tmp_cnt.items():
         reads_count[key] += value
-    if scan_pool is not None:
-        scan_pool.terminate()
-        scan_pool.join()
 
     if profile_dir:
         import jax
         jax.profiler.stop_trace()
         logger.info('Device trace written to {}'.format(profile_dir))
 
+
+def _finish_call(args, logger, timer, reads_count, out_dir, prefix):
     logger.info('non-linear raw reads: {}'.format(reads_count['raw_unmapped']))
     logger.info('mapped consensus reads: {}'.format(reads_count['ccs_mapped']))
     logger.info('BSJ calls: {}'.format(reads_count['bsj']))

@@ -124,8 +124,18 @@ def call(args):
     # interpreter + sitecustomize(jax) startup each, which overlaps the
     # CCS stage for free (Pool() initialises workers asynchronously).
     # The same pool serves scan_ccs and scan_raw (identical initializer).
+    # Skipped on mesh-dispatch runs and on CCS-stage resumes (nothing to
+    # overlap; each worker also loads the full genome + index, so an
+    # unused pool is a threads x genome-size memory spike) -- the stage
+    # functions then create their own pool on demand as before.
     scan_pool = None
-    if args.threads > 1 and ref_fasta is not None:
+    resuming_ccs = (not debugging
+                    and os.path.exists('{}/tmp/{}.ccs.fa'.format(out_dir,
+                                                                 prefix))
+                    and os.path.exists('{}/tmp/{}.raw.fa'.format(out_dir,
+                                                                 prefix)))
+    if (args.threads > 1 and ref_fasta is not None and not resuming_ccs
+            and getattr(args, 'dist', None) != 'mesh'):
         import multiprocessing
         from ciri_long_tpu.pipeline.find_bsj import _scan_worker_init
         ctx_mp = multiprocessing.get_context('spawn')

@@ -143,12 +143,14 @@ def _on_tpu():
         return False
 
 
-def sw_score_ends_auto(query, ref, params: SWParams):
+def sw_score_ends_auto(query, ref, params: SWParams, wave=None):
     """Dispatch: fused Pallas kernel on TPU, XLA scan elsewhere (tests run
-    on the virtual CPU mesh where Mosaic is unavailable)."""
+    on the virtual CPU mesh where Mosaic is unavailable).  ``wave`` pins
+    the Pallas kernel choice; None routes by shape/env at trace time
+    (see sw_pallas.wave_route for the trace-cache caveat)."""
     if _on_tpu():
         from ciri_long_tpu.ops.sw_pallas import sw_score_ends_pallas
-        return sw_score_ends_pallas(query, ref, params)
+        return sw_score_ends_pallas(query, ref, params, wave=wave)
     return sw_score_ends(query, ref, params)
 
 
@@ -161,16 +163,18 @@ class SWResult(NamedTuple):
     ref_end: np.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _sw_align_fused(query, ref, params: SWParams):
+@functools.partial(jax.jit, static_argnames=("params", "wave"))
+def _sw_align_fused(query, ref, params: SWParams, wave=None):
     """Forward ends + reverse-pass begins in ONE jitted program (one
-    dispatch -- on remote-tunnel devices every dispatch costs an RTT)."""
+    dispatch -- on remote-tunnel devices every dispatch costs an RTT).
+    ``wave`` is resolved by the caller OUTSIDE this jit so the
+    CIRI_SW_WAVE override can never hit a stale cached trace."""
     B, Lq = query.shape
     _, Lr = ref.shape
-    score, q_end, r_end = sw_score_ends_auto(query, ref, params)
+    score, q_end, r_end = sw_score_ends_auto(query, ref, params, wave=wave)
     rq = _reverse_prefix(query, q_end, Lq)
     rr = _reverse_prefix(ref, r_end, Lr)
-    _, q_off, r_off = sw_score_ends_auto(rq, rr, params)
+    _, q_off, r_off = sw_score_ends_auto(rq, rr, params, wave=wave)
     q_begin = q_end - q_off
     r_begin = r_end - r_off
     none = score <= 0
@@ -233,8 +237,13 @@ def sw_align_batch(query, ref, params: SWParams) -> SWResult:
                         ref_begin=out[:, 3].copy(),
                         ref_end=out[:, 4].copy())
 
+    wave = None
+    if _on_tpu():
+        from ciri_long_tpu.ops.sw_pallas import wave_route
+        wave = wave_route(np.asarray(query).shape[1],
+                          np.asarray(ref).shape[1])
     score, q_begin, q_end, r_begin, r_end = _sw_align_fused(
-        jnp.asarray(query), jnp.asarray(ref), params)
+        jnp.asarray(query), jnp.asarray(ref), params, wave=wave)
     return SWResult(
         score=np.asarray(score),
         query_begin=np.asarray(q_begin),

@@ -313,24 +313,43 @@ def _fit_btile(lqp, lrp, requested):
     return int(min(requested, fit))
 
 
-def sw_score_ends_pallas(query, ref, params, interpret=False, btile=BTILE):
+def wave_route(Lq, Lr):
+    """Kernel routing decision for a (Lq, Lr) shape: the wavefront kernel
+    wins whenever the reference axis dominates (its lane utilisation is
+    lr/(lq+lr); measured crossover vs the scan kernel sits near
+    lr = 2*lq), which covers the production clip-vs-window alignments.
+    CIRI_SW_WAVE=0/1 forces a path.
+
+    CAVEAT: when the caller is itself inside a jit trace (e.g.
+    ops/sw.py::_sw_align_fused), the env var is read at trace time and
+    the choice is baked into that trace's cache entry -- flipping
+    CIRI_SW_WAVE mid-process does not invalidate already-compiled outer
+    jits.  Callers that need a runtime toggle must resolve this OUTSIDE
+    their jit (sw_align_batch does)."""
+    import os
+    flag = os.environ.get('CIRI_SW_WAVE')
+    if flag in (None, ''):
+        return _round_up(Lr, LANES) >= 2 * _round_up(Lq, LANES)
+    return flag not in ('0', 'false')
+
+
+def sw_score_ends_pallas(query, ref, params, interpret=False, btile=None,
+                         wave=None):
     """Same contract as ops.sw.sw_score_ends, on the Pallas TPU kernels.
 
-    Shape routing (outside the jits, so the env override can never hit a
-    stale trace): the wavefront kernel wins whenever the reference axis
-    dominates (its lane utilisation is lr/(lq+lr); measured crossover vs
-    the scan kernel sits near lr = 2*lq), which covers the production
-    clip-vs-window alignments.  CIRI_SW_WAVE=0/1 forces a path."""
-    import os
+    ``wave`` pins the kernel (None = route by shape/env, see wave_route);
+    ``btile`` overrides the batch tile of WHICHEVER kernel runs (their
+    defaults differ: scan BTILE vs WAVE_BTILE)."""
     _, Lq = query.shape
     _, Lr = ref.shape
-    flag = os.environ.get('CIRI_SW_WAVE')
-    use_wave = (_round_up(Lr, LANES) >= 2 * _round_up(Lq, LANES)
-                if flag in (None, '') else flag not in ('0', 'false'))
-    if use_wave:
-        return sw_score_ends_wave(query, ref, params, interpret=interpret)
+    if wave is None:
+        wave = wave_route(Lq, Lr)
+    if wave:
+        return sw_score_ends_wave(query, ref, params, interpret=interpret,
+                                  btile=WAVE_BTILE if btile is None
+                                  else btile)
     return _sw_score_ends_scan(query, ref, params, interpret=interpret,
-                               btile=btile)
+                               btile=BTILE if btile is None else btile)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret", "btile"))

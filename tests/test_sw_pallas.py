@@ -80,11 +80,15 @@ def test_wave_routing_and_empty_rows(rng):
            for x in sw_score_ends_pallas(q, r, params, interpret=True)]
     assert (got[0][0], got[1][0], got[2][0]) == (14, 6, 106)
     assert got[0][1] == 0 and got[1][1] == -1 and got[2][1] == -1
+    prior = os.environ.get('CIRI_SW_WAVE')
     os.environ['CIRI_SW_WAVE'] = '0'
     try:
         scan = [np.asarray(x)
                 for x in sw_score_ends_pallas(q, r, params, interpret=True)]
     finally:
-        del os.environ['CIRI_SW_WAVE']
+        if prior is None:
+            del os.environ['CIRI_SW_WAVE']
+        else:
+            os.environ['CIRI_SW_WAVE'] = prior
     for a, b in zip(got, scan):
         np.testing.assert_array_equal(a, b)

@@ -388,24 +388,30 @@ void nw_cigar_driver(const uint8_t* q, int64_t n, const uint8_t* r,
   }
   int64_t band = std::llabs(n - m) + 16;
   const int64_t big = std::max(n, m);
-  if (band < big) {
-    int32_t s1 = 0;
-    bool have = nw_banded_score(q, n, r, m, band, match, mismatch, gap_open,
-                                gap_extend, &s1);
-    while (band < big) {
-      const int64_t nxt = std::min(2 * band, big);
-      int32_t s2 = 0;
-      const bool have2 = nw_banded_score(q, n, r, m, nxt, match, mismatch,
-                                         gap_open, gap_extend, &s2);
-      if (have && have2 && s1 == s2) break;  // smaller band's cigar wins
-      band = nxt;
-      have = have2;
-      s1 = s2;
-    }
+  // traceback-first ladder: run the full pass at the current band, then
+  // confirm with one cheap score-only pass at the doubled band; in the
+  // common no-escalation case this is one full + one rolling pass (the
+  // score-score-traceback ordering paid an extra score pass every call).
+  // Escalations re-run the full pass at the wider band -- same final
+  // (band, cigar, score) as the all-score ladder, since both stop at the
+  // first band whose score the doubled band confirms.
+  bool have = nw_banded_core(q, n, r, m, band, match, mismatch, gap_open,
+                             gap_extend, score_out, runs);
+  while (band < big) {
+    const int64_t nxt = std::min(2 * band, big);
+    int32_t s2 = 0;
+    const bool have2 = nw_banded_score(q, n, r, m, nxt, match, mismatch,
+                                       gap_open, gap_extend, &s2);
+    if (have && have2 && s2 == *score_out) return;  // smaller band wins
+    band = nxt;
+    have = nw_banded_core(q, n, r, m, band, match, mismatch, gap_open,
+                          gap_extend, score_out, runs);
   }
-  // a band that survived the ladder (or covers everything) is feasible
-  nw_banded_core(q, n, r, m, band, match, mismatch, gap_open, gap_extend,
-                 score_out, runs);
+  if (!have) {
+    // full band is always feasible (band == big here)
+    nw_banded_core(q, n, r, m, big, match, mismatch, gap_open, gap_extend,
+                   score_out, runs);
+  }
 }
 
 // ---------------------------------------------------------------------------

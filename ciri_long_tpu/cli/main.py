@@ -139,8 +139,27 @@ def call(args):
         import multiprocessing
         from ciri_long_tpu.pipeline.find_bsj import _scan_worker_init
         ctx_mp = multiprocessing.get_context('spawn')
-        scan_pool = ctx_mp.Pool(args.threads, _scan_worker_init,
-                                (ref_fasta, idx_file))
+        # spawn at low priority (children inherit the parent's niceness)
+        # so worker warmup yields the cores to the CCS stage's own pool
+        # and only soaks up idle slices; restore before CCS forks
+        nice_delta = 0
+        try:
+            nice_delta = os.nice(5)
+            nice_delta = 5
+        except OSError:
+            pass
+        try:
+            scan_pool = ctx_mp.Pool(args.threads, _scan_worker_init,
+                                    (ref_fasta, idx_file))
+        finally:
+            if nice_delta:
+                try:
+                    os.nice(-nice_delta)
+                except OSError:
+                    # unprivileged processes cannot lower nice back; the
+                    # whole run then stays at +5, which is harmless when
+                    # the box is otherwise ours
+                    pass
 
     # Step 1: cyclic consensus
     try:

@@ -162,3 +162,73 @@ def test_multi_sample_collapse(rng, tmp_path_factory):
     for row in iso[1:]:
         for v in row.split('\t')[1:]:
             assert 0.0 <= float(v) <= 1.0
+
+
+def test_four_sample_cohort_collapse(rng, tmp_path_factory):
+    """4-sample cohort (SURVEY §6 measurement point: cohort configs incl.
+    4+ samples): two loci with sample-specific presence; the expression
+    matrix must carry one column per sample with zeros where a sample
+    lacks the circRNA (reference collapse.py:968-972 exp format)."""
+    from ciri_long_tpu.cli.main import call, collapse
+
+    root = tmp_path_factory.mktemp("cohort4")
+    chr1 = list(rand_seq(rng, 40_000))
+    loci = [(10_000, 10_400), (25_000, 25_520)]
+    for st, en in loci:
+        chr1[st - 2:st] = list("AG")
+        chr1[en:en + 2] = list("GT")
+    chr1 = "".join(chr1)
+    ref = root / "genome.fa"
+    ref.write_text(">chr1\n{}\n".format(chr1))
+    out_dir = root / "out"
+
+    # sample A: locus 0 only; sample B: both loci (separate call runs)
+    def run_sample(name, which):
+        reads = root / ("%s.fa" % name)
+        with open(reads, "w") as f:
+            for li in which:
+                st, en = loci[li]
+                unit = chr1[st:en]
+                for i in range(5):
+                    read = make_rolling_read(
+                        rng, unit, copies=3.4 + 0.3 * i,
+                        rot=(i * 67) % len(unit), noise=0.02)
+                    f.write(">{}_l{}_r{}\n{}\n".format(name, li, i, read))
+        args = SimpleNamespace(input=str(reads), output=str(out_dir),
+                               reference=str(ref), prefix=name, gtf=None,
+                               circ=None, threads=1, debug=True)
+        counts = call(args)
+        assert counts['bsj'] >= 3 * len(which)
+
+    run_sample("sA", [0])
+    run_sample("sB", [0, 1])
+    # samples C/D: renamed copies of A and B (distinct cohort members)
+    for src, dst in (("sA", "sC"), ("sB", "sD")):
+        (out_dir / ("%s.cand_circ.fa" % dst)).write_text(
+            (out_dir / ("%s.cand_circ.fa" % src)).read_text()
+            .replace(src + "_", dst + "_"))
+        (out_dir / ("%s.low_confidence.fa" % dst)).write_text("")
+
+    lst = root / "samples.lst"
+    lst.write_text("".join("{}\t{}\n".format(
+        s, out_dir / ("%s.cand_circ.fa" % s)) for s in
+        ("sA", "sB", "sC", "sD")))
+    cargs = SimpleNamespace(input=str(lst), output=str(out_dir),
+                            reference=str(ref), prefix="cohort", gtf=None,
+                            circ=None, threads=2, debug=False)
+    circ_cnt, iso_cnt = collapse(cargs)
+    assert circ_cnt == 2
+
+    exp = (out_dir / "cohort.expression").read_text().strip().split('\n')
+    header = exp[0].split('\t')
+    assert set(header[1:]) == {"sA", "sB", "sC", "sD"}
+    by_circ = {row.split('\t')[0]: row.split('\t') for row in exp[1:]}
+    assert len(by_circ) == 2
+    for circ_id, row in by_circ.items():
+        st = int(circ_id.split(':')[1].split('-')[0])
+        vals = {h: float(v) for h, v in zip(header[1:], row[1:])}
+        if abs(st - (loci[1][0] + 1)) <= 15:     # locus 1: only B and D
+            assert vals["sA"] == 0 and vals["sC"] == 0
+            assert vals["sB"] >= 3 and vals["sD"] >= 3
+        else:                                    # locus 0: all samples
+            assert min(vals.values()) >= 3

@@ -15,13 +15,15 @@ import sys
 from collections import defaultdict
 
 
-def _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx, short_mode=False):
+def _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx, short_mode=False,
+                   index_cache=None):
     from ciri_long_tpu.context import Context
     from ciri_long_tpu.io.genome import Genome
     from ciri_long_tpu.models.aligner import GenomeAligner
 
     genome = Genome(ref_fasta)
-    aligner = GenomeAligner(genome, short_mode=short_mode)
+    aligner = GenomeAligner(genome, short_mode=short_mode,
+                            index_cache=index_cache)
     return Context(aligner=aligner, genome=genome, gtf_index=gtf_idx,
                    intron_index=intron_idx, ss_index=ss_idx)
 
@@ -120,6 +122,14 @@ def call(args):
     idx_file = out_dir + '/tmp/ss.idx'
     idx_file = idx_file if os.path.exists(idx_file) else None
 
+    # Build the aligner context (and persist its minimizer table, the
+    # minimap2 .mmi role) BEFORE the worker pool spawns: workers then
+    # np.memmap one shared page-cached index instead of re-sketching the
+    # genome per process.
+    index_cache = out_dir + '/tmp/minidx'
+    ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx,
+                         index_cache=index_cache)
+
     # Pre-spawn the scan-stage worker pool: spawn workers pay ~3 s of
     # interpreter + sitecustomize(jax) startup each, which overlaps the
     # CCS stage for free (Pool() initialises workers asynchronously).
@@ -150,7 +160,8 @@ def call(args):
             pass
         try:
             scan_pool = ctx_mp.Pool(args.threads, _scan_worker_init,
-                                    (ref_fasta, idx_file))
+                                    (ref_fasta, idx_file, False,
+                                     index_cache))
         finally:
             if nice_delta:
                 try:
@@ -165,7 +176,8 @@ def call(args):
     try:
         _call_stages(args, logger, timer, reads_count, in_file, out_dir,
                      prefix, ref_fasta, is_canonical, debugging, gtf_idx,
-                     intron_idx, ss_idx, idx_file, scan_pool)
+                     intron_idx, ss_idx, idx_file, scan_pool, ctx,
+                     index_cache)
     finally:
         if scan_pool is not None:
             scan_pool.terminate()
@@ -175,7 +187,7 @@ def call(args):
 
 def _call_stages(args, logger, timer, reads_count, in_file, out_dir, prefix,
                  ref_fasta, is_canonical, debugging, gtf_idx, intron_idx,
-                 ss_idx, idx_file, scan_pool):
+                 ss_idx, idx_file, scan_pool, ctx, index_cache):
     from ciri_long_tpu.pipeline.find_ccs import find_ccs_reads, load_ccs_reads
     from ciri_long_tpu.pipeline.find_bsj import (recover_ccs_reads,
                                                  scan_ccs_reads,
@@ -205,7 +217,6 @@ def _call_stages(args, logger, timer, reads_count, in_file, out_dir, prefix,
 
     logger.info('[2/4] scanning consensus reads for BSJs')
     with timer.stage('scan_ccs', items=len(ccs_seq)):
-        ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx)
         if getattr(args, 'dist', None) == 'mesh':
             # device-mesh data parallelism: reads sharded over the
             # 'reads' axis, candidates merged with one all_gather
@@ -219,7 +230,8 @@ def _call_stages(args, logger, timer, reads_count, in_file, out_dir, prefix,
             tmp_cnt, short_seq = scan_ccs_reads(
                 ctx, ccs_seq, is_canonical, out_dir, prefix,
                 threads=args.threads, ref_fasta=ref_fasta,
-                idx_file=idx_file, pool=scan_pool)
+                idx_file=idx_file, pool=scan_pool,
+                index_cache=index_cache)
     for key, value in tmp_cnt.items():
         reads_count[key] += value
 
@@ -231,13 +243,14 @@ def _call_stages(args, logger, timer, reads_count, in_file, out_dir, prefix,
             # reuse the packed genome; only the denser short-read index is
             # built, and only when there is anything to recover
             short_ctx = Context(
-                aligner=GenomeAligner(ctx.genome, short_mode=True),
+                aligner=GenomeAligner(ctx.genome, short_mode=True,
+                                      index_cache=index_cache + '_s'),
                 genome=ctx.genome, gtf_index=gtf_idx,
                 intron_index=intron_idx, ss_index=ss_idx)
             tmp_cnt = recover_ccs_reads(
                 short_ctx, short_seq, is_canonical, out_dir, prefix,
                 threads=args.threads, ref_fasta=ref_fasta,
-                idx_file=idx_file)
+                idx_file=idx_file, index_cache=index_cache + '_s')
         else:
             # the reference still truncates/creates nothing here; keep the
             # append semantics by ensuring the file exists
@@ -251,7 +264,8 @@ def _call_stages(args, logger, timer, reads_count, in_file, out_dir, prefix,
         tmp_cnt, _short = scan_raw_reads(
             ctx, in_file, is_canonical, out_dir, prefix,
             threads=args.threads, ref_fasta=ref_fasta,
-            idx_file=idx_file, pool=scan_pool)
+            idx_file=idx_file, pool=scan_pool,
+            index_cache=index_cache)
     for key, value in tmp_cnt.items():
         reads_count[key] += value
 

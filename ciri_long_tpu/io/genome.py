@@ -25,6 +25,7 @@ class Genome:
         self.offsets: Dict[str, int] = {}
         self.contig_len: Dict[str, int] = {}
         self.codes = np.zeros(0, np.int8)
+        self.path: Optional[str] = path  # None for in-memory genomes
         if path is not None:
             self._load(path)
 

@@ -49,10 +49,26 @@ except ImportError:
     _STITCH_NATIVE = None
 
 
+def _genome_fingerprint(genome: Genome):
+    """Identity of an on-disk genome for index-cache staleness checks;
+    None for in-memory genomes (never cached)."""
+    import os
+    path = getattr(genome, 'path', None)
+    if not path:
+        return None
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return dict(ref=os.path.abspath(path), size=st.st_size,
+                mtime=int(st.st_mtime))
+
+
 class GenomeAligner:
     def __init__(self, genome: Genome, k: Optional[int] = None,
                  w: Optional[int] = None, cfg: AlignerConfig = DEFAULT.aligner,
-                 short_mode: bool = False):
+                 short_mode: bool = False,
+                 index_cache: Optional[str] = None):
         self.genome = genome
         self.cfg = cfg
         self.short_mode = short_mode
@@ -66,7 +82,21 @@ class GenomeAligner:
             self.w = w or cfg.w
             self.min_chain_score = cfg.min_chain_score
             self.min_chain_anchors = cfg.min_chain_anchors
-        self.index = MinimizerIndex.build(genome, self.k, self.w)
+        # ``index_cache`` points at an on-disk table (the minimap2 .mmi
+        # role): loads are zero-copy np.memmap, so spawn-pool workers and
+        # repeat runs share one page-cached copy instead of re-sketching
+        # the genome per process.  Stale/mismatched caches rebuild.
+        self.index = None
+        fp = _genome_fingerprint(genome)
+        if index_cache and fp is not None:
+            self.index = MinimizerIndex.load(index_cache, self.k, self.w, fp)
+        if self.index is None:
+            self.index = MinimizerIndex.build(genome, self.k, self.w)
+            if index_cache and fp is not None:
+                try:
+                    self.index.save(index_cache, fp)
+                except OSError:
+                    pass  # read-only out dirs just skip the cache
         # contig id per global position for cross-contig chain rejection
         self._ctg_starts = np.array(
             [genome.offsets[n] for n in genome.names], np.int64)

@@ -139,6 +139,68 @@ class MinimizerIndex(NamedTuple):
         return cls(k, w, code, pos[order].astype(np.uint32),
                    strand[order], buckets)
 
+    # --- mmap-shared cache (the minimap2 .mmi role) -------------------
+    # Spawn-pool workers and repeat runs load the table zero-copy via
+    # np.memmap; the OS page cache shares one physical copy across every
+    # process on the host (the fork-COW sharing the reference gets for
+    # free, restored for spawn workers).
+    _CACHE_VERSION = 1
+
+    def save(self, cache_dir: str, fingerprint: dict) -> None:
+        """Atomically persist the index under ``cache_dir`` (npy files +
+        meta.json; ``fingerprint`` records the genome identity)."""
+        import json
+        import os
+        import tempfile
+
+        parent = os.path.dirname(os.path.abspath(cache_dir)) or '.'
+        tmp = tempfile.mkdtemp(prefix='.minidx.', dir=parent)
+        try:
+            np.save(os.path.join(tmp, 'codes.npy'), self.codes)
+            np.save(os.path.join(tmp, 'pos.npy'), self.pos)
+            np.save(os.path.join(tmp, 'strand.npy'), self.strand)
+            np.save(os.path.join(tmp, 'buckets.npy'), self.buckets)
+            meta = dict(version=self._CACHE_VERSION, k=self.k, w=self.w,
+                        **fingerprint)
+            with open(os.path.join(tmp, 'meta.json'), 'w') as f:
+                json.dump(meta, f)
+            if os.path.isdir(cache_dir):
+                import shutil
+                shutil.rmtree(cache_dir)
+            os.rename(tmp, cache_dir)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+
+    @classmethod
+    def load(cls, cache_dir: str, k: int, w: int,
+             fingerprint: dict) -> Optional["MinimizerIndex"]:
+        """Memory-mapped load; None when absent/stale/mismatched."""
+        import json
+        import os
+
+        meta_path = os.path.join(cache_dir, 'meta.json')
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return None
+        want = dict(version=cls._CACHE_VERSION, k=k, w=w, **fingerprint)
+        if meta != want:
+            return None
+        try:
+            return cls(
+                k, w,
+                np.load(os.path.join(cache_dir, 'codes.npy'), mmap_mode='r'),
+                np.load(os.path.join(cache_dir, 'pos.npy'), mmap_mode='r'),
+                np.load(os.path.join(cache_dir, 'strand.npy'),
+                        mmap_mode='r'),
+                np.load(os.path.join(cache_dir, 'buckets.npy'),
+                        mmap_mode='r'))
+        except (OSError, ValueError):
+            return None
+
     def lookup(self, query_codes: np.ndarray):
         """Ranges [lo, hi) into the sorted table for each query k-mer.
         Bucketed C++ search when built (chaincore.cpp::py_lookup, exact

@@ -468,7 +468,8 @@ def scan_ccs_chunk(ctx, chunk, is_canonical, cfg=DEFAULT.call):
 _WORKER_CTX = None
 
 
-def _scan_worker_init(ref_fasta, idx_file, short_mode=False):
+def _scan_worker_init(ref_fasta, idx_file, short_mode=False,
+                      index_cache=None):
     """Spawn-pool initializer: build a per-worker Context from file paths
     (the role of the reference's fork-inherited env.py globals, but in a
     clean interpreter).  Workers force the CPU jax backend so they never
@@ -495,7 +496,8 @@ def _scan_worker_init(ref_fasta, idx_file, short_mode=False):
     from ciri_long_tpu.models.aligner import GenomeAligner
 
     genome = Genome(ref_fasta)
-    aligner = GenomeAligner(genome, short_mode=short_mode)
+    aligner = GenomeAligner(genome, short_mode=short_mode,
+                            index_cache=index_cache)
     gtf_idx = intron_idx = ss_idx = None
     if idx_file and os.path.exists(idx_file):
         with open(idx_file, 'rb') as f:
@@ -511,7 +513,7 @@ def _scan_worker_chunk(payload):
 
 def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
                    cfg=DEFAULT.call, threads=1, ref_fasta=None,
-                   idx_file=None, pool=None):
+                   idx_file=None, pool=None, index_cache=None):
     """Scan all CCS reads, write {prefix}.cand_circ.fa
     (find_bsj.py:328-372).
 
@@ -586,7 +588,8 @@ def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
             import multiprocessing
             ctx_mp = multiprocessing.get_context('spawn')
             pool = ctx_mp.Pool(min(threads, len(pending)),
-                               _scan_worker_init, (ref_fasta, idx_file))
+                               _scan_worker_init,
+                               (ref_fasta, idx_file, False, index_cache))
     if pool is not None and len(pending) > 1:
         result_iter = pool.imap(_scan_worker_chunk,
                                 [(chunk, is_canonical, cfg)
@@ -684,7 +687,7 @@ def _recover_worker_chunk(payload):
 
 def recover_ccs_reads(ctx, short_reads, is_canonical, out_dir, prefix,
                       cfg=DEFAULT.call, threads=1, ref_fasta=None,
-                      idx_file=None):
+                      idx_file=None, index_cache=None):
     """Recovery pass driver; appends to {prefix}.cand_circ.fa
     (find_bsj.py:451-490).  threads > 1 fans chunks over the same spawn
     pool as the scan pass (the reference pools this pass at
@@ -702,7 +705,7 @@ def recover_ccs_reads(ctx, short_reads, is_canonical, out_dir, prefix,
         import multiprocessing
         ctx_mp = multiprocessing.get_context('spawn')
         pool = ctx_mp.Pool(min(threads, len(chunks)), _scan_worker_init,
-                           (ref_fasta, idx_file, True))
+                           (ref_fasta, idx_file, True, index_cache))
         result_iter = pool.imap(_recover_worker_chunk,
                                 [(c, is_canonical, cfg) for c in chunks])
 
@@ -870,7 +873,7 @@ def _raw_worker_chunk(payload):
 
 def scan_raw_reads(ctx, in_file, is_canonical, out_dir, prefix,
                    cfg=DEFAULT.call, threads=1, ref_fasta=None,
-                   idx_file=None, pool=None):
+                   idx_file=None, pool=None, index_cache=None):
     """Partial-read pass driver; writes {prefix}.low_confidence.fa
     (find_bsj.py:623-718).  threads > 1 uses the same spawn-pool pattern
     as scan_ccs_reads (the reference pools this pass too,
@@ -904,7 +907,8 @@ def scan_raw_reads(ctx, in_file, is_canonical, out_dir, prefix,
             import multiprocessing
             ctx_mp = multiprocessing.get_context('spawn')
             pool = ctx_mp.Pool(min(threads, len(chunks)),
-                               _scan_worker_init, (ref_fasta, idx_file))
+                               _scan_worker_init,
+                               (ref_fasta, idx_file, False, index_cache))
     if pool is not None and len(chunks) > 1:
         result_iter = pool.imap(
             _raw_worker_chunk,

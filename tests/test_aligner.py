@@ -211,3 +211,51 @@ def test_chimeric_two_primaries(rng):
     assert all(h.mapq == 60 for h in prim)
     assert {h.r_st for h in prim} == {5_000, 30_000}
     assert {(h.q_st, h.q_en) for h in prim} == {(0, 700), (700, 1400)}
+
+
+def test_index_cache_roundtrip(rng, tmp_path):
+    """Mmap index cache (the minimap2 .mmi role): cached loads reproduce
+    the built table exactly, stale fingerprints rebuild, and mapping
+    through a cached index is byte-identical."""
+    import os
+    import time
+    from ciri_long_tpu.io.genome import Genome
+    from ciri_long_tpu.models.aligner import GenomeAligner
+    from ciri_long_tpu.models.minimizer import MinimizerIndex
+    from ciri_long_tpu.utils.seq import encode_seq
+
+    g = "".join(rng.choice(list("ACGT"), 60_000))
+    ref = tmp_path / "g.fa"
+    ref.write_text(">c1\n{}\n>c2\n{}\n".format(g[:40_000], g[40_000:]))
+    genome = Genome(str(ref))
+    cache = str(tmp_path / "minidx")
+
+    a1 = GenomeAligner(genome, index_cache=cache)      # builds + saves
+    assert os.path.isdir(cache)
+    a2 = GenomeAligner(genome, index_cache=cache)      # mmap load
+    for f in ('codes', 'pos', 'strand', 'buckets'):
+        np.testing.assert_array_equal(getattr(a1.index, f),
+                                      getattr(a2.index, f))
+    assert isinstance(a2.index.codes, np.memmap)
+
+    read = g[5_000:6_500]
+    h1 = a1.map(read)
+    h2 = a2.map(read)
+    key = ('ctg', 'r_st', 'r_en', 'q_st', 'q_en', 'strand', 'mlen',
+           'blen', 'mapq', 'cigar')
+    assert [[getattr(h, f, None) for f in key] for h in h1] == \
+        [[getattr(h, f, None) for f in key] for h in h2]
+    assert len(h1) >= 1
+
+    # wrong k/w -> rebuild, not a bogus load
+    a3 = GenomeAligner(genome, short_mode=True, index_cache=cache)
+    assert not isinstance(a3.index.codes, np.memmap)
+
+    # stale fingerprint (touch the fasta) -> rebuild + fresh save
+    t = time.time() + 5
+    os.utime(ref, (t, t))
+    genome2 = Genome(str(ref))
+    a4 = GenomeAligner(genome2, index_cache=cache)
+    assert not isinstance(a4.index.codes, np.memmap)
+    a5 = GenomeAligner(genome2, index_cache=cache)
+    assert isinstance(a5.index.codes, np.memmap)

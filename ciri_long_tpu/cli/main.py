@@ -21,7 +21,18 @@ def _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx, short_mode=False,
     from ciri_long_tpu.io.genome import Genome
     from ciri_long_tpu.models.aligner import GenomeAligner
 
-    genome = Genome(ref_fasta)
+    genome = None
+    if index_cache:
+        gdir = os.path.join(os.path.dirname(index_cache), 'gcodes')
+        genome = Genome.from_cache(gdir, ref_fasta)
+        if genome is None:
+            genome = Genome(ref_fasta)
+            try:
+                genome.save_cache(gdir)
+            except (OSError, ValueError):
+                pass
+    if genome is None:
+        genome = Genome(ref_fasta)
     aligner = GenomeAligner(genome, short_mode=short_mode,
                             index_cache=index_cache)
     return Context(aligner=aligner, genome=genome, gtf_index=gtf_idx,

@@ -9,6 +9,7 @@ the genome is encoded exactly once per process instead of once per fetch.
 """
 
 import bisect
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -28,6 +29,79 @@ class Genome:
         self.path: Optional[str] = path  # None for in-memory genomes
         if path is not None:
             self._load(path)
+
+    # --- mmap-shared packed-genome cache -------------------------------
+    # Companion to the minimizer-index cache (models/minimizer.py): spawn
+    # workers and repeat runs map one page-cached copy of the int8 code
+    # array instead of each re-parsing the fasta and holding a private
+    # genome-sized buffer.
+    _CACHE_VERSION = 1
+
+    def save_cache(self, cache_dir: str) -> None:
+        """Atomically persist the packed genome under ``cache_dir``
+        (requires an on-disk source fasta for the fingerprint)."""
+        import json
+        import tempfile
+
+        fp = self._fingerprint()
+        if fp is None:
+            raise ValueError('in-memory genomes cannot be cached')
+        parent = os.path.dirname(os.path.abspath(cache_dir)) or '.'
+        tmp = tempfile.mkdtemp(prefix='.gcodes.', dir=parent)
+        try:
+            np.save(os.path.join(tmp, 'codes.npy'), self.codes)
+            meta = dict(version=self._CACHE_VERSION, names=self.names,
+                        offsets=[self.offsets[n] for n in self.names],
+                        lens=[self.contig_len[n] for n in self.names], **fp)
+            with open(os.path.join(tmp, 'meta.json'), 'w') as f:
+                json.dump(meta, f)
+            if os.path.isdir(cache_dir):
+                import shutil
+                shutil.rmtree(cache_dir)
+            os.rename(tmp, cache_dir)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+
+    @classmethod
+    def from_cache(cls, cache_dir: str, path: str) -> Optional["Genome"]:
+        """Memory-mapped load; None when absent/stale (callers fall back
+        to parsing ``path``)."""
+        import json
+
+        try:
+            with open(os.path.join(cache_dir, 'meta.json')) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return None
+        g = cls()
+        g.path = path
+        fp = g._fingerprint_of(path)
+        if (fp is None or meta.get('version') != cls._CACHE_VERSION
+                or any(meta.get(k) != v for k, v in fp.items())):
+            return None
+        try:
+            g.codes = np.load(os.path.join(cache_dir, 'codes.npy'),
+                              mmap_mode='r')
+        except (OSError, ValueError):
+            return None
+        g.names = list(meta['names'])
+        g.offsets = dict(zip(g.names, meta['offsets']))
+        g.contig_len = dict(zip(g.names, meta['lens']))
+        return g
+
+    def _fingerprint(self):
+        return self._fingerprint_of(self.path) if self.path else None
+
+    @staticmethod
+    def _fingerprint_of(path):
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        return dict(ref=os.path.abspath(path), size=st.st_size,
+                    mtime=int(st.st_mtime))
 
     @classmethod
     def from_dict(cls, contigs: Dict[str, str]) -> "Genome":

@@ -495,7 +495,13 @@ def _scan_worker_init(ref_fasta, idx_file, short_mode=False,
     from ciri_long_tpu.io.genome import Genome
     from ciri_long_tpu.models.aligner import GenomeAligner
 
-    genome = Genome(ref_fasta)
+    genome = None
+    if index_cache:
+        # companion packed-genome cache lives next to the index caches
+        gdir = os.path.join(os.path.dirname(index_cache), 'gcodes')
+        genome = Genome.from_cache(gdir, ref_fasta)
+    if genome is None:
+        genome = Genome(ref_fasta)
     aligner = GenomeAligner(genome, short_mode=short_mode,
                             index_cache=index_cache)
     gtf_idx = intron_idx = ss_idx = None

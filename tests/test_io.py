@@ -99,3 +99,29 @@ def test_index_circ_gtf(tmp_path):
     idx = index_circ(str(gtf), None)
     assert idx['chr3'][10]['-']['start'] == 1
     assert idx['chr3'][90]['-']['end'] == 1
+
+
+def test_genome_cache_roundtrip(rng, tmp_path):
+    """Packed-genome mmap cache: identical names/offsets/codes via cache,
+    string/codes APIs work over the memmap, stale caches rebuild."""
+    import os
+    import time
+    from ciri_long_tpu.io.genome import Genome
+
+    g = "".join(rng.choice(list("ACGTN"), 5_000))
+    ref = tmp_path / "g.fa"
+    ref.write_text(">a\n{}\n>b\n{}\n".format(g[:3_000], g[3_000:]))
+    g1 = Genome(str(ref))
+    cdir = str(tmp_path / "gcodes")
+    g1.save_cache(cdir)
+    g2 = Genome.from_cache(cdir, str(ref))
+    assert g2 is not None and isinstance(g2.codes, np.memmap)
+    assert g2.names == g1.names
+    assert g2.offsets == g1.offsets and g2.contig_len == g1.contig_len
+    np.testing.assert_array_equal(np.asarray(g2.codes), g1.codes)
+    assert g2.seq('a', 10, 50) == g1.seq('a', 10, 50)
+    assert g2.locate(g1.global_pos('b', 7)) == ('b', 7)
+
+    t = time.time() + 5
+    os.utime(ref, (t, t))
+    assert Genome.from_cache(cdir, str(ref)) is None

@@ -337,7 +337,9 @@ def collapse(args):
 
     from ciri_long_tpu.context import Context
     from ciri_long_tpu.io.genome import Genome
-    genome = Genome(ref_fasta)
+    genome = Genome.from_cache(out_dir + '/tmp/gcodes', ref_fasta)
+    if genome is None:
+        genome = Genome(ref_fasta)
     ctx = Context(aligner=None, genome=genome, gtf_index=gtf_idx,
                   intron_index=intron_idx, ss_index=ss_idx)
 
@@ -352,10 +354,17 @@ def collapse(args):
             reads_cluster = collapse_mod.cluster_reads(cand_reads)
             logger.info('BSJ clusters: {}'.format(len(reads_cluster)))
             idx_file = out_dir + '/tmp/ss.idx'
+            gcache = out_dir + '/tmp/gcodes'
+            if ref_fasta and not os.path.isdir(gcache):
+                try:
+                    ctx.genome.save_cache(gcache)
+                except (OSError, ValueError):
+                    gcache = None
             circ_num, corrected_reads = collapse_mod.correct_reads(
                 ctx, reads_cluster, threads=args.threads,
                 ref_fasta=ref_fasta,
-                idx_file=idx_file if os.path.exists(idx_file) else None)
+                idx_file=idx_file if os.path.exists(idx_file) else None,
+                gcache=gcache)
         with open(corrected_file, 'wb') as pkl:
             pickle.dump([circ_num, corrected_reads], pkl, -1)
         logger.info('Corrected clusters: {}, {}/{}/{}/{} annotated/denovo/'

@@ -948,7 +948,7 @@ def check_isoforms(ctx, circ, isoforms):
 _COLLAPSE_CTX = None
 
 
-def _collapse_worker_init(ref_fasta, idx_file):
+def _collapse_worker_init(ref_fasta, idx_file, gcache=None):
     """Spawn-pool initializer for the correction pass (the reference
     pools correct_chunk at collapse.py:848); workers force the CPU jax
     backend and share the persistent compile cache."""
@@ -968,7 +968,9 @@ def _collapse_worker_init(ref_fasta, idx_file):
     from ciri_long_tpu.context import Context
     from ciri_long_tpu.io.genome import Genome
 
-    genome = Genome(ref_fasta)
+    genome = Genome.from_cache(gcache, ref_fasta) if gcache else None
+    if genome is None:
+        genome = Genome(ref_fasta)
     gtf_idx = intron_idx = ss_idx = None
     if idx_file and os.path.exists(idx_file):
         with open(idx_file, 'rb') as f:
@@ -983,7 +985,7 @@ def _collapse_worker_chunk(payload):
 
 
 def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
-                  ref_fasta=None, idx_file=None):
+                  ref_fasta=None, idx_file=None, gcache=None):
     """Cluster-correction driver (collapse.py:842-868).  threads > 1
     fans cluster chunks over a spawn pool (reference collapse.py:848);
     results drain in submission order so corrected_reads ordering and
@@ -1005,7 +1007,7 @@ def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
         import multiprocessing
         ctx_mp = multiprocessing.get_context('spawn')
         pool = ctx_mp.Pool(min(threads, len(chunks)), _collapse_worker_init,
-                           (ref_fasta, idx_file))
+                           (ref_fasta, idx_file, gcache))
         result_iter = pool.imap(_collapse_worker_chunk,
                                 [(c, cfg.max_cluster) for c in chunks])
 

@@ -19,6 +19,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -102,83 +103,154 @@ PyObject* py_chain(PyObject*, PyObject* args) {
 //   flag[p] = hh[p] != INF && hh[p] == M[p]
 // since m[s] <= hh[p] whenever s covers p, equality with the max is
 // equivalent to "hh[p] equals SOME covering window's minimum".
+//
+// sketch_range emits positions in [lo, hi): every window minimum a flag
+// depends on reaches at most w-1 hash positions outside the range, so
+// chunks computed over [lo-(w-1), hi+(w-1)] extended context are exact --
+// py_sketch threads over chunks and concatenates in order, giving output
+// byte-identical to (and ~cores x faster than) the serial pass for the
+// genome-scale index build.
+struct SketchOut {
+  std::vector<uint32_t> code;
+  std::vector<int64_t> pos;
+  std::vector<uint8_t> strand;
+};
+
+void sketch_range(const uint8_t* codes, int64_t L, int k, int w,
+                  int64_t lo, int64_t hi, SketchOut& out) {
+  const int64_t n = L - k + 1;
+  if (n <= 0 || lo >= hi) return;
+  constexpr uint64_t kInf = ~0ull;
+  const int64_t ww = (n < w) ? (n > 0 ? n : 1) : w;
+  // hash positions needed: window minima covering [lo, hi) span
+  // [lo-ww+1, hi+ww-2]; clamp to [0, n)
+  const int64_t elo = std::max<int64_t>(0, lo - ww + 1);
+  const int64_t ehi = std::min<int64_t>(n, hi + ww - 1);
+  const int64_t en = ehi - elo;
+
+  std::vector<uint64_t> hh(en);
+  std::vector<uint32_t> canon(en);
+  std::vector<uint8_t> strand(en);
+  const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+  uint64_t fwd = 0, rev = 0;
+  int64_t last_bad = elo - 1;
+  // warm the rolling k-mer over [elo, elo+k-1) before the first hash
+  for (int64_t p = elo; p < ehi + k - 1; ++p) {
+    const uint8_t b = codes[p];
+    const uint64_t bb = (b < 4) ? b : 0;
+    if (b >= 4) last_bad = p;
+    fwd = ((fwd << 2) | bb) & mask;
+    rev = (rev >> 2) | ((3ull - bb) << (2 * (k - 1)));
+    const int64_t s = p - k + 1;
+    if (s < elo) continue;
+    const bool ok = last_bad < s;
+    const uint64_t cn = fwd < rev ? fwd : rev;
+    canon[s - elo] = static_cast<uint32_t>(cn);
+    strand[s - elo] = fwd <= rev ? 0 : 1;
+    if (ok) {
+      uint64_t x = cn;  // splitmix64 finalizer, same constants as _mix64
+      x ^= x >> 33;
+      x *= 0xff51afd7ed558ccdull;
+      x ^= x >> 33;
+      x *= 0xc4ceb9fe1a85ec53ull;
+      x ^= x >> 33;
+      hh[s - elo] = x;
+    } else {
+      hh[s - elo] = kInf;
+    }
+  }
+
+  const int64_t nm = n - ww + 1;
+  // window minima indices needed: s in [max(0,lo-ww+1), min(nm, hi))
+  const int64_t mlo = std::max<int64_t>(0, lo - ww + 1);
+  const int64_t mhi = std::min<int64_t>(nm, hi);
+  std::vector<uint64_t> m(std::max<int64_t>(0, mhi - mlo));
+  std::vector<int64_t> dq(en);
+  {  // sliding min of hh, width ww, over the extended range
+    int64_t head = 0, tail = 0;
+    for (int64_t p = elo; p < ehi; ++p) {
+      while (tail > head && hh[dq[tail - 1] - elo] >= hh[p - elo]) --tail;
+      dq[tail++] = p;
+      if (dq[head] <= p - ww) ++head;
+      const int64_t s = p - ww + 1;
+      if (s >= mlo && s < mhi) m[s - mlo] = hh[dq[head] - elo];
+    }
+  }
+  {  // sliding max of m over the covering-window range, then flag
+    int64_t head = 0, tail = 0;
+    for (int64_t p = mlo; p < hi; ++p) {
+      const int64_t s_new = p;
+      if (s_new < mhi) {
+        while (tail > head && m[dq[tail - 1] - mlo] <= m[s_new - mlo]) {
+          --tail;
+        }
+        dq[tail++] = s_new;
+      }
+      const int64_t s_min = p - ww + 1;
+      while (head < tail && dq[head] < s_min) ++head;
+      if (p < lo) continue;  // context only
+      if (head < tail && hh[p - elo] != kInf &&
+          hh[p - elo] == m[dq[head] - mlo]) {
+        out.code.push_back(canon[p - elo]);
+        out.pos.push_back(p);
+        out.strand.push_back(strand[p - elo]);
+      }
+    }
+  }
+}
+
 PyObject* py_sketch(PyObject*, PyObject* args) {
   Py_buffer cb;
-  int k, w;
-  if (!PyArg_ParseTuple(args, "y*ii", &cb, &k, &w)) return nullptr;
+  int k, w, n_threads = 0;
+  if (!PyArg_ParseTuple(args, "y*ii|i", &cb, &k, &w, &n_threads)) {
+    return nullptr;
+  }
   const uint8_t* codes = static_cast<const uint8_t*>(cb.buf);
   const int64_t L = cb.len;
   const int64_t n = L - k + 1;
 
-  std::vector<uint32_t> out_code;
-  std::vector<int64_t> out_pos;
-  std::vector<uint8_t> out_strand;
+  SketchOut merged;
   Py_BEGIN_ALLOW_THREADS
   if (n > 0) {
-    constexpr uint64_t kInf = ~0ull;
-    std::vector<uint64_t> hh(n);
-    std::vector<uint32_t> canon(n);
-    std::vector<uint8_t> strand(n);
-    const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
-    uint64_t fwd = 0, rev = 0;
-    int64_t last_bad = -1;
-    for (int64_t p = 0; p < L; ++p) {
-      const uint8_t b = codes[p];
-      const uint64_t bb = (b < 4) ? b : 0;
-      if (b >= 4) last_bad = p;
-      fwd = ((fwd << 2) | bb) & mask;
-      rev = (rev >> 2) | ((3ull - bb) << (2 * (k - 1)));
-      const int64_t s = p - k + 1;  // window start
-      if (s < 0) continue;
-      const bool ok = last_bad < s;
-      const uint64_t cn = fwd < rev ? fwd : rev;
-      canon[s] = static_cast<uint32_t>(cn);
-      strand[s] = fwd <= rev ? 0 : 1;
-      if (ok) {
-        // splitmix64-style finalizer, same constants as _mix64
-        uint64_t x = cn;
-        x ^= x >> 33;
-        x *= 0xff51afd7ed558ccdull;
-        x ^= x >> 33;
-        x *= 0xc4ceb9fe1a85ec53ull;
-        x ^= x >> 33;
-        hh[s] = x;
-      } else {
-        hh[s] = kInf;
-      }
+    if (n_threads <= 0) {
+      n_threads = static_cast<int>(std::thread::hardware_concurrency());
+      if (n_threads <= 0) n_threads = 1;
     }
-    const int64_t ww = (n < w) ? (n > 0 ? n : 1) : w;
-    const int64_t nm = n - ww + 1;
-    std::vector<uint64_t> m(nm);
-    std::vector<int64_t> dq(n);
-    {  // sliding min of hh, width ww
-      int64_t head = 0, tail = 0;
-      for (int64_t p = 0; p < n; ++p) {
-        while (tail > head && hh[dq[tail - 1]] >= hh[p]) --tail;
-        dq[tail++] = p;
-        if (dq[head] <= p - ww) ++head;
-        if (p >= ww - 1) m[p - ww + 1] = hh[dq[head]];
+    // threading only pays past ~2M hash positions
+    const int64_t chunk_min = 2'000'000;
+    int T = static_cast<int>(std::min<int64_t>(
+        n_threads, std::max<int64_t>(1, n / chunk_min)));
+    if (T <= 1) {
+      sketch_range(codes, L, k, w, 0, n, merged);
+    } else {
+      std::vector<SketchOut> parts(T);
+      std::vector<std::thread> threads;
+      const int64_t step = (n + T - 1) / T;
+      for (int t = 0; t < T; ++t) {
+        const int64_t lo = t * step;
+        const int64_t hi = std::min<int64_t>(n, lo + step);
+        threads.emplace_back([&, t, lo, hi] {
+          sketch_range(codes, L, k, w, lo, hi, parts[t]);
+        });
       }
-    }
-    {  // sliding max of m over the covering-window range, then flag
-      int64_t head = 0, tail = 0;
-      for (int64_t p = 0; p < n; ++p) {
-        const int64_t s_new = p;  // windows s <= p enter as p grows
-        if (s_new < nm) {
-          while (tail > head && m[dq[tail - 1]] <= m[s_new]) --tail;
-          dq[tail++] = s_new;
-        }
-        const int64_t s_min = p - ww + 1;  // windows below this stop covering
-        while (head < tail && dq[head] < s_min) ++head;
-        if (head < tail && hh[p] != kInf && hh[p] == m[dq[head]]) {
-          out_code.push_back(canon[p]);
-          out_pos.push_back(p);
-          out_strand.push_back(strand[p]);
-        }
+      for (auto& th : threads) th.join();
+      size_t total = 0;
+      for (const auto& p : parts) total += p.code.size();
+      merged.code.reserve(total);
+      merged.pos.reserve(total);
+      merged.strand.reserve(total);
+      for (const auto& p : parts) {
+        merged.code.insert(merged.code.end(), p.code.begin(), p.code.end());
+        merged.pos.insert(merged.pos.end(), p.pos.begin(), p.pos.end());
+        merged.strand.insert(merged.strand.end(), p.strand.begin(),
+                             p.strand.end());
       }
     }
   }
   Py_END_ALLOW_THREADS
+  std::vector<uint32_t>& out_code = merged.code;
+  std::vector<int64_t>& out_pos = merged.pos;
+  std::vector<uint8_t>& out_strand = merged.strand;
 
   PyBuffer_Release(&cb);
   // y# with a null pointer (empty vector) builds None, not b"": route

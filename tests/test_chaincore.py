@@ -185,3 +185,18 @@ def test_native_anchors_parity(rng):
         for st in (1, -1):
             np.testing.assert_array_equal(nat[st][0], ref[st][0])
             np.testing.assert_array_equal(nat[st][1], ref[st][1])
+
+
+def test_threaded_sketch_parity(rng):
+    """Chunked multi-thread sketch == single-thread sketch on a >2M-base
+    sequence with N stretches (the genome-index build path); chunk-edge
+    window minima must reconcile exactly."""
+    from ciri_long_tpu import _chaincore
+
+    codes = rng.integers(0, 4, 5_000_000).astype(np.uint8)
+    codes[rng.integers(0, len(codes), 2000)] = 4
+    buf = codes.tobytes()
+    one = _chaincore.sketch(buf, 15, 5, 1)
+    four = _chaincore.sketch(buf, 15, 5, 4)
+    for a, b in zip(one, four):
+        assert a == b

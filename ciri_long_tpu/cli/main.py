@@ -16,25 +16,24 @@ from collections import defaultdict
 
 
 def _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx, short_mode=False,
-                   index_cache=None):
+                   index_cache=None, build_threads=1):
     from ciri_long_tpu.context import Context
     from ciri_long_tpu.io.genome import Genome
     from ciri_long_tpu.models.aligner import GenomeAligner
 
-    genome = None
-    if index_cache:
-        gdir = os.path.join(os.path.dirname(index_cache), 'gcodes')
-        genome = Genome.from_cache(gdir, ref_fasta)
-        if genome is None:
-            genome = Genome(ref_fasta)
+    gdir = (os.path.join(os.path.dirname(index_cache), 'gcodes')
+            if index_cache else None)
+    genome = Genome.from_cache(gdir, ref_fasta) if gdir else None
+    if genome is None:
+        genome = Genome(ref_fasta)
+        if gdir:
             try:
                 genome.save_cache(gdir)
             except (OSError, ValueError):
                 pass
-    if genome is None:
-        genome = Genome(ref_fasta)
     aligner = GenomeAligner(genome, short_mode=short_mode,
-                            index_cache=index_cache)
+                            index_cache=index_cache,
+                            build_threads=build_threads)
     return Context(aligner=aligner, genome=genome, gtf_index=gtf_idx,
                    intron_index=intron_idx, ss_index=ss_idx)
 
@@ -139,7 +138,8 @@ def call(args):
     # genome per process.
     index_cache = out_dir + '/tmp/minidx'
     ctx = _build_context(ref_fasta, gtf_idx, intron_idx, ss_idx,
-                         index_cache=index_cache)
+                         index_cache=index_cache,
+                         build_threads=max(1, args.threads))
 
     # Pre-spawn the scan-stage worker pool: spawn workers pay ~3 s of
     # interpreter + sitecustomize(jax) startup each, which overlaps the
@@ -162,12 +162,19 @@ def call(args):
         ctx_mp = multiprocessing.get_context('spawn')
         # spawn at low priority (children inherit the parent's niceness)
         # so worker warmup yields the cores to the CCS stage's own pool
-        # and only soaks up idle slices; restore before CCS forks
+        # and only soaks up idle slices; restore before CCS forks.  Only
+        # applied when the renice-back is guaranteed to succeed (root, or
+        # RLIMIT_NICE admits the current level) -- otherwise the whole
+        # run would be stuck deprioritised.
         nice_delta = 0
         try:
-            nice_delta = os.nice(5)
-            nice_delta = 5
-        except OSError:
+            import resource
+            cur = os.nice(0)
+            floor = 20 - resource.getrlimit(resource.RLIMIT_NICE)[0]
+            if os.geteuid() == 0 or floor <= cur:
+                os.nice(5)
+                nice_delta = 5
+        except (OSError, AttributeError):
             pass
         try:
             scan_pool = ctx_mp.Pool(args.threads, _scan_worker_init,
@@ -175,13 +182,7 @@ def call(args):
                                      index_cache))
         finally:
             if nice_delta:
-                try:
-                    os.nice(-nice_delta)
-                except OSError:
-                    # unprivileged processes cannot lower nice back; the
-                    # whole run then stays at +5, which is harmless when
-                    # the box is otherwise ours
-                    pass
+                os.nice(-nice_delta)
 
     # Step 1: cyclic consensus
     try:
@@ -354,8 +355,11 @@ def collapse(args):
             reads_cluster = collapse_mod.cluster_reads(cand_reads)
             logger.info('BSJ clusters: {}'.format(len(reads_cluster)))
             idx_file = out_dir + '/tmp/ss.idx'
+            # refresh the packed-genome cache whenever the current run
+            # could not load it (absent OR stale)
+            import numpy as np
             gcache = out_dir + '/tmp/gcodes'
-            if ref_fasta and not os.path.isdir(gcache):
+            if ref_fasta and not isinstance(ctx.genome.codes, np.memmap):
                 try:
                     ctx.genome.save_cache(gcache)
                 except (OSError, ValueError):

@@ -40,52 +40,33 @@ class Genome:
     def save_cache(self, cache_dir: str) -> None:
         """Atomically persist the packed genome under ``cache_dir``
         (requires an on-disk source fasta for the fingerprint)."""
-        import json
-        import tempfile
+        from ciri_long_tpu.utils.diskcache import save_array_dir
 
         fp = self._fingerprint()
         if fp is None:
             raise ValueError('in-memory genomes cannot be cached')
-        parent = os.path.dirname(os.path.abspath(cache_dir)) or '.'
-        tmp = tempfile.mkdtemp(prefix='.gcodes.', dir=parent)
-        try:
-            np.save(os.path.join(tmp, 'codes.npy'), self.codes)
-            meta = dict(version=self._CACHE_VERSION, names=self.names,
-                        offsets=[self.offsets[n] for n in self.names],
-                        lens=[self.contig_len[n] for n in self.names], **fp)
-            with open(os.path.join(tmp, 'meta.json'), 'w') as f:
-                json.dump(meta, f)
-            if os.path.isdir(cache_dir):
-                import shutil
-                shutil.rmtree(cache_dir)
-            os.rename(tmp, cache_dir)
-        except OSError:
-            import shutil
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
+        meta = dict(version=self._CACHE_VERSION, names=self.names,
+                    offsets=[self.offsets[n] for n in self.names],
+                    lens=[self.contig_len[n] for n in self.names], **fp)
+        save_array_dir(cache_dir, {'codes': self.codes}, meta)
 
     @classmethod
     def from_cache(cls, cache_dir: str, path: str) -> Optional["Genome"]:
         """Memory-mapped load; None when absent/stale (callers fall back
         to parsing ``path``)."""
-        import json
+        from ciri_long_tpu.utils.diskcache import load_array_dir
 
-        try:
-            with open(os.path.join(cache_dir, 'meta.json')) as f:
-                meta = json.load(f)
-        except (OSError, ValueError):
+        got = load_array_dir(cache_dir, ['codes'])
+        if got is None:
             return None
+        meta, (codes,) = got
         g = cls()
         g.path = path
         fp = g._fingerprint_of(path)
         if (fp is None or meta.get('version') != cls._CACHE_VERSION
                 or any(meta.get(k) != v for k, v in fp.items())):
             return None
-        try:
-            g.codes = np.load(os.path.join(cache_dir, 'codes.npy'),
-                              mmap_mode='r')
-        except (OSError, ValueError):
-            return None
+        g.codes = codes
         g.names = list(meta['names'])
         g.offsets = dict(zip(g.names, meta['offsets']))
         g.contig_len = dict(zip(g.names, meta['lens']))

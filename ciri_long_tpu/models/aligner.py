@@ -51,24 +51,18 @@ except ImportError:
 
 def _genome_fingerprint(genome: Genome):
     """Identity of an on-disk genome for index-cache staleness checks;
-    None for in-memory genomes (never cached)."""
-    import os
-    path = getattr(genome, 'path', None)
-    if not path:
-        return None
-    try:
-        st = os.stat(path)
-    except OSError:
-        return None
-    return dict(ref=os.path.abspath(path), size=st.st_size,
-                mtime=int(st.st_mtime))
+    None for in-memory genomes (never cached).  Shares the genome cache's
+    own fingerprint definition so the two caches agree on staleness."""
+    fp = getattr(genome, '_fingerprint', None)
+    return fp() if fp is not None else None
 
 
 class GenomeAligner:
     def __init__(self, genome: Genome, k: Optional[int] = None,
                  w: Optional[int] = None, cfg: AlignerConfig = DEFAULT.aligner,
                  short_mode: bool = False,
-                 index_cache: Optional[str] = None):
+                 index_cache: Optional[str] = None,
+                 build_threads: int = 1):
         self.genome = genome
         self.cfg = cfg
         self.short_mode = short_mode
@@ -91,7 +85,8 @@ class GenomeAligner:
         if index_cache and fp is not None:
             self.index = MinimizerIndex.load(index_cache, self.k, self.w, fp)
         if self.index is None:
-            self.index = MinimizerIndex.build(genome, self.k, self.w)
+            self.index = MinimizerIndex.build(genome, self.k, self.w,
+                                              threads=build_threads)
             if index_cache and fp is not None:
                 try:
                     self.index.save(index_cache, fp)

@@ -66,18 +66,23 @@ def kmer_hashes(codes: np.ndarray, k: int, valid_mask=None):
     return canon.astype(np.uint32), _mix64(canon), strand, ok
 
 
-def minimizers(codes: np.ndarray, k: int, w: int, valid_mask=None):
+def minimizers(codes: np.ndarray, k: int, w: int, valid_mask=None,
+               n_threads: int = 1):
     """Winnowed minimizers: positions p whose MIXED hash equals the minimum
     of at least one w-window (all ties kept, as minimap2 does).
 
     Returns (code u32, pos i64, strand u8) arrays -- codes are the exact
     canonical k-mers, which is what the index stores and looks up.
+    ``n_threads`` bounds the native sketch's chunked threading (output is
+    byte-identical at any count; threads only engage past ~2M bases, so
+    per-read sketches are always single-thread).
     """
     if valid_mask is None:
         try:
             from ciri_long_tpu import _chaincore
             cb, pb, sb = _chaincore.sketch(
-                np.ascontiguousarray(codes, np.uint8).tobytes(), k, w)
+                np.ascontiguousarray(codes, np.uint8).tobytes(), k, w,
+                max(1, int(n_threads)))
             return (np.frombuffer(cb, np.uint32),
                     np.frombuffer(pb, np.int64),
                     np.frombuffer(sb, np.uint8))
@@ -117,10 +122,12 @@ class MinimizerIndex(NamedTuple):
     buckets: Optional[np.ndarray] = None  # i64[65537] top-16-bit offsets
 
     @classmethod
-    def build(cls, genome, k: int, w: int) -> "MinimizerIndex":
+    def build(cls, genome, k: int, w: int,
+              threads: int = 1) -> "MinimizerIndex":
         assert len(genome.codes) < (1 << 32), \
             "genomes above 4.29 Gb need a u64-position index"
-        code, pos, strand = minimizers(genome.codes, k, w)
+        code, pos, strand = minimizers(genome.codes, k, w,
+                                       n_threads=threads)
         # k-mers must not span contig boundaries: drop any whose start lies
         # within the last k-1 bases of a contig
         keep = np.ones(len(pos), bool)
@@ -149,57 +156,29 @@ class MinimizerIndex(NamedTuple):
     def save(self, cache_dir: str, fingerprint: dict) -> None:
         """Atomically persist the index under ``cache_dir`` (npy files +
         meta.json; ``fingerprint`` records the genome identity)."""
-        import json
-        import os
-        import tempfile
+        from ciri_long_tpu.utils.diskcache import save_array_dir
 
-        parent = os.path.dirname(os.path.abspath(cache_dir)) or '.'
-        tmp = tempfile.mkdtemp(prefix='.minidx.', dir=parent)
-        try:
-            np.save(os.path.join(tmp, 'codes.npy'), self.codes)
-            np.save(os.path.join(tmp, 'pos.npy'), self.pos)
-            np.save(os.path.join(tmp, 'strand.npy'), self.strand)
-            np.save(os.path.join(tmp, 'buckets.npy'), self.buckets)
-            meta = dict(version=self._CACHE_VERSION, k=self.k, w=self.w,
-                        **fingerprint)
-            with open(os.path.join(tmp, 'meta.json'), 'w') as f:
-                json.dump(meta, f)
-            if os.path.isdir(cache_dir):
-                import shutil
-                shutil.rmtree(cache_dir)
-            os.rename(tmp, cache_dir)
-        except OSError:
-            import shutil
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
+        meta = dict(version=self._CACHE_VERSION, k=self.k, w=self.w,
+                    **fingerprint)
+        save_array_dir(cache_dir, {'codes': self.codes, 'pos': self.pos,
+                                   'strand': self.strand,
+                                   'buckets': self.buckets}, meta)
 
     @classmethod
     def load(cls, cache_dir: str, k: int, w: int,
              fingerprint: dict) -> Optional["MinimizerIndex"]:
         """Memory-mapped load; None when absent/stale/mismatched."""
-        import json
-        import os
+        from ciri_long_tpu.utils.diskcache import load_array_dir
 
-        meta_path = os.path.join(cache_dir, 'meta.json')
-        try:
-            with open(meta_path) as f:
-                meta = json.load(f)
-        except (OSError, ValueError):
+        got = load_array_dir(cache_dir, ['codes', 'pos', 'strand',
+                                         'buckets'])
+        if got is None:
             return None
+        meta, arrays = got
         want = dict(version=cls._CACHE_VERSION, k=k, w=w, **fingerprint)
         if meta != want:
             return None
-        try:
-            return cls(
-                k, w,
-                np.load(os.path.join(cache_dir, 'codes.npy'), mmap_mode='r'),
-                np.load(os.path.join(cache_dir, 'pos.npy'), mmap_mode='r'),
-                np.load(os.path.join(cache_dir, 'strand.npy'),
-                        mmap_mode='r'),
-                np.load(os.path.join(cache_dir, 'buckets.npy'),
-                        mmap_mode='r'))
-        except (OSError, ValueError):
-            return None
+        return cls(k, w, *arrays)
 
     def lookup(self, query_codes: np.ndarray):
         """Ranges [lo, hi) into the sorted table for each query k-mer.

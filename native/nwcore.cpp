@@ -251,8 +251,10 @@ bool nw_banded_score(const uint8_t* q, int64_t n, const uint8_t* r,
   return true;
 }
 
-// Full pass with traceback.  Appends merged runs to `ops_out` (score-only
-// when ops_out is null, kept for the direct py_nw_banded entry).
+// Full pass with traceback.  OVERWRITES `ops_out` with the merged runs
+// (the band ladder re-invokes this with the same vector at escalated
+// bands and relies on replace semantics); score-only when ops_out is
+// null, kept for the direct py_nw_banded entry.
 bool nw_banded_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
                     int64_t band, int match, int mismatch, int gap_open,
                     int gap_extend, int32_t* score_out,

@@ -40,6 +40,17 @@ PyObject* py_chain(PyObject*, PyObject* args) {
   std::vector<double> f(n, static_cast<double>(k));
   std::vector<int64_t> pre(n, -1);
 
+  // log2(g+1) table: std::log2 costs ~dozens of cycles per candidate
+  // pair and most gaps are small; table entries ARE std::log2 results,
+  // so scores stay bit-identical to the direct computation.
+  static const std::vector<double>& kLog2 = *[] {
+    auto* t = new std::vector<double>(65536);
+    for (size_t g = 0; g < t->size(); ++g) {
+      (*t)[g] = std::log2(static_cast<double>(g) + 1.0);
+    }
+    return t;
+  }();
+
   Py_BEGIN_ALLOW_THREADS
   for (Py_ssize_t i = 1; i < n; ++i) {
     const int64_t ri = r[i], qi = q[i], ci = ctg[i];
@@ -55,14 +66,17 @@ PyObject* py_chain(PyObject*, PyObject* args) {
       }
       const double alpha =
           static_cast<double>(std::min<int64_t>(std::min(dq, dr), k));
-      const double g = static_cast<double>(std::llabs(dr - dq));
+      const int64_t gi = std::llabs(dr - dq);
+      const double lg = gi < 65536
+                            ? kLog2[gi]
+                            : std::log2(static_cast<double>(gi) + 1.0);
       const double skip =
           0.1 * std::max(0.0, static_cast<double>(dq) - 2.0 * k);
       double pen;
       if (dr >= dq) {
-        pen = std::log2(g + 1.0) + skip;
+        pen = lg + skip;
       } else {
-        pen = 0.5 * g + 0.5 * std::log2(g + 1.0) + skip;
+        pen = 0.5 * static_cast<double>(gi) + 0.5 * lg + skip;
       }
       const double cand = f[j] + alpha - pen;
       if (cand > best) {

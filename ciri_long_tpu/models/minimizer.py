@@ -137,7 +137,19 @@ class MinimizerIndex(NamedTuple):
             bad = (pos > off + ln - k) & (pos < off + ln)
             keep &= ~bad
         code, pos, strand = code[keep], pos[keep], strand[keep]
-        order = np.argsort(code, kind='stable')
+        # stable sort by code: native radix permutation when built
+        # (chaincore.cpp::py_sortperm, argsort-equivalence fuzzed),
+        # np.argsort otherwise
+        try:
+            from ciri_long_tpu import _chaincore
+            native = getattr(_chaincore, 'sortperm', None)
+        except ImportError:
+            native = None
+        if native is not None and len(code):
+            order = np.frombuffer(
+                native(np.ascontiguousarray(code, np.uint32)), np.int64)
+        else:
+            order = np.argsort(code, kind='stable')
         code = code[order]
         # top-16-bit bucket offsets: each lookup binary-searches a
         # ~dozen-entry bucket instead of the whole table

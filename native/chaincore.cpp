@@ -463,6 +463,39 @@ PyObject* py_anchors(PyObject*, PyObject* args) {
       buf(qm), (Py_ssize_t)(qm.size() * sizeof(int64_t)));
 }
 
+// Stable sort permutation for u32 keys (np.argsort(kind='stable') twin
+// for the index build): LSD radix over two 16-bit digits -- stable and
+// deterministic by construction, ~4x faster than comparison sorting at
+// minimizer-table sizes.
+PyObject* py_sortperm(PyObject*, PyObject* args) {
+  Py_buffer kb;
+  if (!PyArg_ParseTuple(args, "y*", &kb)) return nullptr;
+  const uint32_t* keys = static_cast<const uint32_t*>(kb.buf);
+  const int64_t n = kb.len / static_cast<int64_t>(sizeof(uint32_t));
+  std::vector<int64_t> perm(n), tmp(n);
+  Py_BEGIN_ALLOW_THREADS {
+    for (int64_t i = 0; i < n; ++i) perm[i] = i;
+    for (int shift = 0; shift <= 16; shift += 16) {
+      std::vector<int64_t> count(65537, 0);
+      const int64_t* src = (shift == 0) ? perm.data() : tmp.data();
+      int64_t* dst = (shift == 0) ? tmp.data() : perm.data();
+      for (int64_t i = 0; i < n; ++i) {
+        ++count[((keys[src[i]] >> shift) & 0xffffu) + 1];
+      }
+      for (int t = 0; t < 65536; ++t) count[t + 1] += count[t];
+      for (int64_t i = 0; i < n; ++i) {
+        dst[count[(keys[src[i]] >> shift) & 0xffffu]++] = src[i];
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&kb);
+  static const char kEmpty[1] = {0};
+  const char* data =
+      perm.empty() ? kEmpty : reinterpret_cast<const char*>(perm.data());
+  return Py_BuildValue("y#", data, (Py_ssize_t)(n * sizeof(int64_t)));
+}
+
 PyMethodDef kMethods[] = {
     {"chain", py_chain, METH_VARARGS,
      "chain(r, q, ctg, k, window, max_gap_r, max_gap_q) -> (f, pre) bytes"},
@@ -471,6 +504,8 @@ PyMethodDef kMethods[] = {
     {"backtrack", py_backtrack, METH_VARARGS,
      "backtrack(f_f64, pre_i64, valid_u8, min_score, min_anchors, "
      "max_chains) -> [(path_i64_bytes, score), ...]"},
+    {"sortperm", py_sortperm, METH_VARARGS,
+     "sortperm(keys_u32) -> stable ascending sort permutation (i64 bytes)"},
     {"lookup", py_lookup, METH_VARARGS,
      "lookup(table_u32_sorted, bucket_starts_i64[65537], queries_u32) -> "
      "(lo_i64, hi_i64) bytes"},

@@ -200,3 +200,20 @@ def test_threaded_sketch_parity(rng):
     four = _chaincore.sketch(buf, 15, 5, 4)
     for a, b in zip(one, four):
         assert a == b
+
+
+def test_native_sortperm_parity(rng):
+    """Radix sort permutation == np.argsort(kind='stable') on u32 keys
+    incl. heavy duplicates and extremes."""
+    from ciri_long_tpu import _chaincore
+
+    for n in (0, 1, 7, 100_000):
+        keys = np.concatenate([
+            rng.integers(0, 2**32, max(0, n - 10)).astype(np.uint32),
+            rng.choice(np.array([0, 1, 0xffff, 0x10000, 0xffffffff],
+                                np.uint32), min(n, 10))])[:n]
+        got = np.frombuffer(
+            _chaincore.sortperm(np.ascontiguousarray(keys, np.uint32)),
+            np.int64)
+        np.testing.assert_array_equal(got,
+                                      np.argsort(keys, kind='stable'))

@@ -36,6 +36,10 @@
 #include <memory>
 #include <vector>
 
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int32_t kNeg = -(1 << 28);
@@ -84,6 +88,9 @@ struct NWScratch {
   std::vector<int32_t> H, E, F;          // traceback matrices
   std::vector<int32_t> h0, h1, f0, f1;   // score-only rolling rows
   std::vector<int32_t> tmp;              // dp_row pass-1 staging
+  std::vector<int32_t> echain;           // dp_row_score E-chain staging
+  std::vector<int32_t> ramp;             // t * gap_extend, cached per ge
+  int32_t ramp_ge = -1;
 };
 NWScratch& nw_scratch() {
   static thread_local NWScratch s;
@@ -92,6 +99,65 @@ NWScratch& nw_scratch() {
 
 inline void grow(std::vector<int32_t>& v, size_t need) {
   if (v.size() < need) v.resize(need);
+}
+
+inline const int32_t* ramp_for(NWScratch& s, int32_t ge, int64_t len) {
+  if (s.ramp_ge != ge || static_cast<int64_t>(s.ramp.size()) < len) {
+    const int64_t n = std::max<int64_t>(len, 1024);
+    s.ramp.resize(n);
+    for (int64_t t = 0; t < n; ++t) {
+      s.ramp[t] = static_cast<int32_t>(t) * ge;
+    }
+    s.ramp_ge = ge;
+  }
+  return s.ramp.data();
+}
+
+// In-place int32 prefix max.  AVX-512 log-step scan when available
+// (max is associative/commutative, so the reassociation is exact);
+// scalar otherwise.
+inline void prefix_max_i32(int32_t* y, int64_t len) {
+#ifdef __AVX512F__
+  const __m512i kMin = _mm512_set1_epi32(INT32_MIN);
+  __m512i carry = kMin;
+  int64_t t = 0;
+  for (; t + 16 <= len; t += 16) {
+    __m512i v = _mm512_loadu_si512(y + t);
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, kMin, 15));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, kMin, 14));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, kMin, 12));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, kMin, 8));
+    v = _mm512_max_epi32(v, carry);
+    _mm512_storeu_si512(y + t, v);
+    carry = _mm512_permutexvar_epi32(_mm512_set1_epi32(15), v);
+  }
+  int32_t c = _mm_cvtsi128_si32(_mm512_castsi512_si128(carry));
+  for (; t < len; ++t) {
+    c = std::max(c, y[t]);
+    y[t] = c;
+  }
+#else
+  int32_t c = INT32_MIN;
+  for (int64_t t = 0; t < len; ++t) {
+    c = std::max(c, y[t]);
+    y[t] = c;
+  }
+#endif
+}
+
+// The E chain e[t] = max(e[t-1] - ge, tmp[t-1] - go) as a prefix max of
+// the ge-deskewed series: with y[t] = e[t] + t*ge and x[t] = tmp[t-1] -
+// go + t*ge (x[0] = e0), y = prefix_max(x) -- the same affine identity
+// as the TPU kernel's cummax, now also scanned in SIMD on host.  All
+// intermediates stay well inside int32 (|values| <= ~2^29 + len*ge).
+inline void e_chain(const int32_t* tmp, int64_t len, int32_t e0,
+                    int32_t go, const int32_t* ramp, int32_t* E) {
+  E[0] = e0;
+  for (int64_t t = 1; t < len; ++t) {  // vectorizes
+    E[t] = tmp[t - 1] - go + ramp[t];
+  }
+  prefix_max_i32(E, len);
+  for (int64_t t = 1; t < len; ++t) E[t] -= ramp[t];  // vectorizes
 }
 
 // One DP row, split into compiler-vectorizable passes.  Exact splitting
@@ -110,7 +176,7 @@ inline void dp_row(uint8_t qi, const uint8_t* rrow, int64_t len,
                    const int32_t* Hd, const int32_t* Hu, const int32_t* Fu,
                    int32_t* H, int32_t* E, int32_t* F, int32_t* tmp,
                    int32_t e0_E, int32_t e0_H, int match, int mismatch,
-                   int gap_open, int gap_extend) {
+                   int gap_open, int gap_extend, const int32_t* ramp) {
   // pass 1 (vectorizes): diagonal + vertical, no intra-row dependency
   for (int64_t t = 0; t < len; ++t) {
     const uint8_t b = rrow[t];
@@ -121,13 +187,9 @@ inline void dp_row(uint8_t qi, const uint8_t* rrow, int64_t len,
     F[t] = f;
     tmp[t] = std::max(Hd[t] + sc, f);
   }
-  // pass 2 (serial, 2 ops/cell): the E chain
-  int32_t e = std::max(e0_E - gap_extend, e0_H - gap_open);
-  E[0] = e;
-  for (int64_t t = 1; t < len; ++t) {
-    e = std::max(e - gap_extend, tmp[t - 1] - gap_open);
-    E[t] = e;
-  }
+  // pass 2: the E chain as a SIMD prefix-max scan
+  const int32_t e0 = std::max(e0_E - gap_extend, e0_H - gap_open);
+  e_chain(tmp, len, e0, gap_open, ramp, E);
   // pass 3 (vectorizes): fold E into H
   for (int64_t t = 0; t < len; ++t) H[t] = std::max(tmp[t], E[t]);
 }
@@ -138,7 +200,8 @@ inline void dp_row_score(uint8_t qi, const uint8_t* rrow, int64_t len,
                          const int32_t* Fu, int32_t* H, int32_t* F,
                          int32_t* tmp, int32_t e0_E, int32_t e0_H,
                          int match, int mismatch, int gap_open,
-                         int gap_extend) {
+                         int gap_extend, const int32_t* ramp,
+                         int32_t* escratch) {
   for (int64_t t = 0; t < len; ++t) {
     const uint8_t b = rrow[t];
     int32_t sc = (qi == b) ? match : -mismatch;
@@ -148,11 +211,10 @@ inline void dp_row_score(uint8_t qi, const uint8_t* rrow, int64_t len,
     F[t] = f;
     tmp[t] = std::max(Hd[t] + sc, f);
   }
-  int32_t e = std::max(e0_E - gap_extend, e0_H - gap_open);
-  H[0] = std::max(tmp[0], e);
-  for (int64_t t = 1; t < len; ++t) {
-    e = std::max(e - gap_extend, tmp[t - 1] - gap_open);
-    H[t] = std::max(tmp[t], e);
+  const int32_t e0 = std::max(e0_E - gap_extend, e0_H - gap_open);
+  e_chain(tmp, len, e0, gap_open, ramp, escratch);
+  for (int64_t t = 0; t < len; ++t) {
+    H[t] = std::max(tmp[t], escratch[t]);
   }
 }
 
@@ -212,7 +274,10 @@ bool nw_banded_score(const uint8_t* q, int64_t n, const uint8_t* r,
   }
   NWScratch& scr = s;
   grow(scr.tmp, stride);
+  grow(scr.echain, stride);
   int32_t* tmp = scr.tmp.data();
+  int32_t* esc = scr.echain.data();
+  const int32_t* ramp = ramp_for(scr, gap_extend, stride);
   for (int64_t i = 1; i <= n; ++i) {
     const int64_t jlo = std::max<int64_t>(0, i + lo_off);
     const int64_t jhi = std::min<int64_t>(m, i + hi_off);
@@ -233,7 +298,7 @@ bool nw_banded_score(const uint8_t* q, int64_t n, const uint8_t* r,
       if (gap_open >= gap_extend) {
         dp_row_score(q[i - 1], r + j0 - 1, len, hp + c, hp + c + 1,
                      fp + c + 1, hc + c, fc + c, tmp, kNeg, hc[c - 1],
-                     match, mismatch, gap_open, gap_extend);
+                     match, mismatch, gap_open, gap_extend, ramp, esc);
       } else {
         dp_row_fused(q[i - 1], r + j0 - 1, len, hp + c, hp + c + 1,
                      fp + c + 1, hc + c, tmp, fc + c, kNeg, hc[c - 1],
@@ -276,6 +341,7 @@ bool nw_banded_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
   int32_t* E = s.E.data();
   int32_t* F = s.F.data();
   int32_t* tmp = s.tmp.data();
+  const int32_t* ramp = ramp_for(s, gap_extend, stride);
   auto T = [&](int64_t i, int64_t j) {
     return i * stride + (j - i - lo_off) + 1;
   };
@@ -315,7 +381,7 @@ bool nw_banded_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
       if (gap_open >= gap_extend) {
         dp_row(q[i - 1], r + j0 - 1, len, Hp + c, Hp + c + 1, Fp + c + 1,
                Hc + c, Ec + c, Fc + c, tmp, Ec[c - 1], Hc[c - 1],
-               match, mismatch, gap_open, gap_extend);
+               match, mismatch, gap_open, gap_extend, ramp);
       } else {
         dp_row_fused(q[i - 1], r + j0 - 1, len, Hp + c, Hp + c + 1,
                      Fp + c + 1, Hc + c, Ec + c, Fc + c, Ec[c - 1],
@@ -455,6 +521,7 @@ void extend_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
   int32_t* E = s.E.data();
   int32_t* F = s.F.data();
   int32_t* tmp = s.tmp.data();
+  const int32_t* ramp = ramp_for(s, gap_extend, stride);
   auto T = [&](int64_t i, int64_t j) { return i * stride + C(i, j); };
 
   int32_t best = 0;
@@ -498,7 +565,7 @@ void extend_core(const uint8_t* q, int64_t n, const uint8_t* r, int64_t m,
       if (gap_open >= gap_extend) {
         dp_row(q[i - 1], r + lo - 1, len, Hd + c, Hu + c, Fu + c,
                Hc + c, Ec + c, Fc + c, tmp, Ec[c - 1], Hc[c - 1],
-               match, mismatch, gap_open, gap_extend);
+               match, mismatch, gap_open, gap_extend, ramp);
       } else {
         dp_row_fused(q[i - 1], r + lo - 1, len, Hd + c, Hu + c, Fu + c,
                      Hc + c, Ec + c, Fc + c, Ec[c - 1], Hc[c - 1],

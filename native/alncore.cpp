@@ -31,6 +31,8 @@
 #include <cstring>
 #include <vector>
 
+#include "simd_scan.h"
+
 namespace {
 
 constexpr int32_t kNeg = -(1 << 28);
@@ -56,6 +58,26 @@ void sw_forward(const uint8_t* q, int n, const uint8_t* r, int m,
   int32_t* Hv = H.data();
   int32_t* Fv_ = F.data();
   int32_t* T = tmp.data();
+  // SIMD pass-2 fast path: exact whenever the int64 clamp is provably
+  // unreachable (H0 <= n*match; x = H0 + j*gE stays far below 2^31)
+  const bool i32ok =
+      static_cast<int64_t>(n) * std::max(match, 1) +
+          static_cast<int64_t>(m) * std::max(gE, 1) <
+      (int64_t{1} << 30);
+  static thread_local std::vector<int32_t> pbuf, rampv;
+  static thread_local int32_t ramp_ge = -1;
+  const int32_t* ramp = nullptr;
+  if (i32ok) {
+    if (static_cast<int64_t>(pbuf.size()) < m) pbuf.resize(m);
+    if (ramp_ge != gE || static_cast<int64_t>(rampv.size()) < m) {
+      rampv.resize(std::max<int64_t>(m, 1024));
+      for (size_t t = 0; t < rampv.size(); ++t) {
+        rampv[t] = static_cast<int32_t>(t) * gE;
+      }
+      ramp_ge = gE;
+    }
+    ramp = rampv.data();
+  }
   int32_t best = 0;
   int32_t best_i = -1;
   int32_t best_j = m;  // kernel init: best_j = Lr
@@ -78,15 +100,26 @@ void sw_forward(const uint8_t* q, int n, const uint8_t* r, int m,
       Fv_[j] = f;
       T[j] = std::max(std::max(Hv[j - 1] + s, f), 0);
     }
-    // pass 2 (serial, 3 ops/cell): the prefix-max E chain, exactly the
-    // ops/sw.py kernel's cummax identity (int64 to match its clamping)
-    int64_t pmax = kNeg;  // running max of H0[k] + k*gE, k < j
-    for (int j = 0; j < m; ++j) {
-      const int64_t E = pmax - gO - static_cast<int64_t>(j - 1) * gE;
-      const int64_t hn = std::max<int64_t>(T[j], E);
-      pmax = std::max<int64_t>(
-          pmax, static_cast<int64_t>(T[j]) + static_cast<int64_t>(j) * gE);
-      Hv[j] = hn > INT32_MAX ? INT32_MAX : static_cast<int32_t>(hn);
+    // pass 2: the prefix-max E chain (ops/sw.py's cummax identity).
+    // SIMD scan in int32 when the clamp is provably unreachable;
+    // int64 serial with clamping otherwise (bit-identical contract).
+    if (i32ok) {
+      int32_t* P = pbuf.data();
+      for (int j = 0; j < m; ++j) P[j] = T[j] + ramp[j];  // vectorizes
+      prefix_max_i32_inplace(P, m);
+      Hv[0] = T[0];  // E(0) is kNeg-derived, never beats T[0] >= 0
+      for (int j = 1; j < m; ++j) {  // vectorizes
+        Hv[j] = std::max(T[j], P[j - 1] - gO - ramp[j - 1]);
+      }
+    } else {
+      int64_t pmax = kNeg;  // running max of H0[k] + k*gE, k < j
+      for (int j = 0; j < m; ++j) {
+        const int64_t E = pmax - gO - static_cast<int64_t>(j - 1) * gE;
+        const int64_t hn = std::max<int64_t>(T[j], E);
+        pmax = std::max<int64_t>(
+            pmax, static_cast<int64_t>(T[j]) + static_cast<int64_t>(j) * gE);
+        Hv[j] = hn > INT32_MAX ? INT32_MAX : static_cast<int32_t>(hn);
+      }
     }
     // pass 3 (vectorizable): row max; the argmax scan only runs when the
     // row can actually improve the running best.

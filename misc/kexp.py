@@ -252,6 +252,184 @@ def build_kernel_wave(jnp, jax, pl, pltpu, *, btile, lqp, lrpw, match,
     return kernel
 
 
+def build_kernel_wave3(jnp, jax, pl, pltpu, *, btile, lqp, lrpw, match,
+                       mismatch, gap_open, gap_extend):
+    """wave2's transforms 1+2 (pad-6 scoring, E from full H) with the
+    original unpacked best_val/best_d tracking -- isolates the packed-
+    best multiply as the suspect for wave2's regression."""
+
+    def kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_val,
+               best_d, r_diag, rblk):
+        q = q_ref[:]
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+        is_lane0 = i_idx == 0
+        q_is_n = q == 4
+
+        Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Hd2[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        best_val[:] = jnp.zeros((btile, lqp), jnp.int32)
+        best_d[:] = jnp.full((btile, lqp), -1, jnp.int32)
+        r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
+
+        def step(d, r_col):
+            rd = jnp.where(is_lane0, r_col, pltpu.roll(r_diag[:], 1, axis=1))
+            r_diag[:] = rd
+            s = jnp.where(q == rd, match, -mismatch)
+            s = jnp.where(q_is_n | (rd == 4), 0, s)
+
+            h1 = Hd1[:]
+            h1s = pltpu.roll(h1, 1, axis=1)
+            f1s = pltpu.roll(Fd1[:], 1, axis=1)
+            Fv = jnp.where(is_lane0, NEG,
+                           jnp.maximum(f1s - gap_extend, h1s - gap_open))
+            h2s = jnp.where(is_lane0, 0, pltpu.roll(Hd2[:], 1, axis=1))
+            H0 = jnp.maximum(jnp.maximum(h2s + s, Fv), 0)
+            E = jnp.maximum(Ed1[:] - gap_extend, h1 - gap_open)
+            Hn = jnp.maximum(H0, E)
+
+            better = Hn > best_val[:]
+            best_val[:] = jnp.where(better, Hn, best_val[:])
+            best_d[:] = jnp.where(better, d, best_d[:])
+            Hd2[:] = h1
+            Hd1[:] = Hn
+            Ed1[:] = E
+            Fd1[:] = Fv
+
+        def chunk_body(c, _):
+            base = pl.multiple_of(c * LANES, LANES)
+            rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+            def inner(t, _):
+                step(c * LANES + t, rblk[:, 0:1])
+                rblk[:] = pltpu.roll(rblk[:], LANES - 1, axis=1)
+                return 0
+
+            jax.lax.fori_loop(0, LANES, inner, 0)
+            return 0
+
+        jax.lax.fori_loop(0, lrpw // LANES, chunk_body, 0)
+
+        bv = best_val[:]
+        best = jnp.max(bv, axis=1, keepdims=True)
+        isbest = bv == best
+        j_of = best_d[:] - i_idx
+        jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1, keepdims=True)
+        istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx, BIG),
+                        axis=1, keepdims=True)
+        found = best > 0
+        score = jnp.where(found, best, 0)
+        iout = jnp.where(found, istar, -1)
+        jout = jnp.where(found, jstar, -1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+        out = jnp.where(lane == 0, score,
+                        jnp.where(lane == 1, iout,
+                                  jnp.where(lane == 2, jout, 0)))
+        out_ref[:] = out
+
+    return kernel
+
+
+def build_kernel_wave2(jnp, jax, pl, pltpu, *, btile, lqp, lrpw, match,
+                       mismatch, gap_open, gap_extend):
+    """Leaner wavefront: three exact transformations over build_kernel_wave.
+
+    1. No PAD select row in scoring: the caller pads/remaps the REFERENCE
+       to code 6 (query keeps 5), so q==rd is impossible at any pad and a
+       pad cell scores -mismatch (or 0 against a genuine N).  Every path
+       that enters a pad row/column can only hold (N) or lose value and
+       can never re-enter the real region, so no pad cell ever STRICTLY
+       exceeds a lane's running best; ties don't update best (strict >)
+       and can't steal the final tie-break (their j = d - i is >= lr,
+       larger than any real candidate).  Outputs are bit-identical.
+    2. E reads the full H of the previous diagonal instead of a separate
+       H0 carry: max(E-ge, max(H0,E)-go) == max(E-ge, H0-go) whenever
+       go >= ge (E-go <= E-ge) -- kills one scratch row and one write.
+    3. Packed best tracking: best = max(best, Hn*DSPAN + (DSPAN-1-d))
+       replaces cmp+2x select+2 writes; max picks the highest score and,
+       on ties, the smallest d = first occurrence, exactly the strict
+       '>' update order.  Requires match*min(lq,lr)*DSPAN < 2^31.
+    """
+    DSPAN = 1
+    while DSPAN < lrpw + 1:
+        DSPAN *= 2
+    dspan1 = DSPAN - 1
+
+    def kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
+               r_diag, rblk):
+        q = q_ref[:]
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+        is_lane0 = i_idx == 0
+        q_is_n = q == 4
+
+        Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Hd2[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        # score 0 / d undefined floor; masked by found at the end
+        best_pack[:] = jnp.zeros((btile, lqp), jnp.int32)
+        r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
+
+        def step(d, r_col):
+            rd = jnp.where(is_lane0, r_col, pltpu.roll(r_diag[:], 1, axis=1))
+            r_diag[:] = rd
+            s = jnp.where(q == rd, match, -mismatch)
+            s = jnp.where(q_is_n | (rd == 4), 0, s)
+
+            h1 = Hd1[:]
+            h1s = pltpu.roll(h1, 1, axis=1)
+            f1s = pltpu.roll(Fd1[:], 1, axis=1)
+            Fv = jnp.where(is_lane0, NEG,
+                           jnp.maximum(f1s - gap_extend, h1s - gap_open))
+            h2s = jnp.where(is_lane0, 0, pltpu.roll(Hd2[:], 1, axis=1))
+            H0 = jnp.maximum(jnp.maximum(h2s + s, Fv), 0)
+            E = jnp.maximum(Ed1[:] - gap_extend, h1 - gap_open)
+            Hn = jnp.maximum(H0, E)
+
+            best_pack[:] = jnp.maximum(best_pack[:],
+                                       Hn * DSPAN + (dspan1 - d))
+            Hd2[:] = h1
+            Hd1[:] = Hn
+            Ed1[:] = E
+            Fd1[:] = Fv
+
+        def chunk_body(c, _):
+            base = pl.multiple_of(c * LANES, LANES)
+            rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+            def inner(t, _):
+                step(c * LANES + t, rblk[:, 0:1])
+                rblk[:] = pltpu.roll(rblk[:], LANES - 1, axis=1)
+                return 0
+
+            jax.lax.fori_loop(0, LANES, inner, 0)
+            return 0
+
+        jax.lax.fori_loop(0, lrpw // LANES, chunk_body, 0)
+
+        bp = best_pack[:]
+        bv = bp // DSPAN
+        bd = dspan1 - (bp & dspan1)
+        best = jnp.max(bv, axis=1, keepdims=True)
+        isbest = bv == best
+        j_of = bd - i_idx
+        jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1, keepdims=True)
+        istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx, BIG),
+                        axis=1, keepdims=True)
+        found = best > 0
+        score = jnp.where(found, best, 0)
+        iout = jnp.where(found, istar, -1)
+        jout = jnp.where(found, jstar, -1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+        out = jnp.where(lane == 0, score,
+                        jnp.where(lane == 1, iout,
+                                  jnp.where(lane == 2, jout, 0)))
+        out_ref[:] = out
+
+    return kernel
+
+
 def build_kernel(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
                  gap_open, gap_extend, nomask7, packbest, tworow,
                  levels=None):
@@ -435,13 +613,31 @@ def make_call(args, params):
         r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrP - Lr)),
                     constant_values=5)
 
-        if args.wave:
+        if args.wave or args.wave2 or args.wave3:
             LrPW = _round_up(LqP + LrP, LANES)
             r = jnp.pad(r, ((0, 0), (0, LrPW - LrP)), constant_values=5)
-            kernel = build_kernel_wave(
-                jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrpw=LrPW,
-                match=match, mismatch=mismatch, gap_open=gap_open,
-                gap_extend=gap_extend)
+            if args.wave3:
+                r = jnp.where(r >= 5, 6, r)
+                kernel = build_kernel_wave3(
+                    jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrpw=LrPW,
+                    match=match, mismatch=mismatch, gap_open=gap_open,
+                    gap_extend=gap_extend)
+                n_scratch = 7
+            elif args.wave2:
+                # wave2 contract: reference pads are code 6 (query keeps
+                # 5) so the kernel needs no PAD select in scoring
+                r = jnp.where(r >= 5, 6, r)
+                kernel = build_kernel_wave2(
+                    jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrpw=LrPW,
+                    match=match, mismatch=mismatch, gap_open=gap_open,
+                    gap_extend=gap_extend)
+                n_scratch = 6
+            else:
+                kernel = build_kernel_wave(
+                    jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrpw=LrPW,
+                    match=match, mismatch=mismatch, gap_open=gap_open,
+                    gap_extend=gap_extend)
+                n_scratch = 8
             out = pl.pallas_call(
                 kernel,
                 grid=(Bp // btile,),
@@ -455,7 +651,7 @@ def make_call(args, params):
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((Bp, LANES), jnp.int32),
                 scratch_shapes=(
-                    [pltpu.VMEM((btile, LqP), jnp.int32)] * 8
+                    [pltpu.VMEM((btile, LqP), jnp.int32)] * n_scratch
                     + [pltpu.VMEM((btile, LANES), jnp.int32)]),
                 cost_estimate=pl.CostEstimate(
                     flops=int(30 * Bp * LqP * LrPW),
@@ -523,6 +719,8 @@ def main():
     ap.add_argument("--tworow", action="store_true")
     ap.add_argument("--r3", action="store_true")
     ap.add_argument("--wave", action="store_true")
+    ap.add_argument("--wave2", action="store_true")
+    ap.add_argument("--wave3", action="store_true")
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--Lq", type=int, default=1024)
     ap.add_argument("--Lr", type=int, default=4096)
@@ -581,7 +779,7 @@ def main():
     gcups = cells / dt / 1e9
     print(json.dumps({
         "variant": {k: getattr(args, k) for k in
-                    ("btile", "nomask7", "packbest", "tworow", "r3", "wave")},
+                    ("btile", "nomask7", "packbest", "tworow", "r3", "wave", "wave2", "wave3")},
         "gcups": round(gcups, 2),
         "seconds": round(dt, 3),
         "backend": jax.default_backend(),

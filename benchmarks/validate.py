@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(reads=120, genome_kb=1000, loci=8, depth=None, tol=5, seed=0,
-        noise=0.02, threads=1):
+        noise=0.02, threads=1, profile='uniform'):
     from ciri_long_tpu.cli.main import call, collapse
     from ciri_long_tpu.io.genome import Genome
     from ciri_long_tpu.tools.simulate import (random_loci, simulate_linear,
@@ -49,12 +49,14 @@ def run(reads=120, genome_kb=1000, loci=8, depth=None, tol=5, seed=0,
         reads_path = os.path.join(root, 'reads.fa')
         truth = {}
         with open(reads_path, 'w') as f:
-            for rid, seq, cid in simulate_reads(genome, truth_loci, rng,
-                                                depth=depth, sub=noise,
-                                                ins=noise / 2, dele=noise / 2):
+            for rid, seq, cid in simulate_reads(
+                    genome, truth_loci, rng, depth=depth, sub=noise,
+                    ins=noise / 2, dele=noise / 2, profile=profile,
+                    artifacts=(profile == 'nanopore')):
                 f.write('>{}\n{}\n'.format(rid, seq))
                 truth[rid] = cid
-            for rid, seq in simulate_linear(genome, rng, n=reads // 4):
+            for rid, seq in simulate_linear(genome, rng, n=reads // 4,
+                                            profile=profile):
                 f.write('>{}\n{}\n'.format(rid, seq))
 
         out_dir = os.path.join(root, 'out')
@@ -98,6 +100,7 @@ def run(reads=120, genome_kb=1000, loci=8, depth=None, tol=5, seed=0,
             'true_loci': len(true_set),
             'called_loci': len(called),
             'tolerance_bp': tol,
+            'profile': profile,
             'seconds': round(dt, 1),
         }
 
@@ -114,13 +117,30 @@ def main():
     ap.add_argument('--noise', type=float, default=0.02)
     ap.add_argument('--tol', type=int, default=5)
     ap.add_argument('--threads', type=int, default=1)
+    ap.add_argument('--min-recall', type=float, default=None,
+                    help='exit 1 unless recall >= this (CI gate)')
+    ap.add_argument('--min-precision', type=float, default=None,
+                    help='exit 1 unless precision >= this (CI gate)')
+    ap.add_argument('--profile', default='uniform',
+                    choices=['uniform', 'nanopore'],
+                    help='read error model: uniform substitutions+indels '
+                         'or the empirical nanopore profile '
+                         '(tools/simulate.py::NANOPORE_PROFILE)')
     args = ap.parse_args()
     if args.backend == 'cpu':
         import jax
         jax.config.update('jax_platforms', 'cpu')
-    print(json.dumps(run(reads=args.reads, genome_kb=args.genome_kb,
-                         loci=args.loci, seed=args.seed, noise=args.noise,
-                         tol=args.tol, threads=args.threads)))
+    res = run(reads=args.reads, genome_kb=args.genome_kb,
+              loci=args.loci, seed=args.seed, noise=args.noise,
+              tol=args.tol, threads=args.threads, profile=args.profile)
+    print(json.dumps(res))
+    if args.min_recall is not None and res['recall'] < args.min_recall:
+        sys.exit('FAIL: recall {} < {}'.format(res['recall'],
+                                               args.min_recall))
+    if args.min_precision is not None and \
+            res['precision'] < args.min_precision:
+        sys.exit('FAIL: precision {} < {}'.format(res['precision'],
+                                                  args.min_precision))
 
 
 if __name__ == '__main__':

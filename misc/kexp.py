@@ -626,6 +626,16 @@ def make_call(args, params):
             elif args.wave2:
                 # wave2 contract: reference pads are code 6 (query keeps
                 # 5) so the kernel needs no PAD select in scoring
+                dspan = 1
+                while dspan < LrPW + 1:
+                    dspan *= 2
+                # packed-best precondition: best = Hn*DSPAN + (DSPAN-1-d)
+                # must fit int32 (max score <= match * LqP)
+                if match * LqP * dspan >= 2 ** 31:
+                    raise SystemExit(
+                        "wave2 packed-best overflow: match*LqP*DSPAN = "
+                        f"{match * LqP * dspan} >= 2^31 at Lq={Lq} Lr={Lr};"
+                        " use --wave3 for this shape")
                 r = jnp.where(r >= 5, 6, r)
                 kernel = build_kernel_wave2(
                     jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrpw=LrPW,
@@ -739,20 +749,28 @@ def main():
     rng = np.random.default_rng(0)
 
     if not args.skipcheck:
-        # correctness vs the XLA-scan oracle on a small batch (includes
-        # N/pad lanes via odd lengths)
-        qs = rng.integers(0, 5, (args.btile, 300)).astype(np.int8)
-        rs = rng.integers(0, 5, (args.btile, 517)).astype(np.int8)
-        got = [np.asarray(x) for x in call(qs, rs)]
-        want = [np.asarray(x) for x in
-                sw_score_ends(jnp.asarray(qs), jnp.asarray(rs),
-                              SWParams(*params))]
-        for g, w, name in zip(got, want, ("score", "q_end", "r_end")):
-            if not np.array_equal(g, w):
-                bad = np.nonzero(g != w)[0][:5]
-                raise SystemExit(
-                    f"MISMATCH {name} at rows {bad}: got {g[bad]} "
-                    f"want {w[bad]}")
+        # correctness vs the XLA-scan oracle: once at a fixed small shape
+        # (fast; odd lengths exercise the N/pad lanes) and once at the
+        # TIMED --Lq/--Lr shape with a small batch, so shape-dependent
+        # failures (DSPAN packing, padding geometry) in the benchmark
+        # configuration are caught before timing
+        check_shapes = [(300, 517)]
+        timed = (max(64, args.Lq - 7), max(64, args.Lr - 3))
+        if timed != check_shapes[0]:
+            check_shapes.append(timed)
+        for lq_c, lr_c in check_shapes:
+            qs = rng.integers(0, 5, (args.btile, lq_c)).astype(np.int8)
+            rs = rng.integers(0, 5, (args.btile, lr_c)).astype(np.int8)
+            got = [np.asarray(x) for x in call(qs, rs)]
+            want = [np.asarray(x) for x in
+                    sw_score_ends(jnp.asarray(qs), jnp.asarray(rs),
+                                  SWParams(*params))]
+            for g, w, name in zip(got, want, ("score", "q_end", "r_end")):
+                if not np.array_equal(g, w):
+                    bad = np.nonzero(g != w)[0][:5]
+                    raise SystemExit(
+                        f"MISMATCH {name} ({lq_c}x{lr_c}) at rows {bad}: "
+                        f"got {g[bad]} want {w[bad]}")
 
     B, Lq, Lr = args.B, args.Lq, args.Lr
     q = rng.integers(0, 4, (B, Lq)).astype(np.int8)

@@ -74,19 +74,27 @@ def _apply_backend(args):
     reuses them, which matters doubly on backends where compilation is
     remote/minutes-long."""
     import jax
+
+    from ciri_long_tpu.utils.dispatch import (cached_rtt_ms,
+                                              ensure_compile_cache)
     if getattr(args, 'backend', None) == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
-    cache = os.environ.get('JAX_COMPILATION_CACHE_DIR')
-    if cache is None:
-        cache = os.path.join(os.path.expanduser('~'), '.cache',
-                             'ciri_long_tpu', 'jax_cache')
-        os.makedirs(cache, exist_ok=True)
-        os.environ['JAX_COMPILATION_CACHE_DIR'] = cache
-    try:
-        jax.config.update('jax_compilation_cache_dir', cache)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
-    except AttributeError:
-        pass
+    elif getattr(args, 'prefer_host_on_high_rtt', False) and \
+            getattr(args, 'backend', None) in (None, 'default'):
+        # Data-driven per-stage default (VERDICT r2 #7): the collapse
+        # stage's device offloads lose to the host path when every
+        # dispatch pays a remote-tunnel RTT (measured 2026-08-19 at 4k
+        # reads: 88.5 reads/s on the tunnel TPU vs 232.7 on host).  The
+        # RTT persisted by a previous run (e.g. the call stage) decides
+        # BEFORE any device initialises; a locally attached chip
+        # (<5 ms) keeps the accelerator.  --backend forces either way.
+        rtt = cached_rtt_ms()
+        if rtt is not None and rtt >= 5.0:
+            jax.config.update('jax_platforms', 'cpu')
+    cache = ensure_compile_cache()
+    # spawn-pool workers inherit the resolved dir through the environment
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', cache)
+    os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
 
 
 def call(args):
@@ -304,6 +312,7 @@ def _finish_call(args, logger, timer, reads_count, out_dir, prefix):
 
 
 def collapse(args):
+    args.prefer_host_on_high_rtt = True
     _apply_backend(args)
     from ciri_long_tpu.utils.logger import get_logger, StageTimer
     from ciri_long_tpu.utils.misc import check_dir, check_file
@@ -359,7 +368,9 @@ def collapse(args):
             # could not load it (absent OR stale)
             import numpy as np
             gcache = out_dir + '/tmp/gcodes'
-            if ref_fasta and not isinstance(ctx.genome.codes, np.memmap):
+            backing = (ctx.genome.codes if ctx.genome.codes is not None
+                       else ctx.genome.packed)
+            if ref_fasta and not isinstance(backing, np.memmap):
                 try:
                     ctx.genome.save_cache(gcache)
                 except (OSError, ValueError):

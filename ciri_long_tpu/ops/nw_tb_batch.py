@@ -38,7 +38,7 @@ NEG = -(1 << 28)
 
 N_BUCKETS = (128, 256, 512, 1024, 2048)
 W_BUCKETS = (64, 128, 256, 512)
-B_BUCKETS = (8, 32, 128, 512)
+B_BUCKETS = (8, 32, 128, 512, 2048)
 MAX_N = N_BUCKETS[-1]
 MAX_W = W_BUCKETS[-1]
 
@@ -290,6 +290,13 @@ def _decode_runs(entries):
     return cigar
 
 
+@_count_dispatch('nw_tb_kernel')
+def _invoke_kernel(kernel, *args):
+    """One async device program dispatch (counted: the tunnel's RTT floor
+    is set by how many of these a stage issues)."""
+    return kernel(*args)
+
+
 def device_nw_enabled() -> bool:
     import jax
     return jax.default_backend() != 'cpu'
@@ -382,9 +389,9 @@ def nw_traceback_submit(qs: Sequence[np.ndarray],
                 rp1[bt, Wb - lo1:Wb - lo1 + m] = r
                 rp2[bt, Wb - lo2:Wb - lo2 + m] = r
                 geom[bt] = (n, m, lo1, hi1, lo2, hi2)
-            out = kernel(qs_p, rp1, rp2,
-                         geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3],
-                         geom[:, 4], geom[:, 5])
+            out = _invoke_kernel(kernel, qs_p, rp1, rp2,
+                                 geom[:, 0], geom[:, 1], geom[:, 2],
+                                 geom[:, 3], geom[:, 4], geom[:, 5])
             pending.append((part, out))
     return (results, pending, (match, mismatch, gap_open, gap_extend))
 

@@ -20,6 +20,38 @@ import jax.numpy as jnp
 
 from ciri_long_tpu.utils.dispatch import count_dispatch as _count_dispatch
 
+# lags per static-slice chunk: each chunk takes ONE dynamic slice of
+# length L + LAG_CHUNK - 1 and reads its lags at STATIC offsets inside it.
+# A vmapped dynamic_slice over the lag axis (the previous formulation)
+# lowers to a per-lag gather -- measured ~10 s/batch on v5e for the 4096
+# bucket vs ~0.1 s for the static-slice form (200.5 s -> 2.9 s for the
+# whole 6250-read screen, /tmp phase probe 2026-08-19).
+LAG_CHUNK = 128
+
+
+def _chunked_lag_sum(mat, valid, L, max_lag, lag_offset, pad_width, reduce):
+    """Shared lag loop: for every lag d in 1..max_lag (plus lag_offset)
+    compute reduce(mat, mat shifted by d, valid, valid shifted) summed over
+    the position axis.  Returns [B, max_lag] int32/float32 stacked lags."""
+    B = mat.shape[0]
+    n_chunks = -(-max_lag // LAG_CHUNK)
+    mpad = jnp.pad(mat, ((0, 0), (0, pad_width)))
+    vpad = jnp.pad(valid, ((0, 0), (0, pad_width)))
+    out = jnp.zeros((B, n_chunks * LAG_CHUNK), jnp.int32)
+
+    def chunk(c, out):
+        base = 1 + lag_offset + c * LAG_CHUNK
+        span = L + LAG_CHUNK - 1
+        ms = jax.lax.dynamic_slice_in_dim(mpad, base, span, axis=1)
+        vs = jax.lax.dynamic_slice_in_dim(vpad, base, span, axis=1)
+        cols = [reduce(ms[:, t:t + L], vs[:, t:t + L])
+                for t in range(LAG_CHUNK)]
+        return jax.lax.dynamic_update_slice(
+            out, jnp.stack(cols, axis=1), (0, c * LAG_CHUNK))
+
+    return jax.lax.fori_loop(0, n_chunks, chunk, out)[:, :max_lag]
+
+
 @functools.partial(jax.jit, static_argnames=("max_lag", "pad_lags"))
 def lag_profile(reads, max_lag: int, lag_offset=0, pad_lags=None):
     """reads: [B, L] int8 codes (PAD=5).  Returns [B, max_lag] float32
@@ -33,20 +65,19 @@ def lag_profile(reads, max_lag: int, lag_offset=0, pad_lags=None):
     valid = x < 4
     if pad_lags is None:
         pad_lags = max_lag
-    # pad so a dynamic slice of static length L exists for every lag
-    xpad = jnp.pad(x, ((0, 0), (0, pad_lags + 1)), constant_values=5)
 
-    def one_lag(d):
-        d = d + lag_offset + 1
-        shifted = jax.lax.dynamic_slice_in_dim(xpad, d, L, axis=1)
-        ok = valid & (shifted < 4)
-        eq = (x == shifted) & ok
-        denom = jnp.maximum(jnp.sum(ok, axis=1), 1)
-        return jnp.sum(eq, axis=1) / denom
+    def eq_count(ms, vs):
+        return jnp.sum((x == ms) & valid & vs, axis=1, dtype=jnp.int32)
 
-    lags = jnp.arange(max_lag)
-    prof = jax.vmap(one_lag, out_axes=1)(lags)
-    return prof.astype(jnp.float32)
+    def ok_count(ms, vs):
+        return jnp.sum(valid & vs, axis=1, dtype=jnp.int32)
+
+    pad_width = pad_lags + LAG_CHUNK + 1
+    num = _chunked_lag_sum(x, valid, L, max_lag, lag_offset, pad_width,
+                           eq_count)
+    den = _chunked_lag_sum(x, valid, L, max_lag, lag_offset, pad_width,
+                           ok_count)
+    return num / jnp.maximum(den, 1).astype(jnp.float32)
 
 
 @_count_dispatch('tandem_counts')
@@ -93,19 +124,11 @@ def _tandem_counts_impl(reads, max_lag: int, k: int = 11, lag_offset=0,
     # windows that would run off the read end are invalid
     vk = vk & (jnp.arange(L)[None, :] <= L - k)
 
-    kpad = jnp.pad(kid, ((0, 0), (0, pad_lags + 1)))
-    vpad = jnp.pad(vk, ((0, 0), (0, pad_lags + 1)))
-
-    def one_lag(j):
-        d = j + lag_offset + 1
-        ks = jax.lax.dynamic_slice_in_dim(kpad, d, L, axis=1)
-        vs = jax.lax.dynamic_slice_in_dim(vpad, d, L, axis=1)
+    def eq_count(ks, vs):
         return jnp.sum((kid == ks) & vk & vs, axis=1, dtype=jnp.int32)
 
-    lags = jnp.arange(max_lag)
-    # chunked map keeps the [chunk, B, L] comparison temps bounded
-    prof = jax.lax.map(one_lag, lags, batch_size=min(128, max_lag))
-    return jnp.transpose(prof).astype(jnp.int32)
+    return _chunked_lag_sum(kid, vk, L, max_lag, lag_offset,
+                            pad_lags + LAG_CHUNK + 1, eq_count)
 
 
 @_count_dispatch('screen_keep')

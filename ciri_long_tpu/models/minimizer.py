@@ -119,14 +119,20 @@ class MinimizerIndex(NamedTuple):
     codes: np.ndarray    # u32 canonical k-mers, sorted
     pos: np.ndarray      # u32 global genome coordinate of k-mer start
     strand: np.ndarray   # u8
-    buckets: Optional[np.ndarray] = None  # i64[65537] top-16-bit offsets
+    buckets: Optional[np.ndarray] = None  # i64[2^bits+1] top-bits offsets
+    # top-bits resolved by the bucket table.  Fixed 16 leaves ~5000-entry
+    # buckets at 1 Gb (measured 12x per-read mapping slowdown vs small
+    # genomes); build() sizes it so buckets average ~32 entries.
+    bucket_bits: int = 16
 
     @classmethod
     def build(cls, genome, k: int, w: int,
               threads: int = 1) -> "MinimizerIndex":
-        assert len(genome.codes) < (1 << 32), \
+        assert genome.total_len < (1 << 32), \
             "genomes above 4.29 Gb need a u64-position index"
-        code, pos, strand = minimizers(genome.codes, k, w,
+        # dense_codes materialises 1 B/base transiently for 2-bit genomes;
+        # dropped right after the sketch (index build is once-per-genome)
+        code, pos, strand = minimizers(genome.dense_codes(), k, w,
                                        n_threads=threads)
         # k-mers must not span contig boundaries: drop any whose start lies
         # within the last k-1 bases of a contig
@@ -151,19 +157,25 @@ class MinimizerIndex(NamedTuple):
         else:
             order = np.argsort(code, kind='stable')
         code = code[order]
-        # top-16-bit bucket offsets: each lookup binary-searches a
-        # ~dozen-entry bucket instead of the whole table
+        # adaptive top-bits bucket offsets: each lookup binary-searches a
+        # ~32-entry bucket instead of the whole table, independent of
+        # genome scale (table cost 8 B x 2^bits: 512 KB at 50 Mb, 256 MB
+        # at 1 Gb -- ~3% of the 9 B/minimizer table itself)
+        bits = 16
+        while bits < 26 and (len(code) >> (bits + 5)):
+            bits += 1
         buckets = np.searchsorted(
-            code, (np.arange(65537, dtype=np.int64) << 16)).astype(np.int64)
+            code, (np.arange((1 << bits) + 1, dtype=np.int64)
+                   << (32 - bits))).astype(np.int64)
         return cls(k, w, code, pos[order].astype(np.uint32),
-                   strand[order], buckets)
+                   strand[order], buckets, bits)
 
     # --- mmap-shared cache (the minimap2 .mmi role) -------------------
     # Spawn-pool workers and repeat runs load the table zero-copy via
     # np.memmap; the OS page cache shares one physical copy across every
     # process on the host (the fork-COW sharing the reference gets for
     # free, restored for spawn workers).
-    _CACHE_VERSION = 1
+    _CACHE_VERSION = 2
 
     def save(self, cache_dir: str, fingerprint: dict) -> None:
         """Atomically persist the index under ``cache_dir`` (npy files +
@@ -171,7 +183,7 @@ class MinimizerIndex(NamedTuple):
         from ciri_long_tpu.utils.diskcache import save_array_dir
 
         meta = dict(version=self._CACHE_VERSION, k=self.k, w=self.w,
-                    **fingerprint)
+                    bucket_bits=self.bucket_bits, **fingerprint)
         save_array_dir(cache_dir, {'codes': self.codes, 'pos': self.pos,
                                    'strand': self.strand,
                                    'buckets': self.buckets}, meta)
@@ -187,10 +199,11 @@ class MinimizerIndex(NamedTuple):
         if got is None:
             return None
         meta, arrays = got
+        bits = meta.pop('bucket_bits', 16)
         want = dict(version=cls._CACHE_VERSION, k=k, w=w, **fingerprint)
         if meta != want:
             return None
-        return cls(k, w, *arrays)
+        return cls(k, w, *arrays, bits)
 
     def lookup(self, query_codes: np.ndarray):
         """Ranges [lo, hi) into the sorted table for each query k-mer.
@@ -205,7 +218,8 @@ class MinimizerIndex(NamedTuple):
             if native is not None:
                 lob, hib = native(
                     self.codes, self.buckets,
-                    np.ascontiguousarray(query_codes, np.uint32))
+                    np.ascontiguousarray(query_codes, np.uint32),
+                    int(self.bucket_bits))
                 return (np.frombuffer(lob, np.int64),
                         np.frombuffer(hib, np.int64))
         lo = np.searchsorted(self.codes, query_codes, side='left')

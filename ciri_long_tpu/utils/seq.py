@@ -50,6 +50,66 @@ def revcomp(seq: str) -> str:
     return seq.translate(_REVCOMP_TRANS)[::-1]
 
 
+# --- 2-bit + N-interval packing (genome-scale storage, SURVEY §7 step 1:
+# the reference serves the genome via htslib's lazy Faidx at 1 B/base
+# decoded, align.py:184-207; the rebuild stores 2 bits/base + a sparse
+# interval table for non-ACGT runs, 4x smaller resident/cached) ----------
+
+# byte -> 4 codes lookup, little-end-first (code i of byte b is
+# (b >> (2*i)) & 3)
+_UNPACK_LUT = np.zeros((256, 4), np.int8)
+for _b in range(256):
+    for _i in range(4):
+        _UNPACK_LUT[_b, _i] = (_b >> (2 * _i)) & 3
+
+
+def pack_codes(codes: np.ndarray):
+    """int8 codes (0..4) -> (packed uint8 [ceil(L/4)], n_intervals
+    int64 [K, 2]) where n_intervals are the half-open runs of code 4 (N).
+    Packed bits store N positions as 0 (A); unpack_codes restores them."""
+    codes = np.asarray(codes, np.int8)
+    L = len(codes)
+    is_n = codes == 4
+    if is_n.any():
+        d = np.diff(is_n.astype(np.int8))
+        starts = np.nonzero(d == 1)[0] + 1
+        ends = np.nonzero(d == -1)[0] + 1
+        if is_n[0]:
+            starts = np.concatenate([[0], starts])
+        if is_n[-1]:
+            ends = np.concatenate([ends, [L]])
+        n_intervals = np.stack([starts, ends], axis=1).astype(np.int64)
+    else:
+        n_intervals = np.zeros((0, 2), np.int64)
+    two = np.where(is_n, 0, codes).astype(np.uint8)
+    pad = (-L) % 4
+    if pad:
+        two = np.concatenate([two, np.zeros(pad, np.uint8)])
+    two = two.reshape(-1, 4)
+    packed = (two[:, 0] | (two[:, 1] << 2) | (two[:, 2] << 4)
+              | (two[:, 3] << 6)).astype(np.uint8)
+    return packed, n_intervals
+
+
+def unpack_codes(packed: np.ndarray, n_intervals: np.ndarray,
+                 start: int, end: int) -> np.ndarray:
+    """Decode codes[start:end] from a pack_codes() pair (positions are in
+    the unpacked coordinate space; caller guarantees 0 <= start <= end <=
+    4 * len(packed))."""
+    if end <= start:
+        return np.zeros(0, np.int8)
+    b0, b1 = start // 4, (end + 3) // 4
+    out = _UNPACK_LUT[packed[b0:b1]].reshape(-1)[start - 4 * b0:
+                                                 start - 4 * b0 + end - start]
+    out = out.copy()
+    if len(n_intervals):
+        lo = np.searchsorted(n_intervals[:, 1], start, side='right')
+        hi = np.searchsorted(n_intervals[:, 0], end, side='left')
+        for s, e in n_intervals[lo:hi]:
+            out[max(0, s - start):max(0, e - start)] = 4
+    return out
+
+
 def revcomp_encoded(codes: np.ndarray) -> np.ndarray:
     """Reverse complement of encoded codes; N/PAD map to themselves."""
     comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.int8)

@@ -352,19 +352,23 @@ PyObject* py_backtrack(PyObject*, PyObject* args) {
 // in [bstart[b], bstart[b+1])).
 PyObject* py_lookup(PyObject*, PyObject* args) {
   Py_buffer tb, bb, qb;
-  if (!PyArg_ParseTuple(args, "y*y*y*", &tb, &bb, &qb)) return nullptr;
+  int bits = 16;  // top bits resolved by the bucket table
+  if (!PyArg_ParseTuple(args, "y*y*y*|i", &tb, &bb, &qb, &bits)) {
+    return nullptr;
+  }
+  const int shift = 32 - bits;
   const uint32_t* table = static_cast<const uint32_t*>(tb.buf);
   const int64_t* bstart = static_cast<const int64_t*>(bb.buf);
   const uint32_t* q = static_cast<const uint32_t*>(qb.buf);
   const Py_ssize_t nq = qb.len / static_cast<Py_ssize_t>(sizeof(uint32_t));
   const Py_ssize_t nb =
-      bb.len / static_cast<Py_ssize_t>(sizeof(int64_t)) - 1;  // 65536
+      bb.len / static_cast<Py_ssize_t>(sizeof(int64_t)) - 1;  // 2^bits
 
   std::vector<int64_t> lo(nq), hi(nq);
   Py_BEGIN_ALLOW_THREADS
   for (Py_ssize_t t = 0; t < nq; ++t) {
     const uint32_t v = q[t];
-    const int64_t b = static_cast<int64_t>(v >> 16);
+    const int64_t b = static_cast<int64_t>(v >> shift);
     const uint32_t* first = table + (b < nb ? bstart[b] : 0);
     const uint32_t* last = table + (b < nb ? bstart[b + 1] : 0);
     lo[t] = std::lower_bound(first, last, v) - table;
@@ -393,10 +397,12 @@ PyObject* py_anchors(PyObject*, PyObject* args) {
   Py_buffer tb, bb, pb, sb, qh_b, qp_b, qs_b;
   int k;
   long long qlen, max_occ;
-  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*iLL", &tb, &bb, &pb, &sb,
-                        &qh_b, &qp_b, &qs_b, &k, &qlen, &max_occ)) {
+  int bits = 16;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*iLL|i", &tb, &bb, &pb, &sb,
+                        &qh_b, &qp_b, &qs_b, &k, &qlen, &max_occ, &bits)) {
     return nullptr;
   }
+  const int shift = 32 - bits;
   const uint32_t* table = static_cast<const uint32_t*>(tb.buf);
   const int64_t* bstart = static_cast<const int64_t*>(bb.buf);
   const uint32_t* tpos = static_cast<const uint32_t*>(pb.buf);
@@ -410,7 +416,7 @@ PyObject* py_anchors(PyObject*, PyObject* args) {
   Py_BEGIN_ALLOW_THREADS {
     for (Py_ssize_t t = 0; t < nq; ++t) {
       const uint32_t v = qh[t];
-      const int64_t b = static_cast<int64_t>(v >> 16);
+      const int64_t b = static_cast<int64_t>(v >> shift);
       const uint32_t* first = table + bstart[b];
       const uint32_t* last = table + bstart[b + 1];
       const int64_t lo = std::lower_bound(first, last, v) - table;

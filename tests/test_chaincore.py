@@ -144,6 +144,48 @@ def test_native_lookup_parity(rng):
     np.testing.assert_array_equal(hi, np.searchsorted(table, qs, 'right'))
 
 
+def test_native_lookup_parity_adaptive_bits(rng):
+    """The adaptive bucket table (bits > 16, round-3 genome-scale fix)
+    must keep exact searchsorted equivalence through the native lookup."""
+    from ciri_long_tpu import _chaincore
+
+    for bits in (16, 18, 22):
+        table = np.sort(rng.integers(0, 2**32, 4000).astype(np.uint32))
+        buckets = np.searchsorted(
+            table, (np.arange((1 << bits) + 1, dtype=np.int64)
+                    << (32 - bits))).astype(np.int64)
+        qs = np.concatenate([
+            rng.integers(0, 2**32, 2000).astype(np.uint32),
+            rng.choice(table, 300),
+            np.array([0, 0xffffffff], np.uint32)])
+        lob, hib = _chaincore.lookup(
+            table, buckets, np.ascontiguousarray(qs, np.uint32), bits)
+        np.testing.assert_array_equal(
+            np.frombuffer(lob, np.int64),
+            np.searchsorted(table, qs, 'left'))
+        np.testing.assert_array_equal(
+            np.frombuffer(hib, np.int64),
+            np.searchsorted(table, qs, 'right'))
+
+
+def test_bucket_bits_scale_with_table():
+    """build() widens the bucket table as the minimizer count grows."""
+    from ciri_long_tpu.models.minimizer import MinimizerIndex
+
+    # the formula, not a full genome build: bits grows at n = 2^(bits+5)
+    def bits_for(n):
+        bits = 16
+        while bits < 26 and (n >> (bits + 5)):
+            bits += 1
+        return bits
+
+    assert bits_for(1 << 20) == 16          # 50 Mb-scale: unchanged
+    assert bits_for(1 << 22) == 18          # ~16/bucket
+    assert bits_for(330_000_000) == 24      # 1 Gb-scale: ~20/bucket
+    assert bits_for(1 << 40) == 26          # capped
+    assert MinimizerIndex._CACHE_VERSION == 2  # stale caches rebuild
+
+
 def test_native_anchors_parity(rng):
     """C++ whole-read anchor assembly == the numpy lookup/gather/lexsort
     cascade, incl. occurrence capping, strand flips and sort order."""

@@ -40,10 +40,13 @@ def measure():
     import jax
 
     # Persistent compile cache: first remote compile can run minutes;
-    # cached executables make repeat runs start in seconds (same setup
-    # as cli/main.py:70).
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cached executables make repeat runs start in seconds.  The axon
+    # plugin misreports compile times as sub-second, so the persist
+    # threshold must be zeroed, and the dir is backend-specific (mixed
+    # dirs crash jax's deserializer on machine-feature mismatches) --
+    # see utils/dispatch.py::ensure_compile_cache.
+    from ciri_long_tpu.utils.dispatch import ensure_compile_cache
+    ensure_compile_cache(base_dir='/tmp')
     from ciri_long_tpu.ops.sw import SWParams, sw_score_ends_auto
 
     rng = np.random.default_rng(0)
@@ -61,13 +64,21 @@ def measure():
     # serialized through a data dependency), then one host fetch -- the
     # only robust methodology under async/remote dispatch where per-call
     # RTT would otherwise dominate or, worse, never be waited on.
-    n_iter = 8
+    # Enough on-device iterations that the single dispatch+fetch RTT
+    # (~40-60 ms on the tunnel) is <15% of the wall.
+    n_iter = 63
 
     @jax.jit
     def loop(qx, rx):
         def body(_, carry):
             score, _, _ = sw_score_ends_auto(carry, rx, params)
-            return (qx + (score[:, None] * 0).astype(jnp.int8))
+            # GENUINE data dependency (codes 0-3 xor 1 stay 0-3): the
+            # previous `qx + score*0` was strength-reduced by XLA and the
+            # whole loop dead-code-eliminated, so every recorded GCUPS
+            # number through round 2 actually measured ONE kernel + the
+            # dispatch RTT, inflated by the claimed iteration count
+            # (discovered 2026-08-19: wall was flat from 1 to 64 iters).
+            return carry ^ (score & 1).astype(jnp.int8)[:, None]
         final = jax.lax.fori_loop(0, n_iter, body, qx)
         return sw_score_ends_auto(final, rx, params)[0]
 

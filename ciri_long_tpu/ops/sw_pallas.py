@@ -236,9 +236,121 @@ def _sw_wave_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, H0d1, Ed1, Fd1,
     out_ref[:] = out
 
 
-# 128-row stripes won the wavefront sweep (64: 283 / 128: 317.6 GCUPS on
-# the B=512 x 1024 x 4096 bench config; 256 hit a multi-minute Mosaic
-# compile, same cliff as the scan kernel at 128)
+def _sw_wave5_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
+                     r_diag, rblk,
+                     *, btile, lqp, lrpw, match, mismatch, gap_open,
+                     gap_extend, unroll, lb):
+    """Lean wavefront (the round-3 production kernel): _sw_wave_kernel
+    plus four exact transforms, measured 311.9 -> 391.0 GCUPS same-day
+    on the bench shape (misc/kexp.py --wave5 --btile 64 --unroll 2):
+
+    1. Pad-6 scoring: the caller remaps REFERENCE pads to code 6 (query
+       pads stay 5), so q == rd is impossible at any pad and the NEG
+       select row disappears.  A pad cell can only carry or lose value,
+       so it never strictly exceeds the running best; the one hazard --
+       a genuine r N column adjacent to the best cell would score 0 in a
+       q-pad lane and TIE the best with a smaller j -- is closed by
+       masking the N-zero rule to real query lanes (hoisted mask).
+    2. E from full H: max(E - ge, H - go) == max(E - ge, H0 - go) for
+       go >= ge, dropping the H0 carry row (one scratch + one write).
+    3. Diag-only packed best: the global SW max is never an E/F-derived
+       or 0-floor cell and its Hn tie set equals the tie set of
+       dval = Hdiag + s, so best = max(best, dval << LB | (span1 - d))
+       -- one shift+add+max replacing cmp+2 selects, with the smallest-d
+       tie preference encoded in the complemented low bits (the wave2
+       experiment's packing, with the regressive multiply replaced by a
+       shift).  Requires match * min(lq, lr) << LB < 2^31 (caller
+       routes to the wave kernel otherwise).
+    4. UNROLL diagonals per inner loop step: one rblk rotate + loop
+       bookkeeping per UNROLL steps.
+
+    Contract, tie-breaks and oracle parity identical to _sw_wave_kernel
+    (tests/test_sw_pallas.py fuzzes all routes)."""
+    import jax
+    import jax.numpy as jnp
+
+    span1 = (1 << lb) - 1
+    q = q_ref[:]
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+    is_lane0 = i_idx == 0
+    q_is_n = q == 4
+    lane_real = q < 5
+
+    Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
+    Hd2[:] = jnp.zeros((btile, lqp), jnp.int32)
+    Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+    Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+    best_pack[:] = jnp.zeros((btile, lqp), jnp.int32)
+    r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
+
+    def step(d, r_col):
+        rd = jnp.where(is_lane0, r_col, pltpu.roll(r_diag[:], 1, axis=1))
+        r_diag[:] = rd
+        s = jnp.where(q == rd, match, -mismatch)
+        s = jnp.where((q_is_n | (rd == 4)) & lane_real, 0, s)
+
+        h1 = Hd1[:]
+        h1s = pltpu.roll(h1, 1, axis=1)
+        f1s = pltpu.roll(Fd1[:], 1, axis=1)
+        Fv = jnp.where(is_lane0, NEG,
+                       jnp.maximum(f1s - gap_extend, h1s - gap_open))
+        h2s = jnp.where(is_lane0, 0, pltpu.roll(Hd2[:], 1, axis=1))
+        dval = h2s + s
+        best_pack[:] = jnp.maximum(best_pack[:],
+                                   (dval << lb) + (span1 - d))
+        H0 = jnp.maximum(jnp.maximum(dval, Fv), 0)
+        E = jnp.maximum(Ed1[:] - gap_extend, h1 - gap_open)
+        Hn = jnp.maximum(H0, E)
+
+        Hd2[:] = h1
+        Hd1[:] = Hn
+        Ed1[:] = E
+        Fd1[:] = Fv
+
+    def chunk_body(c, _):
+        base = pl.multiple_of(c * LANES, LANES)
+        rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+        def inner(t, _):
+            for u in range(unroll):
+                step(c * LANES + t * unroll + u, rblk[:, u:u + 1])
+            rblk[:] = pltpu.roll(rblk[:], LANES - unroll, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, LANES // unroll, inner, 0)
+        return 0
+
+    jax.lax.fori_loop(0, lrpw // LANES, chunk_body, 0)
+
+    bp = best_pack[:]
+    bv = bp >> lb
+    bd = span1 - (bp & span1)
+    best = jnp.max(bv, axis=1, keepdims=True)
+    isbest = bv == best
+    j_of = bd - i_idx
+    jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1, keepdims=True)
+    istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx, BIG),
+                    axis=1, keepdims=True)
+    found = best > 0
+    score = jnp.where(found, best, 0)
+    iout = jnp.where(found, istar, -1)
+    jout = jnp.where(found, jstar, -1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+    out = jnp.where(lane == 0, score,
+                    jnp.where(lane == 1, iout,
+                              jnp.where(lane == 2, jout, 0)))
+    out_ref[:] = out
+
+
+# wave5 tile/unroll won the round-3 sweep on the bench shape:
+# btile 64 / unroll 2: 391.0, 128/4: 365.8, 128/2: 348.2, 128/1: 320.2,
+# plain wave 128: 311.9 GCUPS (same-day tunnel, misc/kexp.py)
+WAVE5_BTILE = 64
+WAVE5_UNROLL = 2
+
+# 128-row stripes won the round-2 wavefront sweep (64: 283 / 128: 317.6
+# GCUPS on the B=512 x 1024 x 4096 bench config; 256 hit a multi-minute
+# Mosaic compile, same cliff as the scan kernel at 128)
 WAVE_BTILE = 128
 
 
@@ -248,6 +360,74 @@ def _fit_btile_wave(lqp, lrpw, requested):
     per_row = 4 * (14 * lqp + 2 * lrpw + 2 * LANES)
     fit = max(8, (VMEM_BUDGET // per_row) // 8 * 8)
     return int(min(requested, fit))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "btile",
+                                              "unroll"))
+def sw_score_ends_wave5(query, ref, params, interpret=False,
+                        btile=WAVE5_BTILE, unroll=WAVE5_UNROLL):
+    """sw_score_ends contract on the lean (wave5) wavefront kernel.
+    Callers must ensure match * LqP << LB fits int31 (wave5_fits)."""
+    assert params.gap_open >= params.gap_extend
+    B, Lq = query.shape
+    _, Lr = ref.shape
+    LqP = _round_up(Lq, LANES)
+    LrP = _round_up(Lr, LANES)
+    LrPW = _round_up(LqP + LrP, LANES)
+    lb = 1
+    while (1 << lb) < LrPW + 1:
+        lb += 1
+    assert params.match * LqP << lb < 2 ** 31
+    btile = _fit_btile_wave(LqP, LrPW, btile)
+    Bp = _round_up(B, btile)
+
+    q = jnp.pad(query.astype(jnp.int32), ((0, Bp - B), (0, LqP - Lq)),
+                constant_values=5)
+    r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrPW - Lr)),
+                constant_values=5)
+    r = jnp.where(r >= 5, 6, r)            # pad-6 scoring contract
+
+    kernel = functools.partial(
+        _sw_wave5_kernel, btile=btile, lqp=LqP, lrpw=LrPW,
+        match=params.match, mismatch=params.mismatch,
+        gap_open=params.gap_open, gap_extend=params.gap_extend,
+        unroll=unroll, lb=lb)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // btile,),
+        in_specs=[
+            pl.BlockSpec((btile, LqP), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, LrPW), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((btile, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, LANES), jnp.int32),
+        scratch_shapes=(
+            [pltpu.VMEM((btile, LqP), jnp.int32)] * 6
+            + [pltpu.VMEM((btile, LANES), jnp.int32)]),
+        cost_estimate=pl.CostEstimate(
+            flops=int(26 * Bp * LqP * LrPW), bytes_accessed=int(
+                4 * Bp * (LqP + LrPW + LANES)), transcendentals=0),
+        interpret=interpret,
+    )(q, r)
+
+    score = out[:B, 0]
+    q_end = out[:B, 1]
+    r_end = out[:B, 2]
+    return score, q_end, r_end
+
+
+def wave5_fits(Lq, Lr, params):
+    """wave5's packed-best precondition: max score << LB fits int31."""
+    LqP = _round_up(Lq, LANES)
+    LrPW = _round_up(LqP + _round_up(Lr, LANES), LANES)
+    lb = 1
+    while (1 << lb) < LrPW + 1:
+        lb += 1
+    return params.match * LqP << lb < 2 ** 31
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret", "btile"))
@@ -314,10 +494,13 @@ def _fit_btile(lqp, lrp, requested):
 
 
 def wave_route(Lq, Lr):
-    """Kernel routing decision for a (Lq, Lr) shape: the wavefront kernel
-    wins whenever the reference axis dominates (its lane utilisation is
-    lr/(lq+lr); measured crossover vs the scan kernel sits near
-    lr = 2*lq), which covers the production clip-vs-window alignments.
+    """Kernel routing decision for a (Lq, Lr) shape.  Round 3: the lean
+    wave5 kernel beats the scan kernel down to SQUARE shapes (measured
+    1024x1024: wave5 129.7 vs scan 112.2 vs r2-wave 102.4 GCUPS, same
+    session), so the wave route now engages whenever LrP >= LqP -- the
+    cost model crossover 26*(lq+lr)/lr < 55 puts scan ahead only when
+    the QUERY axis dominates (lr < ~0.9 lq), which no production shape
+    hits (clips/junctions align against wider windows).
     CIRI_SW_WAVE=0/1 forces a path.
 
     CAVEAT: when the caller is itself inside a jit trace (e.g.
@@ -329,7 +512,7 @@ def wave_route(Lq, Lr):
     import os
     flag = os.environ.get('CIRI_SW_WAVE')
     if flag in (None, ''):
-        return _round_up(Lr, LANES) >= 2 * _round_up(Lq, LANES)
+        return _round_up(Lr, LANES) >= _round_up(Lq, LANES)
     return flag not in ('0', 'false')
 
 
@@ -340,14 +523,24 @@ def sw_score_ends_pallas(query, ref, params, interpret=False, btile=None,
     ``wave`` pins the kernel (None = route by shape/env, see wave_route);
     ``btile`` overrides the batch tile of WHICHEVER kernel runs (their
     defaults differ: scan BTILE vs WAVE_BTILE)."""
+    import os
     _, Lq = query.shape
     _, Lr = ref.shape
     if wave is None:
         wave = wave_route(Lq, Lr)
     if wave:
-        return sw_score_ends_wave(query, ref, params, interpret=interpret,
-                                  btile=WAVE_BTILE if btile is None
-                                  else btile)
+        use5 = (os.environ.get('CIRI_SW_WAVE5', '1') not in
+                ('0', 'false', '') and wave5_fits(Lq, Lr, params))
+        if use5:
+            return sw_score_ends_wave5(
+                query, ref, params, interpret=interpret,
+                btile=WAVE5_BTILE if btile is None else btile)
+        if _round_up(Lr, LANES) >= 2 * _round_up(Lq, LANES):
+            # wave5 unavailable (packed-best overflow): the r2 wave
+            # kernel only beats scan on reference-dominated shapes
+            return sw_score_ends_wave(
+                query, ref, params, interpret=interpret,
+                btile=WAVE_BTILE if btile is None else btile)
     return _sw_score_ends_scan(query, ref, params, interpret=interpret,
                                btile=BTILE if btile is None else btile)
 

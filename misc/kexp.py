@@ -430,6 +430,267 @@ def build_kernel_wave2(jnp, jax, pl, pltpu, *, btile, lqp, lrpw, match,
     return kernel
 
 
+def build_kernel_wave5(jnp, jax, pl, pltpu, *, btile, lqp, lrpw, match,
+                       mismatch, gap_open, gap_extend, unroll=2):
+    """wave3 + three further exact transforms:
+
+    1. Diag-only best tracking: the global SW max is never an E/F-derived
+       or 0-floor cell (appending a gap strictly decreases score; the
+       0-floor only matters when nothing positive exists), and the argmax
+       TIE SET over Hn equals the tie set over dval = Hdiag + s, so best
+       tracks max(best, dval<<LB | (span1-d)) -- the packed compare from
+       wave2 but with a SHIFT instead of the multiply (the suspected
+       wave2 regression) and available one max earlier in the chain.
+    2. UNROLL steps per loop iteration: one rblk rotate + loop bookkeeping
+       per UNROLL diagonals instead of per diagonal.
+    3. wave2's pad-6 scoring + E-from-full-H (go >= ge) transforms.
+    Requires match * min(lq, lr) << LB to fit int31 (asserted by caller).
+    """
+    LB = 1
+    while (1 << LB) < lrpw + 1:
+        LB += 1
+    span1 = (1 << LB) - 1
+
+    def kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
+               r_diag, rblk):
+        q = q_ref[:]
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+        is_lane0 = i_idx == 0
+        q_is_n = q == 4
+        # pad lanes (q code 5) must never SCORE 0 against a genuine r N --
+        # an N column adjacent to the best cell would otherwise let the
+        # first pad lane tie the best with a smaller j and steal the
+        # tie-break (real-lane guard hoisted; +1 op/step)
+        lane_real = q < 5
+
+        Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Hd2[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        best_pack[:] = jnp.zeros((btile, lqp), jnp.int32)
+        r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
+
+        def step(d, r_col):
+            rd = jnp.where(is_lane0, r_col, pltpu.roll(r_diag[:], 1, axis=1))
+            r_diag[:] = rd
+            s = jnp.where(q == rd, match, -mismatch)
+            s = jnp.where((q_is_n | (rd == 4)) & lane_real, 0, s)
+
+            h1 = Hd1[:]
+            h1s = pltpu.roll(h1, 1, axis=1)
+            f1s = pltpu.roll(Fd1[:], 1, axis=1)
+            Fv = jnp.where(is_lane0, NEG,
+                           jnp.maximum(f1s - gap_extend, h1s - gap_open))
+            h2s = jnp.where(is_lane0, 0, pltpu.roll(Hd2[:], 1, axis=1))
+            dval = h2s + s
+            best_pack[:] = jnp.maximum(best_pack[:],
+                                       (dval << LB) + (span1 - d))
+            H0 = jnp.maximum(jnp.maximum(dval, Fv), 0)
+            E = jnp.maximum(Ed1[:] - gap_extend, h1 - gap_open)
+            Hn = jnp.maximum(H0, E)
+
+            Hd2[:] = h1
+            Hd1[:] = Hn
+            Ed1[:] = E
+            Fd1[:] = Fv
+
+        def chunk_body(c, _):
+            base = pl.multiple_of(c * LANES, LANES)
+            rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+            def inner(t, _):
+                for u in range(unroll):
+                    step(c * LANES + t * unroll + u, rblk[:, u:u + 1])
+                rblk[:] = pltpu.roll(rblk[:], LANES - unroll, axis=1)
+                return 0
+
+            jax.lax.fori_loop(0, LANES // unroll, inner, 0)
+            return 0
+
+        jax.lax.fori_loop(0, lrpw // LANES, chunk_body, 0)
+
+        bp = best_pack[:]
+        bv = bp >> LB
+        bd = span1 - (bp & span1)
+        best = jnp.max(bv, axis=1, keepdims=True)
+        isbest = bv == best
+        j_of = bd - i_idx
+        jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1, keepdims=True)
+        istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx, BIG),
+                        axis=1, keepdims=True)
+        found = best > 0
+        score = jnp.where(found, best, 0)
+        iout = jnp.where(found, istar, -1)
+        jout = jnp.where(found, jstar, -1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+        out = jnp.where(lane == 0, score,
+                        jnp.where(lane == 1, iout,
+                                  jnp.where(lane == 2, jout, 0)))
+        out_ref[:] = out
+
+    return kernel
+
+
+def build_kernel_chain(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
+                       mismatch, gap_open, gap_extend):
+    """Chained wavefront (wave6): C jobs per row stream back-to-back
+    through the same lanes, a reset/capture wave riding each job
+    boundary.  Lane utilisation goes from lr/(lq+lr) to ~lr/(lr+1):
+    the ramp-down of job k overlaps the ramp-up of job k+1.
+
+    Layout requirements (host-enforced):
+      - all C jobs share the padded shape (lqp lanes, lrp r slots)
+      - lrp + 1 multiple of LANES (phases stay chunk-aligned)
+      - lrp >= lqp - 1 (a boundary fully passes before the next arrives)
+    Stream: slot k*(lrp+1) is job k's boundary; slots [o_k, o_k+lrp) its
+    r codes (o_k = k*(lrp+1) + 1); slot t enters lane 0 at step t.  Job
+    k's cell (i, j) computes at lane i on step o_k + i + j -- phase 0
+    for every job, so the lane-0 column boundary and the circular roll
+    semantics of the plain wave kernel carry over unchanged.
+
+    Phase A_k (lqp steps from t0 = k*(lrp+1)): boundary at lane
+    b = t - t0; that lane captures job k-1's packed best and resets its
+    DP state; lanes < b already run job k's query (per-lane select
+    between the two static query slices).  Phase B_k (lrp+1-lqp steps):
+    plain wave5 steps on job k's query.  After A_k, job k-1's captures
+    reduce and write output slot k-1 (static python-level drain).
+    """
+    LB = 1
+    T = C * (lrp + 1) + lqp
+    while (1 << LB) < T + 1:
+        LB += 1
+    span1 = (1 << LB) - 1
+    assert (lrp + 1) % LANES == 0 and lqp % LANES == 0
+    assert lrp >= lqp - 1
+    assert match * lqp << LB < 2 ** 31
+
+    def kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
+               capB, r_diag, rblk):
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+        is_lane0 = i_idx == 0
+
+        Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Hd2[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        best_pack[:] = jnp.zeros((btile, lqp), jnp.int32)
+        capB[:] = jnp.zeros((btile, lqp), jnp.int32)
+        r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
+
+        def dp_step(d, r_col, q, q_is_n, lane_real, boundary_lane=None,
+                    q_prev=None):
+            """One diagonal.  boundary_lane (traced scalar) engages the
+            reset/capture/q-select transition ops (phase A only)."""
+            rd = jnp.where(is_lane0, r_col,
+                           pltpu.roll(r_diag[:], 1, axis=1))
+            r_diag[:] = rd
+            if boundary_lane is not None:
+                is_b = i_idx == boundary_lane
+                q_eff = jnp.where(i_idx <= boundary_lane, q, q_prev)
+                q_is_n = q_eff == 4
+                lane_real = q_eff < 5
+            else:
+                is_b = None
+                q_eff = q
+            s = jnp.where(q_eff == rd, match, -mismatch)
+            s = jnp.where((q_is_n | (rd == 4)) & lane_real, 0, s)
+
+            h1 = Hd1[:]
+            h1s = pltpu.roll(h1, 1, axis=1)
+            f1s = pltpu.roll(Fd1[:], 1, axis=1)
+            Fv = jnp.where(is_lane0, NEG,
+                           jnp.maximum(f1s - gap_extend, h1s - gap_open))
+            h2s = jnp.where(is_lane0, 0, pltpu.roll(Hd2[:], 1, axis=1))
+            dval = h2s + s
+            bp = jnp.maximum(best_pack[:], (dval << LB) + (span1 - d))
+            H0 = jnp.maximum(jnp.maximum(dval, Fv), 0)
+            E = jnp.maximum(Ed1[:] - gap_extend, h1 - gap_open)
+            Hn = jnp.maximum(H0, E)
+
+            if is_b is not None:
+                capB[:] = jnp.where(is_b, best_pack[:], capB[:])
+                best_pack[:] = jnp.where(is_b, 0, bp)
+                Hd2[:] = jnp.where(is_b, 0, h1)
+                Hd1[:] = jnp.where(is_b, 0, Hn)
+                Ed1[:] = jnp.where(is_b, NEG, E)
+                Fd1[:] = jnp.where(is_b, NEG, Fv)
+            else:
+                best_pack[:] = bp
+                Hd2[:] = h1
+                Hd1[:] = Hn
+                Ed1[:] = E
+                Fd1[:] = Fv
+
+        def run_phase(c0, n_chunks, body):
+            """fori over n_chunks 128-slot chunks starting at chunk c0;
+            body(c, t, r_col) runs per step (t traced)."""
+            def chunk(c, _):
+                base = pl.multiple_of(c * LANES, LANES)
+                rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+                def inner(u, _):
+                    for v in range(2):
+                        t = c * LANES + u * 2 + v
+                        body(t, rblk[:, v:v + 1])
+                    rblk[:] = pltpu.roll(rblk[:], LANES - 2, axis=1)
+                    return 0
+
+                jax.lax.fori_loop(0, LANES // 2, inner, 0)
+                return 0
+
+            jax.lax.fori_loop(c0, c0 + n_chunks, chunk, 0)
+
+        def drain(k):
+            """Reduce job k's captured packed bests -> output slot k."""
+            bp = capB[:]
+            bv = bp >> LB
+            bd = span1 - (bp & span1)
+            o_k = k * (lrp + 1) + 1
+            best = jnp.max(bv, axis=1, keepdims=True)
+            isbest = bv == best
+            j_of = bd - o_k - i_idx
+            jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1,
+                            keepdims=True)
+            istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx,
+                                      BIG), axis=1, keepdims=True)
+            found = best > 0
+            score = jnp.where(found, best, 0)
+            iout = jnp.where(found, istar, -1)
+            jout = jnp.where(found, jstar, -1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+            out = jnp.where(lane == 0, score,
+                            jnp.where(lane == 1, iout,
+                                      jnp.where(lane == 2, jout, 0)))
+            out_ref[:, k * LANES:(k + 1) * LANES] = out
+
+        per_job_chunks = (lrp + 1) // LANES
+        a_chunks = lqp // LANES
+        for k in range(C + 1):
+            t0 = k * (lrp + 1)
+            q_cur = q_ref[:, min(k, C - 1) * lqp:
+                          (min(k, C - 1) + 1) * lqp]
+            q_prev = q_ref[:, max(k - 1, 0) * lqp:max(k, 1) * lqp]
+
+            def a_body(t, r_col, t0=t0, q=q_cur, qp=q_prev):
+                dp_step(t, r_col, q, None, None, boundary_lane=t - t0,
+                        q_prev=qp)
+
+            run_phase(t0 // LANES, a_chunks, a_body)
+            if k > 0:
+                drain(k - 1)
+            if k < C:
+                q_is_n = q_cur == 4
+                lane_real = q_cur < 5
+
+                def b_body(t, r_col, q=q_cur, qn=q_is_n, lr_=lane_real):
+                    dp_step(t, r_col, q, qn, lr_)
+
+                run_phase(t0 // LANES + a_chunks,
+                          per_job_chunks - a_chunks, b_body)
+
+    return kernel
+
+
 def build_kernel(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
                  gap_open, gap_extend, nomask7, packbest, tworow,
                  levels=None):
@@ -613,10 +874,77 @@ def make_call(args, params):
         r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrP - Lr)),
                     constant_values=5)
 
-        if args.wave or args.wave2 or args.wave3:
+        if args.chain:
+            C = args.chain
+            assert B % C == 0, "batch must divide by --chain"
+            rows = B // C
+            lrp = max(_round_up(Lr + 1, LANES) - 1, LqP - 1)
+            T = C * (lrp + 1) + LqP
+            Tp = _round_up(T, LANES)
+
+            qj = jnp.pad(query.astype(jnp.int32),
+                         ((0, 0), (0, LqP - Lq)), constant_values=5)
+            qrows = qj.reshape(rows, C * LqP)
+            rj = jnp.pad(ref.astype(jnp.int32),
+                         ((0, 0), (0, lrp - Lr)), constant_values=6)
+            rj = jnp.where(rj >= 5, 6, rj)
+            # stream: [boundary][job r codes] per job, then drain pads
+            bcol = jnp.full((rows, C, 1), 6, jnp.int32)
+            stream = jnp.concatenate(
+                [bcol, rj.reshape(rows, C, lrp)], axis=2).reshape(rows, -1)
+            stream = jnp.pad(stream, ((0, 0), (0, Tp - C * (lrp + 1))),
+                             constant_values=6)
+
+            bt = min(btile, rows)
+            Rp = _round_up(rows, bt)
+            qrows = jnp.pad(qrows, ((0, Rp - rows), (0, 0)),
+                            constant_values=5)
+            stream = jnp.pad(stream, ((0, Rp - rows), (0, 0)),
+                             constant_values=6)
+
+            kernel = build_kernel_chain(
+                jnp, jax, pl, pltpu, btile=bt, lqp=LqP, lrp=lrp, C=C,
+                match=match, mismatch=mismatch, gap_open=gap_open,
+                gap_extend=gap_extend)
+            out = pl.pallas_call(
+                kernel,
+                grid=(Rp // bt,),
+                in_specs=[
+                    pl.BlockSpec((bt, C * LqP), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bt, Tp), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((bt, C * LANES), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((Rp, C * LANES), jnp.int32),
+                scratch_shapes=(
+                    [pltpu.VMEM((bt, LqP), jnp.int32)] * 7
+                    + [pltpu.VMEM((bt, LANES), jnp.int32)]),
+                cost_estimate=pl.CostEstimate(
+                    flops=int(30 * Rp * LqP * Tp),
+                    bytes_accessed=int(4 * Rp * (C * LqP + Tp + C * LANES)),
+                    transcendentals=0),
+            )(qrows, stream)
+            out = out[:rows].reshape(rows, C, LANES).reshape(B, LANES)
+            return out[:, 0], out[:, 1], out[:, 2]
+        if args.wave or args.wave2 or args.wave3 or args.wave5:
             LrPW = _round_up(LqP + LrP, LANES)
             r = jnp.pad(r, ((0, 0), (0, LrPW - LrP)), constant_values=5)
-            if args.wave3:
+            if args.wave5:
+                lb = 1
+                while (1 << lb) < LrPW + 1:
+                    lb += 1
+                if match * LqP << lb >= 2 ** 31:
+                    raise SystemExit("wave5 packed-best overflow at this "
+                                     "shape; use --wave3")
+                r = jnp.where(r >= 5, 6, r)
+                kernel = build_kernel_wave5(
+                    jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrpw=LrPW,
+                    match=match, mismatch=mismatch, gap_open=gap_open,
+                    gap_extend=gap_extend, unroll=args.unroll)
+                n_scratch = 6
+            elif args.wave3:
                 r = jnp.where(r >= 5, 6, r)
                 kernel = build_kernel_wave3(
                     jnp, jax, pl, pltpu, btile=btile, lqp=LqP, lrpw=LrPW,
@@ -731,6 +1059,11 @@ def main():
     ap.add_argument("--wave", action="store_true")
     ap.add_argument("--wave2", action="store_true")
     ap.add_argument("--wave3", action="store_true")
+    ap.add_argument("--wave5", action="store_true")
+    ap.add_argument("--unroll", type=int, default=2,
+                    help="wave5 diagonals per inner loop iteration")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="chained wavefront: jobs per lane-row (wave6)")
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--Lq", type=int, default=1024)
     ap.add_argument("--Lr", type=int, default=4096)
@@ -783,7 +1116,14 @@ def main():
     def loop(qx, rx):
         def body(_, carry):
             score, _, _ = call(carry, rx)
-            return (qx + (score[:, None] * 0).astype(jnp.int8))
+            # GENUINE data dependency: fold the scores back into the
+            # query (codes 0-3 xor 1 stay 0-3).  The previous
+            # `qx + score*0` was strength-reduced by XLA and the whole
+            # loop dead-code-eliminated -- every iteration count gave the
+            # same ~(1 kernel + dispatch RTT) wall, inflating GCUPS
+            # linearly with n_iter (discovered 2026-08-19; wall was flat
+            # from --iters 1 to 64).
+            return carry ^ (score & 1).astype(jnp.int8)[:, None]
         final = jax.lax.fori_loop(0, n_iter, body, qx)
         return call(final, rx)[0]
 
@@ -797,7 +1137,9 @@ def main():
     gcups = cells / dt / 1e9
     print(json.dumps({
         "variant": {k: getattr(args, k) for k in
-                    ("btile", "nomask7", "packbest", "tworow", "r3", "wave", "wave2", "wave3")},
+                    ("btile", "nomask7", "packbest", "tworow", "r3",
+                     "wave", "wave2", "wave3", "wave5", "unroll",
+                     "chain")},
         "gcups": round(gcups, 2),
         "seconds": round(dt, 3),
         "backend": jax.default_backend(),

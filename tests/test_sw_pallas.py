@@ -65,6 +65,50 @@ def test_wave_matches_scan_and_oracle(rng, params):
             sw_oracle(qs[i], rs[i], *params)
 
 
+@pytest.mark.parametrize("params", [SWParams(1, 1, 1, 1), SWParams(10, 4, 8, 2)])
+@pytest.mark.parametrize("unroll", [1, 2, 4])
+def test_wave5_matches_scan_and_oracle(rng, params, unroll):
+    """Lean wavefront kernel (wave5: pad-6 scoring, diag-only shift-packed
+    best, unrolled steps): identical scores, ends and tie-breaks to the
+    scan implementation and the oracle, at every unroll factor."""
+    from ciri_long_tpu.ops.sw_pallas import sw_score_ends_wave5, wave5_fits
+
+    qs = [rng.integers(0, 5, int(rng.integers(5, 30))).astype(np.int8)
+          for _ in range(10)]
+    rs = [rng.integers(0, 5, int(rng.integers(5, 70))).astype(np.int8)
+          for _ in range(10)]
+    q, _ = pad_encoded(qs)
+    r, _ = pad_encoded(rs)
+    assert wave5_fits(q.shape[1], r.shape[1], params)
+    s1, qe1, re1 = map(np.asarray, sw_score_ends(q, r, params))
+    s2, qe2, re2 = map(np.asarray,
+                       sw_score_ends_wave5(q, r, params, interpret=True,
+                                           unroll=unroll))
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(qe1, qe2)
+    np.testing.assert_array_equal(re1, re2)
+    for i in range(len(qs)):
+        assert (int(s2[i]), int(qe2[i]), int(re2[i])) == \
+            sw_oracle(qs[i], rs[i], *params)
+
+
+def test_wave5_n_column_adjacent_to_best(rng):
+    """Regression guard for the pad-lane tie-steal hazard: an N column in
+    r immediately after the best cell's column must not let the first
+    query-pad lane tie the best with a smaller j (the lane_real mask in
+    the wave5 scoring rule)."""
+    from ciri_long_tpu.ops.sw_pallas import sw_score_ends_wave5
+
+    params = SWParams(10, 4, 8, 2)
+    # query length NOT a multiple of 128 -> pad lanes exist right after
+    q = np.array([[0, 1, 2, 3, 0, 1]], np.int8)          # 6 real lanes
+    r = np.array([[0, 1, 2, 3, 0, 1, 4, 4, 2, 2]], np.int8)  # N right after
+    s, qe, re = map(np.asarray,
+                    sw_score_ends_wave5(q, r, params, interpret=True))
+    assert (int(s[0]), int(qe[0]), int(re[0])) == \
+        sw_oracle(q[0], r[0], *params)
+
+
 def test_wave_routing_and_empty_rows(rng):
     """sw_score_ends_pallas routes long-reference shapes to the wavefront
     kernel (CIRI_SW_WAVE honours overrides); all-pad rows report

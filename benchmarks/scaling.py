@@ -47,7 +47,7 @@ def run_world(n_procs, loci, depth, out_dir):
     env.pop("PYTHONPATH", None)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_dist")
     procs = []
     for pid in range(n_procs):
         cmd = ["taskset", "-c", str(pid), sys.executable, "-m",

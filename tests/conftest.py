@@ -8,10 +8,19 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-# persistent compile cache: kernel tests re-run in seconds instead of minutes
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+# persistent compile cache: kernel tests re-run in seconds instead of
+# minutes.  The dir is EXCLUSIVE to this suite configuration (8 virtual
+# CPU devices): XLA:CPU AOT cache entries embed machine-feature options
+# that are NOT part of jax's cache key, and loading an entry written
+# under a different process configuration SIGSEGVs/SIGILLs the
+# deserializer (observed 2026-08-19; see
+# utils/dispatch.py::ensure_compile_cache).  Never point other runs here.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu8")
+# the XLA per-fusion autotune cache rides along when a cache dir is set
+# and segfaulted XLA:CPU compiles late in cold full-suite runs
+# (backend_compile_and_load, observed 3x on 2026-08-19); executable
+# caching alone is what we want
+os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "none")
 
 # Force the CPU backend regardless of ambient JAX_PLATFORMS.  This box
 # pre-imports jax in sitecustomize (registering a TPU platform), so env

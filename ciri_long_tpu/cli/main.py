@@ -122,6 +122,23 @@ def call(args):
     debugging = args.debug
     is_canonical = True
 
+    # Connect the accelerator CONCURRENTLY with input parsing + index
+    # build: initialising a remote (tunnel) backend takes ~5-10 s that
+    # would otherwise serialise in front of the first device use at the
+    # scan stage.  Pure host backends no-op in microseconds.  The CCS
+    # detect pool forks while this may still run; its children never
+    # touch jax (pure C++/numpy), so the fork-with-thread hazard does
+    # not bite.
+    import threading
+
+    def _warm_backend():
+        try:
+            import jax
+            jax.devices()
+        except Exception:
+            pass
+    threading.Thread(target=_warm_backend, daemon=True).start()
+
     logger = get_logger('CIRI-long', fname='{}/{}.log'.format(out_dir, prefix),
                         verbosity=debugging)
     logger.info('=== run configuration ===')

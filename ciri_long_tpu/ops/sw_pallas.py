@@ -342,6 +342,244 @@ def _sw_wave5_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
     out_ref[:] = out
 
 
+def _sw_chain_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
+                     capB, r_diag, rblk,
+                     *, btile, lqp, lrp, C, match, mismatch, gap_open,
+                     gap_extend, lb):
+    """Chained wavefront (the round-3 'wave6'): C same-bucket jobs per
+    lane-row stream back-to-back; a reset/capture wave rides each job
+    boundary, so the ramp-down of job k overlaps the ramp-up of job k+1
+    and lane utilisation goes from lr/(lq+lr) to ~lr/(lr+1).  Honest
+    measurements (benchmarks/KERNEL_SOL.md): 85.2 vs wave5's 80.9 GCUPS
+    on the 1024x4096 bench shape and 62.3 vs 47.8 on 1024x1024 squares.
+
+    Stream layout (host contract, sw_score_ends_chain): slot k*(lrp+1)
+    is job k's boundary, slots [o_k, o_k + lrp) its reference codes
+    (o_k = k*(lrp+1) + 1, pads code 6); slot t enters lane 0 at step t,
+    so job k's cell (i, j) computes at lane i on step o_k + i + j --
+    phase 0 for every job, keeping the plain wave kernel's lane-0 column
+    boundary and circular-roll semantics.  Requirements: lrp + 1 and lqp
+    multiples of LANES, lrp >= lqp - 1, match * lqp << lb < 2^31 (lb
+    spans the GLOBAL step count).
+
+    Phase A_k (lqp steps from t0 = k*(lrp+1)): the boundary lane
+    b = t - t0 captures job k-1's packed best and resets its DP state;
+    lanes <= b already score against job k's query (a per-lane select
+    between two static query slices).  Phase B_k: plain wave5 steps.
+    After A_k a static drain reduces job k-1's captures into output
+    slot k-1.  Oracle parity incl. tie-breaks: tests/test_sw_pallas.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    span1 = (1 << lb) - 1
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+    is_lane0 = i_idx == 0
+
+    Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
+    Hd2[:] = jnp.zeros((btile, lqp), jnp.int32)
+    Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+    Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+    best_pack[:] = jnp.zeros((btile, lqp), jnp.int32)
+    capB[:] = jnp.zeros((btile, lqp), jnp.int32)
+    r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
+
+    def dp_step(d, r_col, q, q_is_n, lane_real, boundary_lane=None,
+                q_prev=None):
+        rd = jnp.where(is_lane0, r_col, pltpu.roll(r_diag[:], 1, axis=1))
+        r_diag[:] = rd
+        if boundary_lane is not None:
+            is_b = i_idx == boundary_lane
+            q_eff = jnp.where(i_idx <= boundary_lane, q, q_prev)
+            q_is_n = q_eff == 4
+            lane_real = q_eff < 5
+        else:
+            is_b = None
+            q_eff = q
+        s = jnp.where(q_eff == rd, match, -mismatch)
+        s = jnp.where((q_is_n | (rd == 4)) & lane_real, 0, s)
+
+        h1 = Hd1[:]
+        h1s = pltpu.roll(h1, 1, axis=1)
+        f1s = pltpu.roll(Fd1[:], 1, axis=1)
+        Fv = jnp.where(is_lane0, NEG,
+                       jnp.maximum(f1s - gap_extend, h1s - gap_open))
+        h2s = jnp.where(is_lane0, 0, pltpu.roll(Hd2[:], 1, axis=1))
+        dval = h2s + s
+        bp = jnp.maximum(best_pack[:], (dval << lb) + (span1 - d))
+        H0 = jnp.maximum(jnp.maximum(dval, Fv), 0)
+        E = jnp.maximum(Ed1[:] - gap_extend, h1 - gap_open)
+        Hn = jnp.maximum(H0, E)
+
+        if is_b is not None:
+            capB[:] = jnp.where(is_b, best_pack[:], capB[:])
+            best_pack[:] = jnp.where(is_b, 0, bp)
+            Hd2[:] = jnp.where(is_b, 0, h1)
+            Hd1[:] = jnp.where(is_b, 0, Hn)
+            Ed1[:] = jnp.where(is_b, NEG, E)
+            Fd1[:] = jnp.where(is_b, NEG, Fv)
+        else:
+            best_pack[:] = bp
+            Hd2[:] = h1
+            Hd1[:] = Hn
+            Ed1[:] = E
+            Fd1[:] = Fv
+
+    def run_phase(c0, n_chunks, body):
+        def chunk(c, _):
+            base = pl.multiple_of(c * LANES, LANES)
+            rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+            def inner(u, _):
+                for v in range(2):
+                    body(c * LANES + u * 2 + v, rblk[:, v:v + 1])
+                rblk[:] = pltpu.roll(rblk[:], LANES - 2, axis=1)
+                return 0
+
+            jax.lax.fori_loop(0, LANES // 2, inner, 0)
+            return 0
+
+        jax.lax.fori_loop(c0, c0 + n_chunks, chunk, 0)
+
+    def drain(k):
+        bp = capB[:]
+        bv = bp >> lb
+        bd = span1 - (bp & span1)
+        o_k = k * (lrp + 1) + 1
+        best = jnp.max(bv, axis=1, keepdims=True)
+        isbest = bv == best
+        j_of = bd - o_k - i_idx
+        jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1,
+                        keepdims=True)
+        istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx, BIG),
+                        axis=1, keepdims=True)
+        found = best > 0
+        score = jnp.where(found, best, 0)
+        iout = jnp.where(found, istar, -1)
+        jout = jnp.where(found, jstar, -1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+        out = jnp.where(lane == 0, score,
+                        jnp.where(lane == 1, iout,
+                                  jnp.where(lane == 2, jout, 0)))
+        out_ref[:, k * LANES:(k + 1) * LANES] = out
+
+    per_job_chunks = (lrp + 1) // LANES
+    a_chunks = lqp // LANES
+    for k in range(C + 1):
+        t0 = k * (lrp + 1)
+        q_cur = q_ref[:, min(k, C - 1) * lqp:(min(k, C - 1) + 1) * lqp]
+        q_prev = q_ref[:, max(k - 1, 0) * lqp:max(k, 1) * lqp]
+
+        def a_body(t, r_col, t0=t0, q=q_cur, qp=q_prev):
+            dp_step(t, r_col, q, None, None, boundary_lane=t - t0,
+                    q_prev=qp)
+
+        run_phase(t0 // LANES, a_chunks, a_body)
+        if k > 0:
+            drain(k - 1)
+        if k < C:
+            q_is_n = q_cur == 4
+            lane_real = q_cur < 5
+
+            def b_body(t, r_col, q=q_cur, qn=q_is_n, lr_=lane_real):
+                dp_step(t, r_col, q, qn, lr_)
+
+            run_phase(t0 // LANES + a_chunks,
+                      per_job_chunks - a_chunks, b_body)
+
+
+CHAIN_C = 8
+CHAIN_BTILE = 32
+
+
+def chain_plan(B, Lq, Lr, params):
+    """(C, btile, lrp, T) for the chained kernel, or None when the shape
+    can't chain: needs LrP >= LqP - 1, the global-step packing to fit
+    int31, enough jobs to fill a chain, and the blocks to fit VMEM."""
+    LqP = _round_up(Lq, LANES)
+    lrp = max(_round_up(Lr + 1, LANES) - 1, LqP - 1)
+    C = min(CHAIN_C, max(1, B))
+    while C > 1:
+        T = C * (lrp + 1) + LqP
+        lb = 1
+        while (1 << lb) < T + 1:
+            lb += 1
+        if params.match * LqP << lb < 2 ** 31:
+            btile = CHAIN_BTILE
+            while btile > 8:
+                Tp = _round_up(T, LANES)
+                need = 4 * btile * (C * LqP + Tp + C * LANES
+                                    + 7 * LqP + LANES)
+                if need <= VMEM_BUDGET:
+                    break
+                btile //= 2
+            else:
+                C //= 2
+                continue
+            return C, btile, lrp, _round_up(T, LANES), lb
+        C //= 2
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "plan"))
+def sw_score_ends_chain(query, ref, params, plan, interpret=False):
+    """sw_score_ends contract on the chained kernel; ``plan`` from
+    chain_plan (static).  Rows whose job count doesn't divide C are
+    padded with all-pad jobs, which report (0, -1, -1) like any all-pad
+    row."""
+    assert params.gap_open >= params.gap_extend
+    C, btile, lrp, Tp, lb = plan
+    B, Lq = query.shape
+    _, Lr = ref.shape
+    LqP = _round_up(Lq, LANES)
+    rows = -(-B // C)
+    Bp = rows * C
+
+    q = jnp.pad(query.astype(jnp.int32), ((0, Bp - B), (0, LqP - Lq)),
+                constant_values=5)
+    qrows = q.reshape(rows, C * LqP)
+    r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, lrp - Lr)),
+                constant_values=6)
+    r = jnp.where(r >= 5, 6, r)
+    bcol = jnp.full((Bp, 1), 6, jnp.int32)
+    stream = jnp.concatenate([bcol, r], axis=1).reshape(rows, -1)
+    stream = jnp.pad(stream, ((0, 0), (0, Tp - C * (lrp + 1))),
+                     constant_values=6)
+
+    Rt = _round_up(rows, btile)
+    qrows = jnp.pad(qrows, ((0, Rt - rows), (0, 0)), constant_values=5)
+    stream = jnp.pad(stream, ((0, Rt - rows), (0, 0)), constant_values=6)
+
+    kernel = functools.partial(
+        _sw_chain_kernel, btile=btile, lqp=LqP, lrp=lrp, C=C,
+        match=params.match, mismatch=params.mismatch,
+        gap_open=params.gap_open, gap_extend=params.gap_extend, lb=lb)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Rt // btile,),
+        in_specs=[
+            pl.BlockSpec((btile, C * LqP), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, Tp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((btile, C * LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rt, C * LANES), jnp.int32),
+        scratch_shapes=(
+            [pltpu.VMEM((btile, LqP), jnp.int32)] * 7
+            + [pltpu.VMEM((btile, LANES), jnp.int32)]),
+        cost_estimate=pl.CostEstimate(
+            flops=int(30 * Rt * LqP * Tp), bytes_accessed=int(
+                4 * Rt * (C * LqP + Tp + C * LANES)), transcendentals=0),
+        interpret=interpret,
+    )(qrows, stream)
+
+    out = out[:rows].reshape(rows, C, LANES).reshape(Bp, LANES)
+    return out[:B, 0], out[:B, 1], out[:B, 2]
+
+
 # wave5 tile/unroll won the round-3 sweep on the bench shape:
 # btile 64 / unroll 2: 391.0, 128/4: 365.8, 128/2: 348.2, 128/1: 320.2,
 # plain wave 128: 311.9 GCUPS (same-day tunnel, misc/kexp.py)
@@ -524,11 +762,18 @@ def sw_score_ends_pallas(query, ref, params, interpret=False, btile=None,
     ``btile`` overrides the batch tile of WHICHEVER kernel runs (their
     defaults differ: scan BTILE vs WAVE_BTILE)."""
     import os
-    _, Lq = query.shape
+    B, Lq = query.shape
     _, Lr = ref.shape
     if wave is None:
         wave = wave_route(Lq, Lr)
     if wave:
+        if os.environ.get('CIRI_SW_CHAIN', '1') not in ('0', 'false', ''):
+            plan = chain_plan(B, Lq, Lr, params)
+            # chain only when at least 2 full chains form (the +1 drain
+            # block amortises over jobs; tiny batches stay on wave5)
+            if plan is not None and plan[0] >= 4 and B >= 2 * plan[0]:
+                return sw_score_ends_chain(query, ref, params, plan,
+                                           interpret=interpret)
         use5 = (os.environ.get('CIRI_SW_WAVE5', '1') not in
                 ('0', 'false', '') and wave5_fits(Lq, Lr, params))
         if use5:

@@ -259,11 +259,16 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
             # box 2026-08-19: screen 0.8-3 s vs ~1.3 s host detection
             # saved at 6250 reads -- net loss; a locally attached chip
             # (<2 ms RTT) turns it net-positive at the same sizes.
-            import jax
+            # condition order matters: the size check is free, the RTT
+            # check uses the persisted value when fresh, and
+            # default_backend() -- which INITIALISES the backend (~10 s
+            # through the tunnel) -- only runs when the others pass
             from ciri_long_tpu.utils.dispatch import device_rtt_ms
-            use_device_screen = (jax.default_backend() != 'cpu'
-                                 and len(items) >= 2000
-                                 and device_rtt_ms() < 5.0)
+            use_device_screen = len(items) >= 2000 and \
+                device_rtt_ms() < 5.0
+            if use_device_screen:
+                import jax
+                use_device_screen = jax.default_backend() != 'cpu'
     skip = device_screen(items) if use_device_screen else set()
 
     work = [(rid, seq) for rid, seq in items if rid not in skip]
@@ -282,11 +287,11 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
         # C++ pool when each fetch also pays 30-200 ms tunnel RTT --
         # measured 2026-08-19 at 5k reads -t4: device path 65 s vs host
         # pool 4.5 s on the tunnel.  CIRI_CCS_DEVICE=1/0 forces.
-        import jax
-
         from ciri_long_tpu.utils.dispatch import device_rtt_ms
-        use_nw = (jax.default_backend() != 'cpu'
-                  and device_rtt_ms() < 5.0)
+        use_nw = device_rtt_ms() < 5.0
+        if use_nw:
+            import jax
+            use_nw = jax.default_backend() != 'cpu'
 
     if use_nw:
         results = _ccs_device_all(work, threads, prog)

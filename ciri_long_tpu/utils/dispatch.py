@@ -54,15 +54,21 @@ def ensure_compile_cache(base_dir=None):
     produced a corrupt-entry segfault in jax.compilation_cache
     deserialization).  JAX_COMPILATION_CACHE_DIR still wins outright."""
     import jax
+
+    # resolve the platform WITHOUT jax.default_backend(): that call
+    # INITIALISES the backend (~5-10 s synchronously through the
+    # tunnel), which would serialise in front of all host-side work
+    plat = (jax.config.jax_platforms or os.environ.get('JAX_PLATFORMS')
+            or 'default').split(',')[0] or 'default'
     cache = os.environ.get('JAX_COMPILATION_CACHE_DIR')
     if cache is None:
         base = base_dir or os.path.join(os.path.expanduser('~'), '.cache',
                                         'ciri_long_tpu')
-        cache = os.path.join(base, 'jax_cache_' + jax.default_backend())
+        cache = os.path.join(base, 'jax_cache_' + plat)
         os.makedirs(cache, exist_ok=True)
     try:
         jax.config.update('jax_compilation_cache_dir', cache)
-        if jax.default_backend() != 'cpu':
+        if plat != 'cpu':
             # remote backends misreport compile times (see docstring);
             # CPU keeps jax's default 1 s bar -- its compile times are
             # real, and NOT caching trivial CPU programs avoids the
@@ -113,6 +119,10 @@ def device_rtt_ms(force=False):
     env = os.environ.get('CIRI_DEVICE_RTT_MS')
     if env:
         return float(env)
+    if _RTT_MS is None and not force:
+        # a fresh persisted measurement (e.g. from the previous stage's
+        # process) saves the ~0.5-2 s live probe at every stage start
+        _RTT_MS = cached_rtt_ms(max_age_s=3600.0)
     if _RTT_MS is None or force:
         import jax
         import jax.numpy as jnp

@@ -48,11 +48,16 @@ def test_two_process_psum():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
         assert "MULTIHOST_RESULT" in out
-        line = [l for l in out.splitlines() if "MULTIHOST_RESULT" in l][0]
-        fields = dict(kv.split("=") for kv in line.split()[1:])
+        # tolerate interleaved stderr tokens on a loaded host: only k=v
+        # pairs AFTER the marker belong to the record
+        def parse(marker):
+            line = [l for l in out.splitlines() if marker in l][0]
+            toks = line.split(marker, 1)[1].split()
+            return dict(kv.split("=", 1) for kv in toks if "=" in kv)
+
+        fields = parse("MULTIHOST_RESULT")
         assert fields["got"] == fields["expected"]
-        gline = [l for l in out.splitlines() if "MULTIHOST_GATHER" in l][0]
-        gfields = dict(kv.split("=") for kv in gline.split()[1:])
+        gfields = parse("MULTIHOST_GATHER")
         assert gfields["ids_ok"] == "True"
         assert gfields["n"] == "10"   # 2 processes x (6 - 1 invalid) rows
 

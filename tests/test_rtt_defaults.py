@@ -44,6 +44,21 @@ def test_collapse_prefers_host_on_high_rtt(monkeypatch):
     assert jax.config.jax_platforms == 'cpu'
 
 
+def test_ensure_compile_cache_dirs(tmp_path, monkeypatch):
+    """Cache dirs are per-backend (mixing backends in one dir corrupts
+    jax's deserializer); JAX_COMPILATION_CACHE_DIR wins outright."""
+    import jax
+
+    from ciri_long_tpu.utils import dispatch
+
+    monkeypatch.delenv('JAX_COMPILATION_CACHE_DIR', raising=False)
+    got = dispatch.ensure_compile_cache(base_dir=str(tmp_path))
+    assert got == str(tmp_path / ('jax_cache_' + jax.default_backend()))
+    assert os.path.isdir(got)
+    monkeypatch.setenv('JAX_COMPILATION_CACHE_DIR', str(tmp_path / 'pin'))
+    assert dispatch.ensure_compile_cache() == str(tmp_path / 'pin')
+
+
 def test_ccs_device_gates_respect_rtt(monkeypatch):
     """find_ccs auto rules keep the screen and the NW offload OFF on a
     high-RTT link and ON on a local-grade one (backend permitting)."""

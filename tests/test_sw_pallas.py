@@ -109,6 +109,49 @@ def test_wave5_n_column_adjacent_to_best(rng):
         sw_oracle(q[0], r[0], *params)
 
 
+@pytest.mark.parametrize("params", [SWParams(1, 1, 1, 1), SWParams(10, 4, 8, 2)])
+def test_chain_matches_scan_and_oracle(rng, params):
+    """Chained wavefront production path (sw_score_ends_chain): identical
+    scores/ends/tie-breaks to the scan implementation and the oracle,
+    including chain-padding rows (B not divisible by C) and N codes."""
+    from ciri_long_tpu.ops.sw_pallas import chain_plan, sw_score_ends_chain
+
+    B = 13                      # not divisible by C -> pad-job rows
+    qs = [rng.integers(0, 5, int(rng.integers(5, 30))).astype(np.int8)
+          for _ in range(B)]
+    rs = [rng.integers(0, 5, int(rng.integers(30, 90))).astype(np.int8)
+          for _ in range(B)]
+    q, _ = pad_encoded(qs)
+    r, _ = pad_encoded(rs)
+    plan = chain_plan(B, q.shape[1], r.shape[1], params)
+    assert plan is not None and plan[0] >= 4
+    s1, qe1, re1 = map(np.asarray, sw_score_ends(q, r, params))
+    s2, qe2, re2 = map(np.asarray,
+                       sw_score_ends_chain(q, r, params, plan,
+                                           interpret=True))
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(qe1, qe2)
+    np.testing.assert_array_equal(re1, re2)
+    for i in range(B):
+        assert (int(s2[i]), int(qe2[i]), int(re2[i])) == \
+            sw_oracle(qs[i], rs[i], *params)
+
+
+def test_chain_plan_bounds():
+    """chain_plan respects the packing/VMEM preconditions and degrades
+    to None rather than emitting an invalid configuration."""
+    from ciri_long_tpu.ops.sw_pallas import chain_plan
+
+    params = SWParams(10, 4, 8, 2)
+    plan = chain_plan(512, 1024, 4096, params)
+    assert plan is not None
+    C, btile, lrp, Tp, lb = plan
+    assert (lrp + 1) % 128 == 0 and lrp >= 1024 - 1
+    assert params.match * 1024 << lb < 2 ** 31
+    # absurd shape: packing can never fit -> None
+    assert chain_plan(512, 100_000, 3_000_000, params) is None
+
+
 def test_wave_routing_and_empty_rows(rng):
     """sw_score_ends_pallas routes long-reference shapes to the wavefront
     kernel (CIRI_SW_WAVE honours overrides); all-pad rows report

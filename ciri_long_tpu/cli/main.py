@@ -64,6 +64,16 @@ def _load_or_build_index(out_dir, gtf_file, circ_file, logger):
     return gtf_idx, intron_idx, ss_idx
 
 
+def _backend_initialized() -> bool:
+    """Whether any jax backend has already initialised in this process
+    (without triggering initialisation).  Conservative: unknown -> True."""
+    try:
+        from jax._src import xla_bridge as xb
+        return bool(xb._backends)
+    except Exception:
+        return True
+
+
 def _apply_backend(args):
     """--backend cpu forces the CPU jax backend before any device
     is touched (this box pre-registers a remote TPU platform that env vars
@@ -89,7 +99,11 @@ def _apply_backend(args):
         # BEFORE any device initialises; a locally attached chip
         # (<5 ms) keeps the accelerator.  --backend forces either way.
         rtt = cached_rtt_ms()
-        if rtt is not None and rtt >= 5.0:
+        if rtt is not None and rtt >= 5.0 and not _backend_initialized():
+            # flipping jax_platforms is only safe BEFORE the first
+            # backend initialisation; a same-process call->collapse
+            # sequence (benches, validate.py) keeps whatever backend
+            # call used -- its in-stage RTT gates still protect it
             jax.config.update('jax_platforms', 'cpu')
     cache = ensure_compile_cache()
     # spawn-pool workers inherit the resolved dir through the environment

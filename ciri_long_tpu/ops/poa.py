@@ -351,9 +351,15 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
         if flag is not None:
             use_device = flag not in ('0', 'false', '')
         else:
+            # RTT-gated like ops/sw_tb_batch.py::device_tb_enabled: the
+            # per-cluster POA batches cannot amortise a tunnel round-trip
             try:
-                import jax
-                use_device = jax.default_backend() != 'cpu'
+                from ciri_long_tpu.utils.dispatch import device_rtt_ms
+                if device_rtt_ms() >= 5.0:
+                    use_device = False
+                else:
+                    import jax
+                    use_device = jax.default_backend() != 'cpu'
             except Exception:
                 use_device = False
     if not use_device:

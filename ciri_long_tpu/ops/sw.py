@@ -137,6 +137,15 @@ def sw_score_ends(query, ref, params: SWParams):
 
 
 def _on_tpu():
+    """Device-compute gate shared by the batched SW/edit dispatchers.
+    False routes to the native C++ host cores -- on the CPU backend, or
+    when CIRI_PREFER_HOST_COMPUTE is set (the collapse stage sets it when
+    the measured dispatch RTT says per-cluster batches cannot amortise a
+    remote tunnel; pipeline/collapse.py::correct_reads)."""
+    import os
+    if os.environ.get('CIRI_PREFER_HOST_COMPUTE', '') not in \
+            ('', '0', 'false'):
+        return False
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:

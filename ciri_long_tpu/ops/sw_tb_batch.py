@@ -202,14 +202,20 @@ def _build_batch_fn(scores):
 
 def device_tb_enabled() -> bool:
     """Auto-gate like ops/poa.py::poa_consensus_many: device path on
-    non-CPU backends, or when CIRI_DEVICE_TB is truthy (tests force it on
-    the CPU backend to exercise the kernel)."""
+    non-CPU backends whose link is local-grade (measured RTT < 5 ms --
+    collapse's per-cluster traceback batches cannot amortise a tunnel
+    round-trip, measured 2026-08-19: 88.5 vs 232.7 reads/s at 4k reads);
+    CIRI_DEVICE_TB forces either way (tests force it on the CPU backend
+    to exercise the kernel)."""
     import os
 
     flag = os.environ.get('CIRI_DEVICE_TB')
     if flag is not None:
         return flag not in ('0', 'false', '')
     try:
+        from ciri_long_tpu.utils.dispatch import device_rtt_ms
+        if device_rtt_ms() >= 5.0:
+            return False
         import jax
         return jax.default_backend() != 'cpu'
     except Exception:

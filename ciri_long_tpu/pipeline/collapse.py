@@ -990,6 +990,23 @@ def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
     fans cluster chunks over a spawn pool (reference collapse.py:848);
     results drain in submission order so corrected_reads ordering and
     the counters match a serial run exactly."""
+    # per-cluster tensor batches (junction curation SW, HPC distance
+    # matrices) cannot amortise a remote-tunnel dispatch; when the
+    # measured RTT is high, pin this stage's compute to the native host
+    # cores even if an accelerator backend is already initialised in
+    # this process (the CLI's own collapse process flips the whole
+    # backend instead -- cli/main.py::_apply_backend)
+    import os
+    if 'CIRI_PREFER_HOST_COMPUTE' not in os.environ:
+        try:
+            import jax
+
+            from ciri_long_tpu.utils.dispatch import device_rtt_ms
+            if jax.default_backend() != 'cpu' and device_rtt_ms() >= 5.0:
+                os.environ['CIRI_PREFER_HOST_COMPUTE'] = '1'
+        except Exception:
+            pass
+
     prog = ProgressBar()
     prog.update(0)
     circ_num = defaultdict(int)

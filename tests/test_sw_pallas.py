@@ -137,6 +137,34 @@ def test_chain_matches_scan_and_oracle(rng, params):
             sw_oracle(qs[i], rs[i], *params)
 
 
+def test_dispatcher_routes_to_chain(rng, monkeypatch):
+    """sw_score_ends_pallas picks the chained kernel for large batches
+    (and CIRI_SW_CHAIN=0 falls back to wave5) with identical results."""
+    from ciri_long_tpu.ops import sw_pallas
+
+    params = SWParams(10, 4, 8, 2)
+    B = 32
+    q = rng.integers(0, 4, (B, 24)).astype(np.int8)
+    r = rng.integers(0, 4, (B, 60)).astype(np.int8)
+
+    calls = []
+    real = sw_pallas.sw_score_ends_chain
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sw_pallas, 'sw_score_ends_chain', spy)
+    got = [np.asarray(x) for x in
+           sw_pallas.sw_score_ends_pallas(q, r, params, interpret=True)]
+    assert calls, "large batch should route through the chained kernel"
+    monkeypatch.setenv('CIRI_SW_CHAIN', '0')
+    alt = [np.asarray(x) for x in
+           sw_pallas.sw_score_ends_pallas(q, r, params, interpret=True)]
+    for a, b in zip(got, alt):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_chain_plan_bounds():
     """chain_plan respects the packing/VMEM preconditions and degrades
     to None rather than emitting an invalid configuration."""

@@ -150,8 +150,9 @@ def _sw_wave_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, H0d1, Ed1, Fd1,
     diagonal (E[i,j-1] and H0[i,j-1] both sit at lane i, diag d-1); the F
     and match-diagonal dependencies are single-lane rolls.  Per-step
     vector cost ~30 ops on [btile, lqp] vs ~55 on [btile, lrp] for the
-    scan kernel, at lr/(lq+lr) lane utilisation -- measured 317.6 GCUPS
-    vs 216-277 on the 1024x4096 bench shape (misc/kexp.py --wave).
+    scan kernel, at lr/(lq+lr) lane utilisation -- honest measurement
+    70.9 vs the scan kernel's 48.6 GCUPS on the 1024x4096 bench shape
+    (fixed methodology; benchmarks/KERNEL_SOL.md round-3 correction).
 
     The reference base enters at lane 0 and shifts one lane per step
     (r_diag[i] = r[d-i]); lanes ahead of their start column hold H=0 and
@@ -241,8 +242,9 @@ def _sw_wave5_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
                      *, btile, lqp, lrpw, match, mismatch, gap_open,
                      gap_extend, unroll, lb):
     """Lean wavefront (the round-3 production kernel): _sw_wave_kernel
-    plus four exact transforms, measured 311.9 -> 391.0 GCUPS same-day
-    on the bench shape (misc/kexp.py --wave5 --btile 64 --unroll 2):
+    plus four exact transforms; honest measurement 80.9 vs the r2 wave
+    kernel's 70.9 GCUPS on the bench shape (fixed methodology,
+    misc/kexp.py --wave5 --btile 64 --unroll 2):
 
     1. Pad-6 scoring: the caller remaps REFERENCE pads to code 6 (query
        pads stay 5), so q == rd is impossible at any pad and the NEG
@@ -580,15 +582,14 @@ def sw_score_ends_chain(query, ref, params, plan, interpret=False):
     return out[:B, 0], out[:B, 1], out[:B, 2]
 
 
-# wave5 tile/unroll won the round-3 sweep on the bench shape:
-# btile 64 / unroll 2: 391.0, 128/4: 365.8, 128/2: 348.2, 128/1: 320.2,
-# plain wave 128: 311.9 GCUPS (same-day tunnel, misc/kexp.py)
+# wave5 tile/unroll: btile 64-128 / unroll 2 measure equal within noise
+# under the fixed methodology (80.9/80.7 GCUPS; unroll 4: 79.4); 64/2
+# kept from the sweep
 WAVE5_BTILE = 64
 WAVE5_UNROLL = 2
 
-# 128-row stripes won the round-2 wavefront sweep (64: 283 / 128: 317.6
-# GCUPS on the B=512 x 1024 x 4096 bench config; 256 hit a multi-minute
-# Mosaic compile, same cliff as the scan kernel at 128)
+# 128-row stripes won the round-2 wavefront sweep (256 hit a
+# multi-minute Mosaic compile, same cliff as the scan kernel at 128)
 WAVE_BTILE = 128
 
 

@@ -134,8 +134,8 @@ def main():
               loci=args.loci, seed=args.seed, noise=args.noise,
               tol=args.tol, threads=args.threads, profile=args.profile)
     print(json.dumps(res))
-    if args.min_recall is not None and res['recall'] < args.min_recall:
-        sys.exit('FAIL: recall {} < {}'.format(res['recall'],
+    if args.min_recall is not None and res['value'] < args.min_recall:
+        sys.exit('FAIL: recall {} < {}'.format(res['value'],
                                                args.min_recall))
     if args.min_precision is not None and \
             res['precision'] < args.min_precision:

@@ -507,18 +507,16 @@ def chain_plan(B, Lq, Lr, params):
         while (1 << lb) < T + 1:
             lb += 1
         if params.match * LqP << lb < 2 ** 31:
+            Tp = _round_up(T, LANES)
             btile = CHAIN_BTILE
-            while btile > 8:
-                Tp = _round_up(T, LANES)
-                need = 4 * btile * (C * LqP + Tp + C * LANES
+            while btile >= 8:
+                # in/out blocks are double-buffered by the pallas grid
+                # pipeline; scratch is single-buffered
+                need = 4 * btile * (2 * (C * LqP + Tp + C * LANES)
                                     + 7 * LqP + LANES)
                 if need <= VMEM_BUDGET:
-                    break
+                    return C, btile, lrp, Tp, lb
                 btile //= 2
-            else:
-                C //= 2
-                continue
-            return C, btile, lrp, _round_up(T, LANES), lb
         C //= 2
     return None
 

@@ -491,7 +491,14 @@ def _sw_chain_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
 
 
 CHAIN_C = 8
-CHAIN_BTILE = 32
+# bench-shape sweep (fixed methodology): btile 64: 91.6, 128: 91.5,
+# 32: 85-87, 24: 74, 16: 71 GCUPS; C: 8 > 4 (87.1) > 16 (71.1)
+CHAIN_BTILE = 64
+# measured envelope: btile 128 at the bench shape (double-buffer-counted
+# ~48 MB) still compiles and runs on v5e, so the conservative 20 MB
+# budget was rejecting the best tiles; 40 MB keeps a 20% margin under
+# the worst configuration proven to work
+CHAIN_VMEM_BUDGET = 40 * 1024 * 1024
 
 
 def chain_plan(B, Lq, Lr, params):
@@ -514,7 +521,7 @@ def chain_plan(B, Lq, Lr, params):
                 # pipeline; scratch is single-buffered
                 need = 4 * btile * (2 * (C * LqP + Tp + C * LANES)
                                     + 7 * LqP + LANES)
-                if need <= VMEM_BUDGET:
+                if need <= CHAIN_VMEM_BUDGET:
                     return C, btile, lrp, Tp, lb
                 btile //= 2
         C //= 2

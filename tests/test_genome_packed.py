@@ -84,6 +84,40 @@ def test_packed_cache_roundtrip(rng, tmp_path, monkeypatch):
     assert g4.seq('cA', 50, 150) == g.seq('cA', 50, 150)
 
 
+def test_stale_cache_versions_rebuild(rng, tmp_path, monkeypatch):
+    """Round-2 caches (genome fmt v1, index v1 / fixed 16-bit buckets)
+    must be treated as stale -- loaders return None and callers rebuild,
+    never misread the old layout."""
+    import json
+
+    from ciri_long_tpu.models.minimizer import MinimizerIndex
+
+    monkeypatch.setenv('CIRI_PACK_GENOME', '0')
+    state = np.random.default_rng(5)
+    seq = "".join(state.choice(list("ACGT"), size=3000))
+    fa = tmp_path / 'g.fa'
+    fa.write_text('>c\n{}\n'.format(seq))
+    g = Genome(str(fa))
+    g.save_cache(str(tmp_path / 'gc'))
+    # downgrade the meta to the round-2 version
+    meta_p = tmp_path / 'gc' / 'meta.json'
+    meta = json.loads(meta_p.read_text())
+    meta['version'] = 1
+    meta.pop('fmt', None)
+    meta_p.write_text(json.dumps(meta))
+    assert Genome.from_cache(str(tmp_path / 'gc'), str(fa)) is None
+
+    idx = MinimizerIndex.build(g, k=15, w=10)
+    fp = dict(ref='x', size=1, mtime=2)
+    idx.save(str(tmp_path / 'ic'), fp)
+    meta_p = tmp_path / 'ic' / 'meta.json'
+    meta = json.loads(meta_p.read_text())
+    meta['version'] = 1
+    meta.pop('bucket_bits', None)
+    meta_p.write_text(json.dumps(meta))
+    assert MinimizerIndex.load(str(tmp_path / 'ic'), 15, 10, fp) is None
+
+
 def test_aligner_parity_packed_vs_unpacked(rng, monkeypatch):
     """Full mapping parity: hits from a packed genome equal hits from the
     int8 genome, through BOTH the native stitcher and the Python oracle."""

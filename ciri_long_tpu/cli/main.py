@@ -67,11 +67,8 @@ def _load_or_build_index(out_dir, gtf_file, circ_file, logger):
 def _backend_initialized() -> bool:
     """Whether any jax backend has already initialised in this process
     (without triggering initialisation).  Conservative: unknown -> True."""
-    try:
-        from jax._src import xla_bridge as xb
-        return bool(xb._backends)
-    except Exception:
-        return True
+    from ciri_long_tpu.utils.dispatch import backend_initialized
+    return backend_initialized()
 
 
 def _apply_backend(args):
@@ -86,7 +83,8 @@ def _apply_backend(args):
     import jax
 
     from ciri_long_tpu.utils.dispatch import (cached_rtt_ms,
-                                              ensure_compile_cache)
+                                              ensure_compile_cache,
+                                              resolved_platform)
     if getattr(args, 'backend', None) == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
     elif getattr(args, 'prefer_host_on_high_rtt', False) and \
@@ -108,7 +106,13 @@ def _apply_backend(args):
     cache = ensure_compile_cache()
     # spawn-pool workers inherit the resolved dir through the environment
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', cache)
-    os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
+    if resolved_platform() != 'cpu':
+        # the zero persist threshold exists for REMOTE backends that
+        # misreport compile times (see ensure_compile_cache); exporting
+        # it to CPU-backend workers would persist every trivial CPU
+        # executable, defeating the deliberate 1 s CPU bar (ADVICE r3)
+        os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS',
+                              '0')
 
 
 def call(args):
@@ -139,19 +143,14 @@ def call(args):
     # Connect the accelerator CONCURRENTLY with input parsing + index
     # build: initialising a remote (tunnel) backend takes ~5-10 s that
     # would otherwise serialise in front of the first device use at the
-    # scan stage.  Pure host backends no-op in microseconds.  The CCS
-    # detect pool forks while this may still run; its children never
-    # touch jax (pure C++/numpy), so the fork-with-thread hazard does
-    # not bite.
-    import threading
-
-    def _warm_backend():
-        try:
-            import jax
-            jax.devices()
-        except Exception:
-            pass
-    threading.Thread(target=_warm_backend, daemon=True).start()
+    # scan stage.  Pure host backends no-op in microseconds.  Every
+    # fork-context Pool creation waits on this thread first
+    # (dispatch.wait_backend_warm): fork safety depends on the locks held
+    # AT FORK TIME, so "children never touch jax" is not a defense.  In
+    # practice the index + aligner build below outlasts the warm-up, so
+    # the wait is free.
+    from ciri_long_tpu.utils.dispatch import warm_backend_async
+    warm_backend_async()
 
     logger = get_logger('CIRI-long', fname='{}/{}.log'.format(out_dir, prefix),
                         verbosity=debugging)

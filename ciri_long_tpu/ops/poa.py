@@ -354,12 +354,8 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
             # RTT-gated like ops/sw_tb_batch.py::device_tb_enabled: the
             # per-cluster POA batches cannot amortise a tunnel round-trip
             try:
-                from ciri_long_tpu.utils.dispatch import device_rtt_ms
-                if device_rtt_ms() >= 5.0:
-                    use_device = False
-                else:
-                    import jax
-                    use_device = jax.default_backend() != 'cpu'
+                from ciri_long_tpu.utils.dispatch import low_rtt_device_ready
+                use_device = low_rtt_device_ready()
             except Exception:
                 use_device = False
     if not use_device:

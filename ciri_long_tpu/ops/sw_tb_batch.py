@@ -213,11 +213,8 @@ def device_tb_enabled() -> bool:
     if flag is not None:
         return flag not in ('0', 'false', '')
     try:
-        from ciri_long_tpu.utils.dispatch import device_rtt_ms
-        if device_rtt_ms() >= 5.0:
-            return False
-        import jax
-        return jax.default_backend() != 'cpu'
+        from ciri_long_tpu.utils.dispatch import low_rtt_device_ready
+        return low_rtt_device_ready()
     except Exception:
         return False
 

@@ -19,6 +19,8 @@ import os
 
 from ciri_long_tpu.io.fastx import read_fastx
 from ciri_long_tpu.ops.ccs import K, MIN_PERIOD, MIN_UNITS, find_consensus
+from ciri_long_tpu.utils.dispatch import \
+    low_rtt_device_ready as _low_rtt_device_ready
 from ciri_long_tpu.utils.logger import ProgressBar
 
 CHUNK_SIZE = 250  # reference job granularity (find_ccs.py:62)
@@ -135,6 +137,9 @@ def _ccs_device_all(work, threads, prog, pool=None):
     own_pool = pool is None and threads > 1 and len(work) > CHUNK_SIZE
     if own_pool:
         import multiprocessing
+
+        from ciri_long_tpu.utils.dispatch import wait_backend_warm
+        wait_backend_warm()
         pool = multiprocessing.get_context('fork').Pool(threads)
     try:
         pending = []
@@ -259,16 +264,14 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
             # box 2026-08-19: screen 0.8-3 s vs ~1.3 s host detection
             # saved at 6250 reads -- net loss; a locally attached chip
             # (<2 ms RTT) turns it net-positive at the same sizes.
-            # condition order matters: the size check is free, the RTT
-            # check uses the persisted value when fresh, and
-            # default_backend() -- which INITIALISES the backend (~10 s
-            # through the tunnel) -- only runs when the others pass
-            from ciri_long_tpu.utils.dispatch import device_rtt_ms
-            use_device_screen = len(items) >= 2000 and \
-                device_rtt_ms() < 5.0
-            if use_device_screen:
-                import jax
-                use_device_screen = jax.default_backend() != 'cpu'
+            # condition order matters: the size check is free; the RTT
+            # check uses the persisted value when fresh; the LIVE probe
+            # (which initialises the backend, ~10 s through the tunnel)
+            # only runs when a backend is already up -- on a cold cache
+            # with no backend the gate conservatively stays host-side
+            # rather than paying a synchronous init to find out
+            use_device_screen = (len(items) >= 2000
+                                 and _low_rtt_device_ready())
     skip = device_screen(items) if use_device_screen else set()
 
     work = [(rid, seq) for rid, seq in items if rid not in skip]
@@ -287,15 +290,16 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
         # C++ pool when each fetch also pays 30-200 ms tunnel RTT --
         # measured 2026-08-19 at 5k reads -t4: device path 65 s vs host
         # pool 4.5 s on the tunnel.  CIRI_CCS_DEVICE=1/0 forces.
-        from ciri_long_tpu.utils.dispatch import device_rtt_ms
-        use_nw = device_rtt_ms() < 5.0
-        if use_nw:
-            import jax
-            use_nw = jax.default_backend() != 'cpu'
+        use_nw = _low_rtt_device_ready()
 
     if use_nw:
         results = _ccs_device_all(work, threads, prog)
     elif threads > 1 and len(chunks) > 1:
+        # fork only after the CLI's backend warm-up thread (if any) has
+        # finished: forking while it may hold import-machinery or
+        # PJRT-plugin locks can deadlock the children (ADVICE r3)
+        from ciri_long_tpu.utils.dispatch import wait_backend_warm
+        wait_backend_warm()
         ctx = multiprocessing.get_context('fork')
         with ctx.Pool(threads) as pool:
             result_iter = pool.imap(_ccs_chunk, chunks)

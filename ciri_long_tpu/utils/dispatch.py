@@ -39,6 +39,98 @@ def count_dispatch(name):
     return deco
 
 
+def backend_initialized():
+    """Whether any jax backend has already initialised in this process,
+    WITHOUT triggering initialisation.  Conservative: unknown -> True."""
+    try:
+        from jax._src import xla_bridge as xb
+        return bool(xb._backends)
+    except Exception:
+        return True
+
+
+_WARM_THREAD = None
+
+
+def warm_backend_async():
+    """Initialise the default jax backend on a daemon thread (remote-tunnel
+    backends take ~5-10 s that would otherwise serialise in front of the
+    first device use; pure host backends no-op in microseconds).  Call
+    wait_backend_warm() before any fork-context multiprocessing.Pool:
+    forking while this thread may hold import-machinery or PJRT-plugin
+    locks can leave children with permanently-held mutexes (ADVICE r3)."""
+    global _WARM_THREAD
+    if _WARM_THREAD is not None:
+        return _WARM_THREAD
+    import threading
+
+    def _warm():
+        try:
+            import jax
+            jax.devices()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_warm, daemon=True, name='ciri-backend-warm')
+    t.start()
+    _WARM_THREAD = t
+    return t
+
+
+def wait_backend_warm(timeout=None):
+    """Join the warm-backend thread.  MUST be called before creating any
+    fork-context Pool in a process that called warm_backend_async() --
+    fork safety depends on the locks held at fork time, not on whether
+    the children later touch jax.  No-op when the warm thread was never
+    started.  Returns True when no warm thread is (still) running."""
+    t = _WARM_THREAD
+    if t is None:
+        return True
+    t.join(timeout)
+    return not t.is_alive()
+
+
+def _configured_platform():
+    """The CONFIGURED jax platform string ('default' when unset) -- stable
+    across a process's lifetime regardless of backend initialisation, so
+    it is the right key for cross-process records (_link_identity)."""
+    try:
+        import jax
+        plat = jax.config.jax_platforms
+    except Exception:
+        plat = None
+    plat = plat or os.environ.get('JAX_PLATFORMS') or 'default'
+    return plat.split(',')[0] or 'default'
+
+
+def resolved_platform():
+    """The jax platform this process is configured for, resolved WITHOUT
+    initialising a backend: the actually-initialised backend name when one
+    exists, else the configured jax_platforms / JAX_PLATFORMS value, else
+    'default' (= whatever PJRT plugin registers first, the tunnel TPU on
+    this box)."""
+    try:
+        from jax._src import xla_bridge as xb
+        if xb._backends:
+            return sorted(xb._backends)[0]
+    except Exception:
+        pass
+    return _configured_platform()
+
+
+def _machine_fingerprint():
+    """Short hash of the machine-relevant XLA configuration.  Cache dirs
+    are suffixed with it because jax's persistent-cache deserializer
+    segfaults on machine-feature mismatches between entries written under
+    different XLA_FLAGS (e.g. --xla_force_host_platform_device_count=8 vs
+    plain CPU) -- see tests/conftest.py's jax_cache_cpu8 dir."""
+    flags = os.environ.get('XLA_FLAGS', '')
+    if not flags:
+        return ''
+    import hashlib
+    return '_' + hashlib.sha1(flags.encode()).hexdigest()[:8]
+
+
 def ensure_compile_cache(base_dir=None):
     """Enable the persistent XLA compile cache with settings that work on
     REMOTE (axon-tunnel) backends.
@@ -58,13 +150,13 @@ def ensure_compile_cache(base_dir=None):
     # resolve the platform WITHOUT jax.default_backend(): that call
     # INITIALISES the backend (~5-10 s synchronously through the
     # tunnel), which would serialise in front of all host-side work
-    plat = (jax.config.jax_platforms or os.environ.get('JAX_PLATFORMS')
-            or 'default').split(',')[0] or 'default'
+    plat = resolved_platform()
     cache = os.environ.get('JAX_COMPILATION_CACHE_DIR')
     if cache is None:
         base = base_dir or os.path.join(os.path.expanduser('~'), '.cache',
                                         'ciri_long_tpu')
-        cache = os.path.join(base, 'jax_cache_' + plat)
+        cache = os.path.join(base, 'jax_cache_' + plat
+                             + _machine_fingerprint())
         os.makedirs(cache, exist_ok=True)
     try:
         jax.config.update('jax_compilation_cache_dir', cache)
@@ -89,11 +181,23 @@ def _rtt_cache_path():
                         'ciri_long_tpu', 'device_rtt.json')
 
 
+def _link_identity():
+    """Cheap identity of the device link, computable WITHOUT initialising a
+    backend: configured platform + the axon tunnel's pool env.  Persisted
+    RTT records are keyed by it so a changed link (tunnel replaced by a
+    locally attached chip, or vice versa) invalidates the record and
+    triggers a live re-probe instead of silently routing stages to the
+    wrong side for up to 24 h (ADVICE r3)."""
+    return (_configured_platform() + '|'
+            + os.environ.get('PALLAS_AXON_POOL_IPS', ''))
+
+
 def cached_rtt_ms(max_age_s=86400.0):
-    """Last persisted device RTT (ms) WITHOUT touching jax -- lets a new
-    process decide its backend before any device initialises (flipping
-    jax_platforms after the first device use is too late).  None when
-    never measured or stale.  CIRI_DEVICE_RTT_MS overrides."""
+    """Last persisted device RTT (ms) WITHOUT initialising a backend --
+    lets a new process decide its backend before any device initialises
+    (flipping jax_platforms after the first device use is too late).
+    None when never measured, stale, or measured over a DIFFERENT link
+    (see _link_identity).  CIRI_DEVICE_RTT_MS overrides."""
     env = os.environ.get('CIRI_DEVICE_RTT_MS')
     if env:
         return float(env)
@@ -101,7 +205,8 @@ def cached_rtt_ms(max_age_s=86400.0):
         import json
         with open(_rtt_cache_path()) as f:
             rec = json.load(f)
-        if time.time() - rec['ts'] <= max_age_s:
+        if (time.time() - rec['ts'] <= max_age_s
+                and rec.get('link') == _link_identity()):
             return float(rec['rtt_ms'])
     except Exception:
         pass
@@ -141,11 +246,31 @@ def device_rtt_ms(force=False):
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + '.tmp.%d' % os.getpid()
             with open(tmp, 'w') as f:
-                json.dump({'rtt_ms': _RTT_MS, 'ts': time.time()}, f)
+                json.dump({'rtt_ms': _RTT_MS, 'ts': time.time(),
+                           'link': _link_identity()}, f)
             os.replace(tmp, path)
         except OSError:
             pass
     return _RTT_MS
+
+
+def low_rtt_device_ready(threshold_ms=5.0):
+    """True when a non-CPU backend over a LOCAL-grade link (< threshold_ms
+    RTT) is known to be available WITHOUT paying a synchronous backend
+    initialisation to find out: the persisted RTT record decides when
+    fresh; a live probe runs only when a backend is already up; a cold
+    cache with no backend answers False (conservative -- the host path).
+    The device-offload auto-gates key off this.  CIRI_DEVICE_RTT_MS pins
+    the decision either way."""
+    rtt = cached_rtt_ms()
+    if rtt is None:
+        if not backend_initialized():
+            return False
+        rtt = device_rtt_ms()
+    if rtt >= threshold_ms:
+        return False
+    import jax
+    return jax.default_backend() != 'cpu'
 
 
 def report(out=None):

@@ -18,12 +18,23 @@ def test_cached_rtt_roundtrip(tmp_path, monkeypatch):
                         lambda: str(tmp_path / 'rtt.json'))
     monkeypatch.delenv('CIRI_DEVICE_RTT_MS', raising=False)
     assert dispatch.cached_rtt_ms() is None
+    link = dispatch._link_identity()
+    with open(tmp_path / 'rtt.json', 'w') as f:
+        json.dump({'rtt_ms': 37.2, 'ts': time.time(), 'link': link}, f)
+    assert dispatch.cached_rtt_ms() == 37.2
+    # records measured over a DIFFERENT link are ignored (ADVICE r3: a
+    # tunnel swapped for a local chip must trigger a live re-probe)
+    with open(tmp_path / 'rtt.json', 'w') as f:
+        json.dump({'rtt_ms': 37.2, 'ts': time.time(),
+                   'link': link + '|other'}, f)
+    assert dispatch.cached_rtt_ms() is None
+    # legacy records without a link key are ignored too
     with open(tmp_path / 'rtt.json', 'w') as f:
         json.dump({'rtt_ms': 37.2, 'ts': time.time()}, f)
-    assert dispatch.cached_rtt_ms() == 37.2
+    assert dispatch.cached_rtt_ms() is None
     # stale entries are ignored
     with open(tmp_path / 'rtt.json', 'w') as f:
-        json.dump({'rtt_ms': 37.2, 'ts': time.time() - 1e6}, f)
+        json.dump({'rtt_ms': 37.2, 'ts': time.time() - 1e6, 'link': link}, f)
     assert dispatch.cached_rtt_ms() is None
     # env pin wins without a file
     monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '3.5')
@@ -53,8 +64,18 @@ def test_ensure_compile_cache_dirs(tmp_path, monkeypatch):
 
     monkeypatch.delenv('JAX_COMPILATION_CACHE_DIR', raising=False)
     got = dispatch.ensure_compile_cache(base_dir=str(tmp_path))
-    assert got == str(tmp_path / ('jax_cache_' + jax.default_backend()))
+    # per-backend prefix + machine-config fingerprint (ADVICE r3: CPU
+    # processes with different XLA_FLAGS must not share a dir)
+    assert got.startswith(
+        str(tmp_path / ('jax_cache_' + jax.default_backend())))
     assert os.path.isdir(got)
+    flags = os.environ.get('XLA_FLAGS', '')
+    monkeypatch.setenv(
+        'XLA_FLAGS', flags + ' --xla_force_host_platform_device_count=8')
+    other = dispatch.ensure_compile_cache(base_dir=str(tmp_path))
+    assert other != got
+    monkeypatch.setenv('XLA_FLAGS', flags) if flags else \
+        monkeypatch.delenv('XLA_FLAGS', raising=False)
     monkeypatch.setenv('JAX_COMPILATION_CACHE_DIR', str(tmp_path / 'pin'))
     assert dispatch.ensure_compile_cache() == str(tmp_path / 'pin')
 

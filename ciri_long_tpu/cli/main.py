@@ -152,6 +152,14 @@ def call(args):
     from ciri_long_tpu.utils.dispatch import warm_backend_async
     warm_backend_async()
 
+    # Serial (-t 1) runs hand the idle cores to the native select+stitch
+    # batch core (nwcore.cpp threads across reads inside one GIL-released
+    # call); pooled runs keep it single-threaded per worker -- the spawn
+    # pool already owns the cores.  User-set values are respected.
+    if 'CIRI_SELECT_THREADS' not in os.environ:
+        os.environ['CIRI_SELECT_THREADS'] = str(
+            max(1, (os.cpu_count() or 1)) if args.threads <= 1 else 1)
+
     logger = get_logger('CIRI-long', fname='{}/{}.log'.format(out_dir, prefix),
                         verbosity=debugging)
     logger.info('=== run configuration ===')

@@ -45,8 +45,10 @@ EXT_SCORES = dict(match=2, mismatch=4, gap_open=8, gap_extend=2, zdrop=100)
 try:
     from ciri_long_tpu import _nwcore as _nwc
     _STITCH_NATIVE = getattr(_nwc, 'stitch', None)
+    _SELECT_NATIVE = getattr(_nwc, 'select_stitch_batch', None)
 except ImportError:
     _STITCH_NATIVE = None
+    _SELECT_NATIVE = None
 
 
 def _genome_fingerprint(genome: Genome):
@@ -95,6 +97,8 @@ class GenomeAligner:
         # contig id per global position for cross-contig chain rejection
         self._ctg_starts = np.array(
             [genome.offsets[n] for n in genome.names], np.int64)
+        self._ctg_lens = np.array(
+            [genome.contig_len[n] for n in genome.names], np.int64)
 
     # ------------------------------------------------------------------
     def map(self, seq, secondary: bool = False) -> List[Hit]:
@@ -324,9 +328,88 @@ class GenomeAligner:
                     qs, qe = qlen - qe, qlen - qs
                 cands_by_read.setdefault(bi, []).append(
                     (score, qs, qe, strand, r, q, idx, qc))
-        for bi, cands in cands_by_read.items():
-            results[bi] = self._select_and_stitch(cands, per_read[bi][1])
+        batched = self._select_and_stitch_batch(cands_by_read, per_read)
+        if batched is not None:
+            for bi, hits in batched.items():
+                results[bi] = hits
+        else:
+            for bi, cands in cands_by_read.items():
+                results[bi] = self._select_and_stitch(cands, per_read[bi][1])
         return results
+
+    def _select_and_stitch_batch(self, cands_by_read, per_read):
+        """One native call for the whole chunk's selection+stitching
+        (native/nwcore.cpp::select_stitch_batch) -- removes the per-read
+        Python glue of _select_and_stitch/_stitch, the dominant host cost
+        of the scan stage (~19k stitch calls + wrappers at 3.1k reads).
+        Byte-identical to the per-read path (tests/test_select_native.py);
+        returns None to fall back when the native core is absent, the
+        genome is 2-bit packed (the per-candidate window decode stays on
+        the scalar path), or CIRI_NATIVE_STITCH/SELECT disable it."""
+        import os
+        if (_SELECT_NATIVE is None or self.genome.codes is None
+                or os.environ.get('CIRI_NATIVE_STITCH', '1') in
+                ('0', 'false', '')
+                or os.environ.get('CIRI_NATIVE_SELECT', '1') in
+                ('0', 'false', '')):
+            return None
+        reads = list(cands_by_read)
+        if not reads:
+            return {}
+        qoff = [0]
+        qcat = []
+        cand_off = [0]
+        scores, qss, qes, strands = [], [], [], []
+        anc_off = [0]
+        anc_r, anc_q = [], []
+        for bi in reads:
+            codes, _qlen = per_read[bi]
+            qcat.append(np.ascontiguousarray(codes, np.int8))
+            qoff.append(qoff[-1] + len(codes))
+            cands = cands_by_read[bi]
+            cand_off.append(cand_off[-1] + len(cands))
+            for score, qs, qe, strand, r, q, idx, _qc in cands:
+                scores.append(float(score))
+                qss.append(qs)
+                qes.append(qe)
+                strands.append(strand)
+                anc_r.append(np.asarray(r, np.int64)[idx])
+                anc_q.append(np.asarray(q, np.int64)[idx])
+                anc_off.append(anc_off[-1] + len(idx))
+        out = _SELECT_NATIVE(
+            np.concatenate(qcat) if qcat else np.zeros(0, np.int8),
+            np.asarray(qoff, np.int64),
+            self.genome.codes,
+            self._ctg_starts, self._ctg_lens,
+            np.asarray(cand_off, np.int64),
+            np.asarray(scores, np.float64),
+            np.asarray(qss, np.int32), np.asarray(qes, np.int32),
+            np.asarray(strands, np.int8),
+            np.asarray(anc_off, np.int64),
+            np.concatenate(anc_r) if anc_r else np.zeros(0, np.int64),
+            np.concatenate(anc_q) if anc_q else np.zeros(0, np.int64),
+            MAX_HITS, self.k, MIN_INTRON, self.SPLICE_BONUS, EXT_CAP,
+            2, 4, 4, 2,
+            EXT_SCORES['match'], EXT_SCORES['mismatch'],
+            EXT_SCORES['gap_open'], EXT_SCORES['gap_extend'],
+            EXT_SCORES['zdrop'],
+            int(os.environ.get('CIRI_SELECT_THREADS', '1')))
+        names = self.genome.names
+        batched = {}
+        for pos, bi in enumerate(reads):
+            hits = []
+            for (ci, strand, oq_st, oq_en, local_st, local_en1, mlen,
+                 blen, score, mapq, cig) in out[pos]:
+                name = names[ci]
+                ops = np.frombuffer(cig, np.uint32)
+                cigar = list(zip((ops >> 4).tolist(), (ops & 0xF).tolist()))
+                hits.append(Hit(ctg=name, strand=strand, q_st=oq_st,
+                                q_en=oq_en, r_st=local_st, r_en=local_en1,
+                                mlen=mlen, blen=blen, cigar=cigar,
+                                is_primary=1, score=score, mapq=mapq,
+                                ctg_len=self.genome.contig_len[name]))
+            batched[bi] = hits
+        return batched
 
     # ------------------------------------------------------------------
     def _anchors(self, codes, qlen):

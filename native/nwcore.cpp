@@ -31,9 +31,11 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <memory>
+#include <thread>
 #include <vector>
 
 #include "simd_scan.h"
@@ -782,40 +784,37 @@ PyObject* py_prefix_matrix(PyObject*, PyObject* args) {
 }
 
 // ---------------------------------------------------------------------------
-// stitch(qc, gcodes, r_i64, q_i64, k, ctg_lo, ctg_hi, min_intron,
-//        splice_bonus, ext_cap,
-//        nw_match, nw_mismatch, nw_go, nw_ge,
-//        ext_match, ext_mismatch, ext_go, ext_ge, ext_zdrop)
-//   -> (q_st, r_st, q_en, r_en, mlen, blen, cigar_u32_bytes)
-//
-// Native twin of models/aligner.py::_stitch_py: r/q are the chain's
-// global-reference / query anchor starts, qc the (strand-oriented) query
-// codes, gcodes the whole packed genome; [ctg_lo, ctg_hi) bound the end
-// extensions to the anchor contig.  Coordinates returned are global; the
-// Python wrapper maps them to contig-local Hit fields.
-PyObject* py_stitch(PyObject*, PyObject* args) {
-  Py_buffer qc_b, g_b, r_b, q_b;
+// The whole GenomeAligner._stitch inner loop as one reusable core:
+// inter-anchor gap cigars, gapped splice-junction placement, both-end
+// z-drop extensions and match counting.  Shared by py_stitch (one chain)
+// and py_select_stitch_batch (a whole chunk's chains).
+struct StitchParams {
   int k, min_intron, bonus, ext_cap;
-  long long ctg_lo, ctg_hi;
   int nw_m, nw_x, nw_go, nw_ge;
   int ex_m, ex_x, ex_go, ex_ge, ex_z;
-  if (!PyArg_ParseTuple(args, "y*y*y*y*iLLiii" "iiii" "iiiii", &qc_b, &g_b,
-                        &r_b, &q_b, &k, &ctg_lo, &ctg_hi, &min_intron,
-                        &bonus, &ext_cap, &nw_m, &nw_x, &nw_go, &nw_ge,
-                        &ex_m, &ex_x, &ex_go, &ex_ge, &ex_z)) {
-    return nullptr;
-  }
-  const uint8_t* qc = static_cast<const uint8_t*>(qc_b.buf);
-  const int64_t qlen = qc_b.len;
-  const uint8_t* g = static_cast<const uint8_t*>(g_b.buf);
-  const int64_t* r = static_cast<const int64_t*>(r_b.buf);
-  const int64_t* q = static_cast<const int64_t*>(q_b.buf);
-  const int64_t na = r_b.len / static_cast<int64_t>(sizeof(int64_t));
+};
 
+struct StitchResult {
+  int64_t q_st, r_st, q_en, r_en, mlen, blen;
   Cigar cigar;
+};
+
+void stitch_one(const uint8_t* qc, int64_t qlen, const uint8_t* g,
+                const int64_t* r, const int64_t* q, int64_t na,
+                int64_t ctg_lo, int64_t ctg_hi, const StitchParams& P,
+                StitchResult* out) {
+  const int k = P.k;
+  const int min_intron = P.min_intron;
+  const int bonus = P.bonus;
+  const int ext_cap = P.ext_cap;
+  const int nw_m = P.nw_m, nw_x = P.nw_x, nw_go = P.nw_go, nw_ge = P.nw_ge;
+  const int ex_m = P.ex_m, ex_x = P.ex_x, ex_go = P.ex_go, ex_ge = P.ex_ge,
+            ex_z = P.ex_z;
+  Cigar& cigar = out->cigar;
+  cigar.ops.clear();
   int64_t q_st = 0, r_st = 0, q_en = 0, r_en = 0;
   int64_t mlen = 0, blen = 0;
-  Py_BEGIN_ALLOW_THREADS {
+  {
     std::vector<uint32_t> runs;
     int32_t sc;
     int64_t q_cur = q[0], r_cur = r[0];
@@ -933,6 +932,45 @@ PyObject* py_stitch(PyObject*, PyObject* args) {
       }
     }
   }
+  out->q_st = q_st;
+  out->r_st = r_st;
+  out->q_en = q_en;
+  out->r_en = r_en;
+  out->mlen = mlen;
+  out->blen = blen;
+}
+
+// ---------------------------------------------------------------------------
+// stitch(qc, gcodes, r_i64, q_i64, k, ctg_lo, ctg_hi, min_intron,
+//        splice_bonus, ext_cap,
+//        nw_match, nw_mismatch, nw_go, nw_ge,
+//        ext_match, ext_mismatch, ext_go, ext_ge, ext_zdrop)
+//   -> (q_st, r_st, q_en, r_en, mlen, blen, cigar_u32_bytes)
+//
+// Native twin of models/aligner.py::_stitch_py: r/q are the chain's
+// global-reference / query anchor starts, qc the (strand-oriented) query
+// codes, gcodes the whole packed genome; [ctg_lo, ctg_hi) bound the end
+// extensions to the anchor contig.  Coordinates returned are global; the
+// Python wrapper maps them to contig-local Hit fields.
+PyObject* py_stitch(PyObject*, PyObject* args) {
+  Py_buffer qc_b, g_b, r_b, q_b;
+  StitchParams P;
+  long long ctg_lo, ctg_hi;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*iLLiii" "iiii" "iiiii", &qc_b, &g_b,
+                        &r_b, &q_b, &P.k, &ctg_lo, &ctg_hi, &P.min_intron,
+                        &P.bonus, &P.ext_cap, &P.nw_m, &P.nw_x, &P.nw_go,
+                        &P.nw_ge, &P.ex_m, &P.ex_x, &P.ex_go, &P.ex_ge,
+                        &P.ex_z)) {
+    return nullptr;
+  }
+  StitchResult res;
+  Py_BEGIN_ALLOW_THREADS
+  stitch_one(static_cast<const uint8_t*>(qc_b.buf), qc_b.len,
+             static_cast<const uint8_t*>(g_b.buf),
+             static_cast<const int64_t*>(r_b.buf),
+             static_cast<const int64_t*>(q_b.buf),
+             r_b.len / static_cast<int64_t>(sizeof(int64_t)), ctg_lo, ctg_hi,
+             P, &res);
   Py_END_ALLOW_THREADS
 
   PyBuffer_Release(&qc_b);
@@ -940,13 +978,318 @@ PyObject* py_stitch(PyObject*, PyObject* args) {
   PyBuffer_Release(&r_b);
   PyBuffer_Release(&q_b);
   static const char kEmpty[] = "";
-  const char* data = cigar.ops.empty()
+  const char* data = res.cigar.ops.empty()
                          ? kEmpty
-                         : reinterpret_cast<const char*>(cigar.ops.data());
-  return Py_BuildValue("(LLLLLLy#)", (long long)q_st, (long long)r_st,
-                       (long long)q_en, (long long)r_en, (long long)mlen,
-                       (long long)blen, data,
-                       (Py_ssize_t)(cigar.ops.size() * sizeof(uint32_t)));
+                         : reinterpret_cast<const char*>(res.cigar.ops.data());
+  return Py_BuildValue("(LLLLLLy#)", (long long)res.q_st, (long long)res.r_st,
+                       (long long)res.q_en, (long long)res.r_en,
+                       (long long)res.mlen, (long long)res.blen, data,
+                       (Py_ssize_t)(res.cigar.ops.size() * sizeof(uint32_t)));
+}
+
+// ---------------------------------------------------------------------------
+// select_stitch_batch: GenomeAligner._select_and_stitch (secondary=False)
+// for a whole chunk of reads in one call -- chain selection by query-
+// extent overlap, stitching of the survivors via stitch_one, the mapq
+// uniqueness model and the final score sort, all at C++ speed with the
+// GIL released (reference roles: minimap2's mm_set_parent/mm_mapq +
+// ksw2 gap filling; Python oracle models/aligner.py:130-206, parity
+// fuzz tests/test_select_native.py).
+//
+// select_stitch_batch(qcodes, qoff_i64[R+1], gcodes,
+//                     ctg_starts_i64[n], ctg_lens_i64[n],
+//                     cand_off_i64[R+1], cand_score_f64[C],
+//                     cand_qs_i32[C], cand_qe_i32[C], cand_strand_i8[C],
+//                     anc_off_i64[C+1], anc_r_i64[sumA], anc_q_i64[sumA],
+//                     max_hits, k, ctg-independent stitch params...,
+//                     n_threads)
+//   -> [ [ (ctg_idx, strand, q_st, q_en, r_st, r_en, mlen, blen,
+//           score, mapq, cigar_u32_bytes), ... ]  per read ]
+//
+// Coordinates in the result are contig-local and strand-oriented,
+// exactly the Hit fields; candidate order within a read must match the
+// Python path's insertion order (stable sort reproduces CPython's
+// list.sort tie behavior).
+namespace selstitch {
+
+struct HitRec {
+  int ctg;
+  int64_t oq_st, oq_en, local_st, local_en1, mlen, blen;
+  double score;
+  int mapq;
+  // pre-stitch winner reference span for the mapq credit test
+  int64_t w_lo, w_hi;
+  int strand;
+  Cigar cigar;
+};
+
+struct Inputs {
+  const int8_t* qcodes;
+  const int64_t* qoff;
+  const uint8_t* g;
+  const int64_t* ctg_starts;
+  const int64_t* ctg_lens;
+  int64_t n_ctg;
+  const int64_t* cand_off;
+  const double* score;
+  const int32_t* qs;
+  const int32_t* qe;
+  const int8_t* strand;
+  const int64_t* anc_off;
+  const int64_t* anc_r;
+  const int64_t* anc_q;
+  int max_hits;
+  StitchParams P;
+};
+
+// genome.locate twin (io/genome.py:250-268): bisect_right(starts)-1
+// with the local < contig_len validity check; returns contig index or
+// -1, local position via *local (-1 when invalid, matching Python's
+// (None, -1) tuple whose local the caller may still consume).
+int locate(const Inputs& in, int64_t gpos, int64_t* local) {
+  const int64_t* s = in.ctg_starts;
+  int64_t i = std::upper_bound(s, s + in.n_ctg, gpos) - s - 1;
+  if (i < 0) {
+    *local = -1;
+    return -1;
+  }
+  int64_t loc = gpos - s[i];
+  if (loc >= in.ctg_lens[i]) {
+    *local = -1;
+    return -1;
+  }
+  *local = loc;
+  return static_cast<int>(i);
+}
+
+void select_read(const Inputs& in, int64_t ri, std::vector<HitRec>* out) {
+  const int64_t c0 = in.cand_off[ri], c1 = in.cand_off[ri + 1];
+  const int64_t n = c1 - c0;
+  if (n <= 0) return;
+  const int64_t q0 = in.qoff[ri];
+  const int64_t qlen = in.qoff[ri + 1] - q0;
+  const uint8_t* qc_fwd = reinterpret_cast<const uint8_t*>(in.qcodes) + q0;
+  std::vector<uint8_t> rc;  // lazily-built reverse complement
+
+  // stable sort desc by score == CPython list.sort(reverse=True)
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = c0 + i;
+  std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return in.score[a] > in.score[b];
+  });
+
+  std::vector<HitRec>& selected = *out;
+  std::vector<double> sub_best;
+  StitchResult res;
+
+  // credit(): a masked candidate raises the winner's s2 only when it is
+  // a genuinely different placement (models/aligner.py:147-160)
+  auto credit = [&](size_t si, int64_t ci) {
+    const int64_t a0 = in.anc_off[ci];
+    const int64_t na = in.anc_off[ci + 1] - a0;
+    const int64_t c_lo = in.anc_r[a0];
+    const int64_t c_hi = in.anc_r[a0 + na - 1] + in.P.k;
+    const HitRec& w = selected[si];
+    const bool alt = (in.strand[ci] != w.strand) ||
+                     (std::min(c_hi, w.w_hi) <= std::max(c_lo, w.w_lo));
+    if (alt) sub_best[si] = std::max(sub_best[si], in.score[ci]);
+  };
+
+  for (int64_t oi = 0; oi < n; ++oi) {
+    const int64_t ci = order[oi];
+    if (static_cast<int>(selected.size()) >= in.max_hits) break;
+    const int64_t qs = in.qs[ci], qe = in.qe[ci];
+    // pre-stitch extent check against the stitched spans of the winners
+    ptrdiff_t clash = -1;
+    for (size_t si = 0; si < selected.size(); ++si) {
+      const int64_t ov = std::min(qe, selected[si].oq_en) -
+                         std::max(qs, selected[si].oq_st);
+      if (2 * ov > std::min(qe - qs, selected[si].oq_en - selected[si].oq_st)) {
+        clash = static_cast<ptrdiff_t>(si);
+        break;
+      }
+    }
+    if (clash >= 0) {
+      credit(static_cast<size_t>(clash), ci);
+      continue;
+    }
+    // ---- stitch (models/aligner.py::_stitch native path, g_base 0)
+    const int64_t a0 = in.anc_off[ci];
+    const int64_t na = in.anc_off[ci + 1] - a0;
+    const int64_t* r = in.anc_r + a0;
+    const int64_t* q = in.anc_q + a0;
+    int64_t unused;
+    const int ctg = locate(in, r[0], &unused);
+    if (ctg < 0) continue;  // hit is None: skipped with NO credit
+    const int64_t ctg_lo = in.ctg_starts[ctg];
+    const int64_t ctg_hi = ctg_lo + in.ctg_lens[ctg];
+    const uint8_t* qc = qc_fwd;
+    if (in.strand[ci] < 0) {
+      if (rc.empty() && qlen > 0) {
+        static const uint8_t comp[6] = {3, 2, 1, 0, 4, 5};
+        rc.resize(qlen);
+        for (int64_t i = 0; i < qlen; ++i) rc[i] = comp[qc_fwd[qlen - 1 - i]];
+      }
+      qc = rc.data();
+    }
+    stitch_one(qc, qlen, in.g, r, q, na, ctg_lo, ctg_hi, in.P, &res);
+    int64_t local_st, local_en;
+    const int ctg2 = locate(in, res.r_st, &local_st);
+    if (ctg2 != ctg) continue;  // crossed a contig: None, no credit
+    locate(in, res.r_en - 1, &local_en);
+    const int64_t oq_st = in.strand[ci] > 0 ? res.q_st : qlen - res.q_en;
+    const int64_t oq_en = in.strand[ci] > 0 ? res.q_en : qlen - res.q_st;
+    // re-check with the stitched (extended) extent
+    clash = -1;
+    for (size_t si = 0; si < selected.size(); ++si) {
+      const int64_t ov =
+          std::min(oq_en, selected[si].oq_en) - std::max(oq_st, selected[si].oq_st);
+      if (2 * ov >
+          std::min(oq_en - oq_st, selected[si].oq_en - selected[si].oq_st)) {
+        clash = static_cast<ptrdiff_t>(si);
+        break;
+      }
+    }
+    if (clash >= 0) {
+      credit(static_cast<size_t>(clash), ci);
+      continue;
+    }
+    HitRec h;
+    h.ctg = ctg;
+    h.strand = in.strand[ci];
+    h.oq_st = oq_st;
+    h.oq_en = oq_en;
+    h.local_st = local_st;
+    h.local_en1 = local_en + 1;
+    h.mlen = res.mlen;
+    h.blen = res.blen;
+    h.score = in.score[ci];
+    h.mapq = 60;
+    h.w_lo = r[0];
+    h.w_hi = r[na - 1] + in.P.k;
+    h.cigar.ops.swap(res.cigar.ops);
+    selected.push_back(std::move(h));
+    sub_best.push_back(0.0);
+  }
+  // mapq uniqueness model (models/aligner.py:193-196)
+  for (size_t si = 0; si < selected.size(); ++si) {
+    const double s2 = sub_best[si];
+    if (s2 <= 0) {
+      selected[si].mapq = 60;
+    } else {
+      const double s1 = std::max(selected[si].score, 1e-9);
+      const int m = static_cast<int>(40.0 * (1.0 - s2 / s1));
+      selected[si].mapq = std::max(0, std::min(60, m));
+    }
+  }
+  std::stable_sort(selected.begin(), selected.end(),
+                   [](const HitRec& a, const HitRec& b) {
+                     return a.score > b.score;
+                   });
+}
+
+}  // namespace selstitch
+
+PyObject* py_select_stitch_batch(PyObject*, PyObject* args) {
+  Py_buffer qc_b, qoff_b, g_b, cs_b, cl_b, co_b, sc_b, qs_b, qe_b, st_b,
+      ao_b, ar_b, aq_b;
+  selstitch::Inputs in;
+  int n_threads;
+  if (!PyArg_ParseTuple(
+          args, "y*y*y*y*y*y*y*y*y*y*y*y*y*ii" "iii" "iiii" "iiiiii",
+          &qc_b, &qoff_b, &g_b, &cs_b, &cl_b, &co_b, &sc_b, &qs_b, &qe_b,
+          &st_b, &ao_b, &ar_b, &aq_b, &in.max_hits, &in.P.k,
+          &in.P.min_intron, &in.P.bonus, &in.P.ext_cap, &in.P.nw_m,
+          &in.P.nw_x, &in.P.nw_go, &in.P.nw_ge, &in.P.ex_m, &in.P.ex_x,
+          &in.P.ex_go, &in.P.ex_ge, &in.P.ex_z, &n_threads)) {
+    return nullptr;
+  }
+  in.qcodes = static_cast<const int8_t*>(qc_b.buf);
+  in.qoff = static_cast<const int64_t*>(qoff_b.buf);
+  in.g = static_cast<const uint8_t*>(g_b.buf);
+  in.ctg_starts = static_cast<const int64_t*>(cs_b.buf);
+  in.ctg_lens = static_cast<const int64_t*>(cl_b.buf);
+  in.n_ctg = cs_b.len / static_cast<int64_t>(sizeof(int64_t));
+  in.cand_off = static_cast<const int64_t*>(co_b.buf);
+  in.score = static_cast<const double*>(sc_b.buf);
+  in.qs = static_cast<const int32_t*>(qs_b.buf);
+  in.qe = static_cast<const int32_t*>(qe_b.buf);
+  in.strand = static_cast<const int8_t*>(st_b.buf);
+  in.anc_off = static_cast<const int64_t*>(ao_b.buf);
+  in.anc_r = static_cast<const int64_t*>(ar_b.buf);
+  in.anc_q = static_cast<const int64_t*>(aq_b.buf);
+  const int64_t n_reads =
+      qoff_b.len / static_cast<int64_t>(sizeof(int64_t)) - 1;
+
+  std::vector<std::vector<selstitch::HitRec>> results(
+      std::max<int64_t>(n_reads, 0));
+  Py_BEGIN_ALLOW_THREADS {
+    if (n_threads > 1 && n_reads > 1) {
+      std::atomic<int64_t> next(0);
+      auto worker = [&]() {
+        for (;;) {
+          const int64_t ri = next.fetch_add(1);
+          if (ri >= n_reads) break;
+          selstitch::select_read(in, ri, &results[ri]);
+        }
+      };
+      std::vector<std::thread> pool;
+      const int nt = std::min<int64_t>(n_threads, n_reads);
+      pool.reserve(nt);
+      for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+      for (auto& th : pool) th.join();
+    } else {
+      for (int64_t ri = 0; ri < n_reads; ++ri) {
+        selstitch::select_read(in, ri, &results[ri]);
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&qc_b);
+  PyBuffer_Release(&qoff_b);
+  PyBuffer_Release(&g_b);
+  PyBuffer_Release(&cs_b);
+  PyBuffer_Release(&cl_b);
+  PyBuffer_Release(&co_b);
+  PyBuffer_Release(&sc_b);
+  PyBuffer_Release(&qs_b);
+  PyBuffer_Release(&qe_b);
+  PyBuffer_Release(&st_b);
+  PyBuffer_Release(&ao_b);
+  PyBuffer_Release(&ar_b);
+  PyBuffer_Release(&aq_b);
+
+  PyObject* outer = PyList_New(results.size());
+  if (!outer) return nullptr;
+  static const char kEmpty[] = "";
+  for (size_t ri = 0; ri < results.size(); ++ri) {
+    PyObject* inner = PyList_New(results[ri].size());
+    if (!inner) {
+      Py_DECREF(outer);
+      return nullptr;
+    }
+    for (size_t hi = 0; hi < results[ri].size(); ++hi) {
+      const selstitch::HitRec& h = results[ri][hi];
+      const char* data =
+          h.cigar.ops.empty()
+              ? kEmpty
+              : reinterpret_cast<const char*>(h.cigar.ops.data());
+      PyObject* t = Py_BuildValue(
+          "(iiLLLLLLdiy#)", h.ctg, h.strand, (long long)h.oq_st,
+          (long long)h.oq_en, (long long)h.local_st, (long long)h.local_en1,
+          (long long)h.mlen, (long long)h.blen, h.score, h.mapq, data,
+          (Py_ssize_t)(h.cigar.ops.size() * sizeof(uint32_t)));
+      if (!t) {
+        Py_DECREF(inner);
+        Py_DECREF(outer);
+        return nullptr;
+      }
+      PyList_SET_ITEM(inner, hi, t);
+    }
+    PyList_SET_ITEM(outer, ri, inner);
+  }
+  return outer;
 }
 
 // center_star(units_i8_concat, offsets_i64[U+1], match, mismatch,
@@ -1131,6 +1474,11 @@ PyMethodDef kMethods[] = {
      "stitch(qc, gcodes, r_i64, q_i64, k, ctg_lo, ctg_hi, min_intron, "
      "splice_bonus, ext_cap, nw_scores x4, ext_scores x5) -> "
      "(q_st, r_st, q_en, r_en, mlen, blen, cigar_u32_bytes)"},
+    {"select_stitch_batch", py_select_stitch_batch, METH_VARARGS,
+     "select_stitch_batch(qcodes, qoff, gcodes, ctg_starts, ctg_lens, "
+     "cand_off, cand_score, cand_qs, cand_qe, cand_strand, anc_off, "
+     "anc_r, anc_q, max_hits, k, min_intron, splice_bonus, ext_cap, "
+     "nw_scores x4, ext_scores x5, n_threads) -> per-read hit tuples"},
     {nullptr, nullptr, 0, nullptr},
 };
 

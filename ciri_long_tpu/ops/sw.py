@@ -324,6 +324,87 @@ def sw_window_align(query, ref, params: SWParams, chunk=16384):
             int(starts[w]) + r_begin, int(starts[w]) + int(r_end[w]))
 
 
+_WINDOW_ROW_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def sw_window_align_many(pairs, params: SWParams, chunk=16384):
+    """Batched sw_window_align: EVERY pair's window chunks stack into one
+    SW batch (cross-read chaining of the reference's +-200 kb clip
+    windows, find_bsj.py:196-215).  A single read's window only yields
+    ~25 chunk rows -- too few to fill the device or engage the chained
+    wavefront route -- but a whole scan chunk's long-window rows together
+    form hundreds, amortising one dispatch over all reads.
+
+    Per-pair results are identical to sw_window_align(query, ref,
+    params): rows are independent, PAD(5)-padding cannot change a row's
+    outcome, and the per-item winner rule (max score, then smallest
+    global r_end, then smallest q_end) is the same.  sw_align_batch
+    fuses the forward ends and reverse-pass begins per row, so the
+    winner's begins come out of the same single dispatch (the per-item
+    code reverse-passes only the winner; same math, same result).
+
+    Returns a list of (score, q_begin, q_end, r_begin, r_end) int
+    tuples, reference coordinates global to each pair's ``ref``.
+    """
+    if not pairs:
+        return []
+    rows_q, rows_r, row_item, row_gstart = [], [], [], []
+    chunked = []  # did this item take the multi-chunk route?
+    for item, (query, ref) in enumerate(pairs):
+        query = np.asarray(query)
+        ref = np.asarray(ref)
+        Lq, Lr = len(query), len(ref)
+        span_bound = Lq * (1 + params.match // max(1, params.gap_extend)) + 128
+        if Lr <= max(chunk, 2 * span_bound):
+            starts, csize = [0], Lr
+            chunked.append(False)
+        else:
+            overlap = span_bound
+            csize = max(chunk, 4 * overlap)
+            stride = csize - overlap
+            starts = list(range(0, max(1, Lr - overlap), stride))
+            if starts[-1] + csize < Lr:
+                starts.append(Lr - csize)
+            chunked.append(True)
+        for s in starts:
+            rows_q.append(query)
+            rows_r.append(ref[s:s + csize])
+            row_item.append(item)
+            row_gstart.append(s)
+
+    n_rows = len(rows_q)
+    wq = max(len(x) for x in rows_q)
+    wr = max(len(x) for x in rows_r)
+    rows = next((b for b in _WINDOW_ROW_BUCKETS if n_rows <= b), n_rows)
+    qpad = np.full((rows, wq), 5, np.int8)
+    rpad = np.full((rows, wr), 5, np.int8)
+    for t in range(n_rows):
+        qpad[t, :len(rows_q[t])] = rows_q[t]
+        rpad[t, :len(rows_r[t])] = rows_r[t]
+    res = sw_align_batch(qpad, rpad, params)
+    score = np.asarray(res.score)[:n_rows]
+    q_begin = np.asarray(res.query_begin)[:n_rows]
+    q_end = np.asarray(res.query_end)[:n_rows]
+    r_begin = np.asarray(res.ref_begin)[:n_rows]
+    r_end = np.asarray(res.ref_end)[:n_rows]
+    gstart = np.asarray(row_gstart, np.int64)
+    g_end = np.where(score > 0, gstart + r_end, 1 << 60)
+
+    out = []
+    row_item = np.asarray(row_item)
+    for item in range(len(pairs)):
+        mine = np.flatnonzero(row_item == item)
+        order = np.lexsort((q_end[mine], g_end[mine], -score[mine]))
+        w = mine[order[0]]
+        if chunked[item] and score[w] <= 0:
+            out.append((0, -1, -1, -1, -1))
+            continue
+        out.append((int(score[w]), int(q_begin[w]), int(q_end[w]),
+                    int(gstart[w]) + int(r_begin[w]),
+                    int(gstart[w]) + int(r_end[w])))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("L",))
 def _reverse_prefix(x, end, L):
     """x[b, end[b] - t] for t in [0, L); positions past the prefix -> PAD."""

@@ -304,14 +304,25 @@ def align_clip_segments_batch(ctx, items, cfg=DEFAULT.call):
     staged = [_clip_prepare(ctx, circ, hit, cfg) for circ, hit in items]
     out = [None] * len(items)
     sw_rows = []
+    long_rows = []
     for t, st in enumerate(staged):
         if st[0] == 'done':
             out[t] = st[1]
         elif len(st[2]) > 32768:
-            # long window: per-read exact chunked formulation
-            out[t] = _clip_finish(ssw_align(st[1], st[2]), st[3])
+            long_rows.append(t)
         else:
             sw_rows.append(t)
+
+    if long_rows:
+        # long (+-200 kb) windows: ALL reads' window chunks stack into one
+        # cross-read SW batch (ops.sw.sw_window_align_many) -- one read's
+        # ~25 chunks alone under-fill the device; a chunk's worth together
+        # amortise the dispatch and engage the chained-wave route
+        from ciri_long_tpu.ops.sw import sw_window_align_many
+        got = sw_window_align_many(
+            [(staged[t][1], staged[t][2]) for t in long_rows], CLIP_SW)
+        for t, tup in zip(long_rows, got):
+            out[t] = _clip_finish(_SSWRes(*tup), staged[t][3])
 
     if sw_rows:
         queries = [staged[t][1] for t in sw_rows]

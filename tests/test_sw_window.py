@@ -38,3 +38,35 @@ def test_window_align_no_hit(rng):
     q = rng.integers(0, 4, 100).astype(np.int8)
     score, qb, qe, rb, re_ = sw_window_align(q, ref, params, chunk=4096)
     assert score == 0 and rb == -1
+
+def test_window_align_many_matches_single(rng):
+    """Cross-read batched windows (ops.sw.sw_window_align_many) must equal
+    the per-pair sw_window_align result field for field -- the batch only
+    changes padding and dispatch count, never a row's outcome."""
+    from ciri_long_tpu.ops.sw import sw_window_align_many
+
+    params = SWParams(1, 1, 1, 1)
+    pairs = []
+    for t in range(12):
+        Lr = int(rng.integers(3_000, 70_000))
+        ref = rng.integers(0, 4, Lr).astype(np.int8)
+        kind = t % 4
+        if kind == 0:                      # planted exact hit
+            st = int(rng.integers(0, Lr - 400))
+            q = ref[st:st + int(rng.integers(120, 400))].copy()
+        elif kind == 1:                    # noisy hit
+            st = int(rng.integers(0, Lr - 400))
+            q = ref[st:st + 300].copy()
+            mut = rng.integers(0, 300, 30)
+            q[mut] = (q[mut] + 1) % 4
+        elif kind == 2:                    # random query (likely weak hit)
+            q = rng.integers(0, 4, int(rng.integers(50, 200))).astype(np.int8)
+        else:                              # all-N window -> no hit
+            ref = np.full(Lr, 4, np.int8)
+            q = rng.integers(0, 4, 100).astype(np.int8)
+        pairs.append((q, ref))
+
+    got = sw_window_align_many(pairs, params, chunk=4096)
+    for t, (q, ref) in enumerate(pairs):
+        want = sw_window_align(q, ref, params, chunk=4096)
+        assert got[t] == want, f"pair {t}: {got[t]} vs {want}"

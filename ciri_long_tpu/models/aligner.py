@@ -239,21 +239,26 @@ class GenomeAligner:
         if not rows:
             return results
 
-        import jax
-        if jax.default_backend() == 'cpu' and not getattr(
-                self, 'force_device_chain', False):
-            # no device to amortise onto: the C++ chain core beats the
-            # XLA-on-CPU scan; keep the shared backtrack/stitch path
-            # (force_device_chain pins the device branch for parity tests)
-            chains = []
+        def _host_chains():
+            # the C++ chain core over real (unpadded) lengths
+            got = []
             for bi, strand, r, q in rows:
                 ctg_id = np.searchsorted(self._ctg_starts, r, side='right') - 1
                 f, pre = self._chain_dp(r, q, ctg_id, self.cfg.max_gap_ref,
                                         5000)
-                chains.append(backtrack_chains(
+                got.append(backtrack_chains(
                     f[None, :], pre[None, :],
                     np.ones((1, len(r)), bool), self.min_chain_score,
                     self.min_chain_anchors, 2 * MAX_HITS)[0])
+            return got
+
+        import jax
+        force_device = getattr(self, 'force_device_chain', False)
+        if jax.default_backend() == 'cpu' and not force_device:
+            # no device to amortise onto: the C++ chain core beats the
+            # XLA-on-CPU scan; keep the shared backtrack/stitch path
+            # (force_device_chain pins the device branch for parity tests)
+            chains = _host_chains()
         else:
             # Group rows by anchor-count bucket so one anchor-rich read
             # does not inflate every row to the largest A (work and --
@@ -282,7 +287,11 @@ class GenomeAligner:
             if pending:
                 groups.append((max(by_a), pending))
 
-            chains = [None] * len(rows)
+            if not force_device and not self._device_chain_pays(rows, groups):
+                chains = _host_chains()
+                groups = []
+            else:
+                chains = [None] * len(rows)
             # two phases: submit every group's device program first (jax
             # dispatch is async), THEN fetch+backtrack -- group k+1
             # executes remotely while group k's results stream back
@@ -336,6 +345,47 @@ class GenomeAligner:
             for bi, cands in cands_by_read.items():
                 results[bi] = self._select_and_stitch(cands, per_read[bi][1])
         return results
+
+    # Calibrated chain-route model (ROADMAP r4 #5), measured 2026-08-19 on
+    # this v5e tunnel (rtt 33 ms, /tmp/kexp_r4/route_calib.py; serial, warm
+    # compile cache, scan-shaped simulated rows):
+    #
+    #   rows  sumA    host_units  host    device   groups  padded
+    #   251   80.8k   5.16M       41.6ms  410.3ms  4       180k
+    #   371   107.7k  6.85M       46.2ms  404.0ms  4       279k
+    #   1151  273.4k  17.35M      137.8ms 507.4ms  4       721k
+    #
+    # Fit: host = ~8 ns x sum(min(A,window)*A); device = per-group fixed
+    # (~52 ms = 1.5 x rtt + 2, dispatch+fetch machinery scaling with the
+    # link) + ~0.23 us per padded anchor (transfer-bound, also ~linear in
+    # the link's per-byte cost, floored at ~7 ns pure device compute).
+    _HOST_CHAIN_NS = 8.0
+    _DEV_CHAIN_US = 0.23
+    _DEV_CHAIN_RTT_REF = 33.0
+
+    def _device_chain_pays(self, rows, groups):
+        """Whether the device chain dispatch beats the host C++ core for
+        this batch, from the calibrated cost model above.  Deterministic
+        given the (persisted) RTT record; CIRI_CHAIN_ROUTE=host|device
+        pins the decision."""
+        import os
+        pin = os.environ.get('CIRI_CHAIN_ROUTE', 'auto')
+        if pin in ('host', 'device'):
+            return pin == 'device'
+        from ciri_long_tpu.utils.dispatch import device_rtt_ms
+        rtt = device_rtt_ms()
+        host_units = sum(len(r) * min(len(r), CHAIN_WINDOW)
+                         for _, _, r, _ in rows)
+        padded = 0
+        for A, members in groups:
+            B2 = next((b for b in (8, 16, 32, 64, 128, 256, 512, 1024)
+                       if len(members) <= b), len(members))
+            padded += B2 * A
+        est_host = host_units * self._HOST_CHAIN_NS * 1e-6
+        link = max(rtt / self._DEV_CHAIN_RTT_REF, 0.03)
+        est_dev = (len(groups) * (1.5 * rtt + 2.0)
+                   + padded * self._DEV_CHAIN_US * 1e-3 * link)
+        return est_dev < est_host
 
     def _select_and_stitch_batch(self, cands_by_read, per_read):
         """One native call for the whole chunk's selection+stitching

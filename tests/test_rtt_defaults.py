@@ -89,3 +89,33 @@ def test_ccs_device_gates_respect_rtt(monkeypatch):
     assert dispatch.device_rtt_ms() >= 5.0
     monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '0.8')
     assert dispatch.device_rtt_ms() < 5.0
+
+
+def test_chain_route_model(monkeypatch):
+    """The calibrated chain-route model (models/aligner.py) sends scan
+    chaining to the host core on high-RTT links and to the device on
+    local-grade links; CIRI_CHAIN_ROUTE pins it."""
+    import numpy as np
+    from ciri_long_tpu.io.genome import Genome
+    from ciri_long_tpu.models.aligner import GenomeAligner
+
+    rng = np.random.default_rng(0)
+    genome = Genome.from_dict(
+        {"chr1": "".join(rng.choice(list("ACGT"), size=30_000))})
+    al = GenomeAligner(genome)
+    rows = [(0, 1, np.arange(400, dtype=np.int64),
+             np.arange(400, dtype=np.int64))] * 64
+    groups = [(512, list(range(64)))]
+
+    monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '33')   # the tunnel
+    monkeypatch.delenv('CIRI_CHAIN_ROUTE', raising=False)
+    assert not al._device_chain_pays(rows, groups)
+    monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '0.5')  # local chip
+    # marginal device cost collapses with the link; fixed ~2.75ms/group
+    assert al._device_chain_pays(rows, groups)
+    monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '33')
+    monkeypatch.setenv('CIRI_CHAIN_ROUTE', 'device')
+    assert al._device_chain_pays(rows, groups)
+    monkeypatch.setenv('CIRI_CHAIN_ROUTE', 'host')
+    monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '0.5')
+    assert not al._device_chain_pays(rows, groups)

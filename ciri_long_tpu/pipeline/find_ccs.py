@@ -305,8 +305,26 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
             result_iter = pool.imap(_ccs_chunk, chunks)
             results = _drain(result_iter, prog, len(chunks))
     else:
-        results = _drain((_ccs_chunk(c) for c in chunks), prog,
-                         len(chunks))
+        # serial (-t 1) runs still own every core: find_consensus is
+        # dominated by GIL-releasing C++ (tandem detect + center-star,
+        # ~70% of its wall), so a thread pool over reads gets real
+        # parallelism without fork/spawn cost.  CIRI_SELECT_THREADS is
+        # the CLI's idle-core budget (cli/main.py: cpu_count at -t 1,
+        # 1 inside worker pools).
+        host_threads = int(os.environ.get('CIRI_SELECT_THREADS', '1') or 1)
+        if host_threads > 1 and len(work) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _one(item):
+                rid, seq = item
+                return rid, find_consensus(seq)
+
+            with ThreadPoolExecutor(min(host_threads, 8)) as tp:
+                results = _drain((list(tp.map(_one, c)) for c in chunks),
+                                 prog, len(chunks))
+        else:
+            results = _drain((_ccs_chunk(c) for c in chunks), prog,
+                             len(chunks))
 
     total_reads = len(items)
     with open(ccs_path, 'w') as out, open(raw_path, 'w') as trimmed:

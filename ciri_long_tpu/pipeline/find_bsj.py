@@ -528,6 +528,131 @@ def _scan_worker_chunk(payload):
     return scan_ccs_chunk(_WORKER_CTX, chunk, is_canonical, cfg)
 
 
+def _scan_hybrid_enabled():
+    """Whether the main process's device path should steal scan chunks
+    from the back of the queue while the CPU worker pool drains the
+    front (ROADMAP r4 #5).  The split is additive -- the device side
+    only takes chunks the pool has not started -- so it engages whenever
+    a non-CPU backend is configured and the link is not catastrophic;
+    CIRI_SCAN_HYBRID=0/1 pins it (1 also forces it on the CPU backend,
+    which the scheduler test uses)."""
+    env = os.environ.get('CIRI_SCAN_HYBRID', 'auto')
+    if env in ('0', 'false'):
+        return False
+    if env in ('1', 'true'):
+        return True
+    from ciri_long_tpu.utils.dispatch import cached_rtt_ms, resolved_platform
+    if resolved_platform() == 'cpu':
+        return False
+    rtt = cached_rtt_ms()
+    # the steal is self-limiting (a slow device just takes few chunks),
+    # so only a terrible link -- where even ONE stolen chunk could
+    # become the critical path -- disables it
+    return rtt is None or rtt < 150.0
+
+
+class _HybridScan:
+    """Work-stealing scan split: the spawn pool consumes chunks from the
+    FRONT of the pending list, the main process (device path) steals
+    from the BACK, and both stop when the cursors meet.  Throughput adds
+    instead of choosing a side (the round-3 either/or routing left
+    1157 device items/s idle at -t4, or 756-1527 host items/s idle at
+    --dist mesh, depending on genome size -- see BASELINE.md round 3).
+
+    Outputs stay byte-identical to the pooled / serial paths because the
+    device and host chunk functions are themselves byte-identical
+    (forced-device diff tests) and the writer drains results strictly in
+    chunk order regardless of which side produced them.
+
+    The pool is fed with apply_async at a bounded depth (workers + 2);
+    each completion submits the next front chunk, so un-started chunks
+    remain stealable.  The device thread leaves the last ``nworkers``
+    un-started chunks to the pool -- a slow device chunk can then never
+    become the critical path of the drain."""
+
+    def __init__(self, pool, nworkers, worker_fn, run_local, payloads):
+        import threading
+        self._pool = pool
+        self._worker_fn = worker_fn
+        self._run_local = run_local
+        self._payloads = payloads          # list of (ci, payload)
+        self._head = 0
+        self._tail = len(payloads)
+        self._cv = threading.Condition()
+        self._done = {}
+        self._err = None
+        self._inflight = 0
+        self._nworkers = nworkers
+        self.stolen = 0                    # device-side chunk count
+        with self._cv:
+            for _ in range(min(nworkers + 2, len(payloads))):
+                self._submit_front()
+        self._thread = threading.Thread(target=self._device_loop,
+                                        daemon=True,
+                                        name='ciri-scan-device')
+        self._thread.start()
+
+    def _submit_front(self):
+        # cv held
+        if self._head >= self._tail:
+            return
+        ci, payload = self._payloads[self._head]
+        self._head += 1
+        self._inflight += 1
+        self._pool.apply_async(self._worker_fn, (payload,),
+                               callback=self._make_cb(ci),
+                               error_callback=self._on_error)
+
+    def _make_cb(self, ci):
+        def cb(res):
+            with self._cv:
+                self._inflight -= 1
+                self._done[ci] = res
+                self._submit_front()
+                self._cv.notify_all()
+        return cb
+
+    def _on_error(self, exc):
+        with self._cv:
+            self._inflight -= 1
+            self._err = exc
+            self._cv.notify_all()
+
+    def _device_loop(self):
+        while True:
+            with self._cv:
+                if self._err is not None:
+                    return
+                if self._tail - self._head <= self._nworkers:
+                    return
+                self._tail -= 1
+                ci, payload = self._payloads[self._tail]
+            try:
+                res = self._run_local(payload)
+            except BaseException as exc:   # propagate to the writer
+                with self._cv:
+                    self._err = exc
+                    self._cv.notify_all()
+                return
+            with self._cv:
+                self._done[ci] = res
+                self.stolen += 1
+                self._cv.notify_all()
+
+    def result(self, ci):
+        """Blocking fetch of chunk ci's result (writer drains in order)."""
+        with self._cv:
+            while ci not in self._done:
+                if self._err is not None:
+                    raise RuntimeError(
+                        'hybrid scan failed: %r' % (self._err,)) \
+                        from (self._err if isinstance(self._err,
+                                                      BaseException)
+                              else None)
+                self._cv.wait(1.0)
+            return self._done.pop(ci)
+
+
 def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
                    cfg=DEFAULT.call, threads=1, ref_fasta=None,
                    idx_file=None, pool=None, index_cache=None):
@@ -607,10 +732,18 @@ def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
             pool = ctx_mp.Pool(min(threads, len(pending)),
                                _scan_worker_init,
                                (ref_fasta, idx_file, False, index_cache))
+    hybrid = None
     if pool is not None and len(pending) > 1:
-        result_iter = pool.imap(_scan_worker_chunk,
-                                [(chunk, is_canonical, cfg)
-                                 for _, chunk in pending])
+        payloads = [(ci, (chunk, is_canonical, cfg)) for ci, chunk in pending]
+        if _scan_hybrid_enabled():
+            hybrid = _HybridScan(
+                pool, getattr(pool, '_processes', threads),
+                _scan_worker_chunk,
+                lambda p: scan_ccs_chunk(ctx, p[0], p[1], p[2]),
+                payloads)
+        else:
+            result_iter = pool.imap(_scan_worker_chunk,
+                                    [p for _, p in payloads])
 
     done = 0
     short_by_id = {it[0]: it for it in items}
@@ -625,7 +758,9 @@ def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
                                     rec['short_ids'] if rid in short_by_id]
                     done += len(chunk)
                     continue
-                if result_iter is not None:
+                if hybrid is not None:
+                    tmp_cnt, tmp_short, ret = hybrid.result(ci)
+                elif result_iter is not None:
                     tmp_cnt, tmp_short, ret = next(result_iter)
                 else:
                     tmp_cnt, tmp_short, ret = scan_ccs_chunk(
@@ -926,17 +1061,28 @@ def scan_raw_reads(ctx, in_file, is_canonical, out_dir, prefix,
             pool = ctx_mp.Pool(min(threads, len(chunks)),
                                _scan_worker_init,
                                (ref_fasta, idx_file, False, index_cache))
+    hybrid = None
     if pool is not None and len(chunks) > 1:
-        result_iter = pool.imap(
-            _raw_worker_chunk,
-            [(c, is_canonical, circ_reads, cfg) for c in chunks])
+        payloads = [(ci, (c, is_canonical, circ_reads, cfg))
+                    for ci, c in enumerate(chunks)]
+        if _scan_hybrid_enabled():
+            hybrid = _HybridScan(
+                pool, getattr(pool, '_processes', threads),
+                _raw_worker_chunk,
+                lambda p: scan_raw_chunk(ctx, p[0], p[1], p[2], p[3]),
+                payloads)
+        else:
+            result_iter = pool.imap(_raw_worker_chunk,
+                                    [p for _, p in payloads])
 
     n_done = 0
     try:
         with open('{}/{}.low_confidence.fa'.format(out_dir, prefix),
                   'w') as out:
             for ci, chunk in enumerate(chunks):
-                if result_iter is not None:
+                if hybrid is not None:
+                    tmp_cnt, tmp_ret, tmp_short = hybrid.result(ci)
+                elif result_iter is not None:
                     tmp_cnt, tmp_ret, tmp_short = next(result_iter)
                 else:
                     tmp_cnt, tmp_ret, tmp_short = scan_raw_chunk(

@@ -691,6 +691,177 @@ def build_kernel_chain(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
     return kernel
 
 
+def build_kernel_chain7(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
+                        mismatch, gap_open, gap_extend):
+    """Op-diet chained wavefront (wave7): three exact transforms over
+    build_kernel_chain, ~26 -> ~20 vector ops per phase-B step.  Stream
+    layout, phase structure, drain and output contract are identical to
+    build_kernel_chain.
+
+    1. Two-select scoring over hoisted constant vectors: SM/SX/ZN fold
+       the query-lane N-zero rule (and the frame constants of transform
+       3) into per-lane constants, so scoring is cmp+sel (q==rd) plus
+       cmp+sel (rd==4) with no or/and chain (6 -> 4 ops).
+    2. Shared H roll: hc = H'(d-1) - (go-ge) is subtracted once; its
+       roll feeds BOTH this step's F update and -- stored as Hd2r --
+       the next step's match diagonal.  One roll less per step, and the
+       phase-A Hd2 reset select disappears (the only reader of the
+       boundary lane's stored value is the next boundary lane, whose
+       computed cell is discarded by the reset selects anyway).
+    3. Gap-extend frame: every DP state value carries a +d*ge bias
+       (d = global step).  E update: max(E', hc); F update:
+       max(roll(F'), roll(hc)) -- the two per-step gap-extend subtracts
+       vanish.  The 0-floor becomes the scalar d*ge, the lane-0
+       diagonal fill the scalar (d-2)*ge - (go-ge), and the packed-best
+       scalar term absorbs the un-biasing exactly:
+       pack = (dval' << LB) + (span1 - d - (d*ge << LB)) == the real
+       (dval << LB) + (span1 - d) mod 2^32, and the true value fits
+       int31 by the chain_plan precondition, so int32 wraparound in the
+       intermediates cancels exactly.  NEG sentinels drift by +d*ge
+       (<< |NEG|, harmless); pre-reset junk lanes stay bounded because
+       the d*ge floor pins their real value at 0 and their packed bests
+       are discarded by the boundary reset before any drained capture.
+    """
+    LB = 1
+    T = C * (lrp + 1) + lqp
+    while (1 << LB) < T + 1:
+        LB += 1
+    span1 = (1 << LB) - 1
+    assert (lrp + 1) % LANES == 0 and lqp % LANES == 0
+    assert lrp >= lqp - 1
+    assert match * lqp << LB < 2 ** 31
+    c_go = gap_open - gap_extend     # >= 0 by the affine-trick contract
+    s_base = gap_open + gap_extend   # c_go + 2*ge, folded into SM/SX/ZN
+
+    def kernel(q_ref, r_ref, out_ref, Hd1, Hd2r, Ed1, Fd1, best_pack,
+               capB, r_diag, rblk):
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+        is_lane0 = i_idx == 0
+
+        Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Hd2r[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        best_pack[:] = jnp.zeros((btile, lqp), jnp.int32)
+        capB[:] = jnp.zeros((btile, lqp), jnp.int32)
+        r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
+
+        def svecs(q):
+            q_is_n = q == 4
+            lane_real = q < 5
+            SM = jnp.where(q_is_n, s_base, match + s_base)
+            SX = jnp.where(q_is_n, s_base, -mismatch + s_base)
+            ZN = jnp.where(lane_real, s_base, -mismatch + s_base)
+            return q, SM, SX, ZN
+
+        def dp_step(d, r_col, qsv, boundary_lane=None, qsv_prev=None):
+            rd = jnp.where(is_lane0, r_col,
+                           pltpu.roll(r_diag[:], 1, axis=1))
+            r_diag[:] = rd
+            q, SM, SX, ZN = qsv
+            if boundary_lane is not None:
+                is_b = i_idx == boundary_lane
+                le_b = i_idx <= boundary_lane
+                qp, SMp, SXp, ZNp = qsv_prev
+                q = jnp.where(le_b, q, qp)
+                SM = jnp.where(le_b, SM, SMp)
+                SX = jnp.where(le_b, SX, SXp)
+                ZN = jnp.where(le_b, ZN, ZNp)
+            else:
+                is_b = None
+            s = jnp.where(q == rd, SM, SX)
+            s = jnp.where(rd == 4, ZN, s)
+
+            h1 = Hd1[:]
+            hc = h1 - c_go
+            hcs = pltpu.roll(hc, 1, axis=1)
+            f1s = pltpu.roll(Fd1[:], 1, axis=1)
+            Fv = jnp.where(is_lane0, NEG, jnp.maximum(f1s, hcs))
+            h2s = jnp.where(is_lane0, (d - 2) * gap_extend - c_go,
+                            Hd2r[:])
+            dval = h2s + s
+            K = span1 - d - ((d * gap_extend) << LB)
+            bp = jnp.maximum(best_pack[:], (dval << LB) + K)
+            H0 = jnp.maximum(jnp.maximum(dval, Fv), d * gap_extend)
+            E = jnp.maximum(Ed1[:], hc)
+            Hn = jnp.maximum(H0, E)
+
+            Hd2r[:] = hcs
+            if is_b is not None:
+                capB[:] = jnp.where(is_b, best_pack[:], capB[:])
+                best_pack[:] = jnp.where(is_b, 0, bp)
+                Hd1[:] = jnp.where(is_b, d * gap_extend, Hn)
+                Ed1[:] = jnp.where(is_b, NEG, E)
+                Fd1[:] = jnp.where(is_b, NEG, Fv)
+            else:
+                best_pack[:] = bp
+                Hd1[:] = Hn
+                Ed1[:] = E
+                Fd1[:] = Fv
+
+        def run_phase(c0, n_chunks, body):
+            def chunk(c, _):
+                base = pl.multiple_of(c * LANES, LANES)
+                rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+                def inner(u, _):
+                    for v in range(2):
+                        body(c * LANES + u * 2 + v, rblk[:, v:v + 1])
+                    rblk[:] = pltpu.roll(rblk[:], LANES - 2, axis=1)
+                    return 0
+
+                jax.lax.fori_loop(0, LANES // 2, inner, 0)
+                return 0
+
+            jax.lax.fori_loop(c0, c0 + n_chunks, chunk, 0)
+
+        def drain(k):
+            bp = capB[:]
+            bv = bp >> LB
+            bd = span1 - (bp & span1)
+            o_k = k * (lrp + 1) + 1
+            best = jnp.max(bv, axis=1, keepdims=True)
+            isbest = bv == best
+            j_of = bd - o_k - i_idx
+            jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1,
+                            keepdims=True)
+            istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx,
+                                      BIG), axis=1, keepdims=True)
+            found = best > 0
+            score = jnp.where(found, best, 0)
+            iout = jnp.where(found, istar, -1)
+            jout = jnp.where(found, jstar, -1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+            out = jnp.where(lane == 0, score,
+                            jnp.where(lane == 1, iout,
+                                      jnp.where(lane == 2, jout, 0)))
+            out_ref[:, k * LANES:(k + 1) * LANES] = out
+
+        per_job_chunks = (lrp + 1) // LANES
+        a_chunks = lqp // LANES
+        for k in range(C + 1):
+            t0 = k * (lrp + 1)
+            qsv_cur = svecs(q_ref[:, min(k, C - 1) * lqp:
+                                  (min(k, C - 1) + 1) * lqp])
+            qsv_prev = svecs(q_ref[:, max(k - 1, 0) * lqp:
+                                   max(k, 1) * lqp])
+
+            def a_body(t, r_col, t0=t0, qc=qsv_cur, qp=qsv_prev):
+                dp_step(t, r_col, qc, boundary_lane=t - t0, qsv_prev=qp)
+
+            run_phase(t0 // LANES, a_chunks, a_body)
+            if k > 0:
+                drain(k - 1)
+            if k < C:
+                def b_body(t, r_col, qc=qsv_cur):
+                    dp_step(t, r_col, qc)
+
+                run_phase(t0 // LANES + a_chunks,
+                          per_job_chunks - a_chunks, b_body)
+
+    return kernel
+
+
 def build_kernel(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
                  gap_open, gap_extend, nomask7, packbest, tworow,
                  levels=None):
@@ -874,8 +1045,8 @@ def make_call(args, params):
         r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrP - Lr)),
                     constant_values=5)
 
-        if args.chain:
-            C = args.chain
+        if args.chain or args.chain7:
+            C = args.chain or args.chain7
             assert B % C == 0, "batch must divide by --chain"
             rows = B // C
             lrp = max(_round_up(Lr + 1, LANES) - 1, LqP - 1)
@@ -902,7 +1073,9 @@ def make_call(args, params):
             stream = jnp.pad(stream, ((0, Rp - rows), (0, 0)),
                              constant_values=6)
 
-            kernel = build_kernel_chain(
+            builder = build_kernel_chain7 if args.chain7 \
+                else build_kernel_chain
+            kernel = builder(
                 jnp, jax, pl, pltpu, btile=bt, lqp=LqP, lrp=lrp, C=C,
                 match=match, mismatch=mismatch, gap_open=gap_open,
                 gap_extend=gap_extend)
@@ -925,6 +1098,7 @@ def make_call(args, params):
                     flops=int(30 * Rp * LqP * Tp),
                     bytes_accessed=int(4 * Rp * (C * LqP + Tp + C * LANES)),
                     transcendentals=0),
+                interpret=args.interpret,
             )(qrows, stream)
             out = out[:rows].reshape(rows, C, LANES).reshape(B, LANES)
             return out[:, 0], out[:, 1], out[:, 2]
@@ -995,6 +1169,7 @@ def make_call(args, params):
                     flops=int(30 * Bp * LqP * LrPW),
                     bytes_accessed=int(4 * Bp * (LqP + LrPW + LANES)),
                     transcendentals=0),
+                interpret=args.interpret,
             )(q, r)
             return out[:B, 0], out[:B, 1], out[:B, 2]
         if args.r3:
@@ -1043,6 +1218,7 @@ def make_call(args, params):
                 flops=int(25 * Bp * LqP * LrP),
                 bytes_accessed=int(4 * Bp * (LqP + LrP + LANES)),
                 transcendentals=0),
+            interpret=args.interpret,
         )(q, r)
         return out[:B, 0], out[:B, 1], out[:B, 2]
 
@@ -1064,6 +1240,10 @@ def main():
                     help="wave5 diagonals per inner loop iteration")
     ap.add_argument("--chain", type=int, default=0,
                     help="chained wavefront: jobs per lane-row (wave6)")
+    ap.add_argument("--chain7", type=int, default=0,
+                    help="op-diet chained wavefront (wave7): jobs per row")
+    ap.add_argument("--interpret", action="store_true",
+                    help="pallas interpret mode (CPU correctness checks)")
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--Lq", type=int, default=1024)
     ap.add_argument("--Lr", type=int, default=4096)
@@ -1139,7 +1319,7 @@ def main():
         "variant": {k: getattr(args, k) for k in
                     ("btile", "nomask7", "packbest", "tworow", "r3",
                      "wave", "wave2", "wave3", "wave5", "unroll",
-                     "chain")},
+                     "chain", "chain7")},
         "gcups": round(gcups, 2),
         "seconds": round(dt, 3),
         "backend": jax.default_backend(),

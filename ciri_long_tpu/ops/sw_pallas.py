@@ -344,16 +344,17 @@ def _sw_wave5_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
     out_ref[:] = out
 
 
-def _sw_chain_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
+def _sw_chain_kernel(q_ref, r_ref, out_ref, Hd1, Hd2r, Ed1, Fd1, best_pack,
                      capB, r_diag, rblk,
                      *, btile, lqp, lrp, C, match, mismatch, gap_open,
                      gap_extend, lb):
-    """Chained wavefront (the round-3 'wave6'): C same-bucket jobs per
-    lane-row stream back-to-back; a reset/capture wave rides each job
-    boundary, so the ramp-down of job k overlaps the ramp-up of job k+1
-    and lane utilisation goes from lr/(lq+lr) to ~lr/(lr+1).  Honest
-    measurements (benchmarks/KERNEL_SOL.md): 85.2 vs wave5's 80.9 GCUPS
-    on the 1024x4096 bench shape and 62.3 vs 47.8 on 1024x1024 squares.
+    """Op-diet chained wavefront (round-4 'wave7'): C same-bucket jobs
+    per lane-row stream back-to-back; a reset/capture wave rides each
+    job boundary, so the ramp-down of job k overlaps the ramp-up of job
+    k+1 and lane utilisation goes from lr/(lq+lr) to ~lr/(lr+1).
+    Honest measurements (benchmarks/KERNEL_SOL.md): 127.2 vs the wave6
+    formulation's 92.8 GCUPS on the 1024x4096 bench shape (same
+    session, fixed methodology).
 
     Stream layout (host contract, sw_score_ends_chain): slot k*(lrp+1)
     is job k's boundary, slots [o_k, o_k + lrp) its reference codes
@@ -366,63 +367,104 @@ def _sw_chain_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
 
     Phase A_k (lqp steps from t0 = k*(lrp+1)): the boundary lane
     b = t - t0 captures job k-1's packed best and resets its DP state;
-    lanes <= b already score against job k's query (a per-lane select
-    between two static query slices).  Phase B_k: plain wave5 steps.
-    After A_k a static drain reduces job k-1's captures into output
-    slot k-1.  Oracle parity incl. tie-breaks: tests/test_sw_pallas.py.
+    lanes <= b already score against job k's query (per-lane selects
+    between the two jobs' hoisted score vectors).  Phase B_k: plain
+    steps.  After A_k a static drain reduces job k-1's captures into
+    output slot k-1.  Oracle parity incl. tie-breaks:
+    tests/test_sw_pallas.py.
+
+    Three exact op-diet transforms over the round-3 wave6 step
+    (~26 -> ~20 vector ops per phase-B diagonal):
+
+    1. Two-select scoring over hoisted constant vectors SM/SX/ZN, which
+       fold the query-lane N-zero rule and the frame constants below
+       into per-lane constants: s = sel(q==rd, SM, SX); s = sel(rd==4,
+       ZN, s).  No or/and chain (6 -> 4 ops).
+    2. Shared H roll: hc = H'(d-1) - (go-ge) is subtracted once; its
+       roll feeds BOTH this step's F update and -- stored as Hd2r --
+       the next step's match diagonal.  One roll less per step, and the
+       old Hd2 boundary reset disappears (the only reader of the
+       boundary lane's stored value is the next boundary lane, whose
+       computed cell the reset selects discard anyway).
+    3. Gap-extend frame: every DP state value carries a +d*ge bias
+       (d = global step), turning the E update into max(E', hc) and the
+       F update into max(roll(F'), roll(hc)) -- both per-step gap
+       subtracts vanish.  The 0-floor becomes the scalar d*ge, the
+       lane-0 diagonal fill the scalar (d-2)*ge - (go-ge), and the
+       packed-best scalar absorbs the un-biasing exactly:
+       (dval' << lb) + (span1 - d - (d*ge << lb)) == the real
+       (dval << lb) + (span1 - d) mod 2^32, whose true value fits int31
+       by the chain_plan precondition -- int32 wraparound in the
+       intermediates cancels exactly.  NEG sentinels drift by +d*ge
+       (<< |NEG|, harmless); pre-reset junk lanes stay bounded because
+       the d*ge floor pins their real value at 0, and their packed
+       bests are discarded by the boundary reset before any drained
+       capture.
     """
     import jax
     import jax.numpy as jnp
 
     span1 = (1 << lb) - 1
+    c_go = gap_open - gap_extend     # >= 0 by the affine-trick contract
+    s_base = gap_open + gap_extend   # c_go + 2*ge, folded into SM/SX/ZN
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
     is_lane0 = i_idx == 0
 
     Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
-    Hd2[:] = jnp.zeros((btile, lqp), jnp.int32)
+    Hd2r[:] = jnp.zeros((btile, lqp), jnp.int32)
     Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
     Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
     best_pack[:] = jnp.zeros((btile, lqp), jnp.int32)
     capB[:] = jnp.zeros((btile, lqp), jnp.int32)
     r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
 
-    def dp_step(d, r_col, q, q_is_n, lane_real, boundary_lane=None,
-                q_prev=None):
+    def svecs(q):
+        q_is_n = q == 4
+        lane_real = q < 5
+        SM = jnp.where(q_is_n, s_base, match + s_base)
+        SX = jnp.where(q_is_n, s_base, -mismatch + s_base)
+        ZN = jnp.where(lane_real, s_base, -mismatch + s_base)
+        return q, SM, SX, ZN
+
+    def dp_step(d, r_col, qsv, boundary_lane=None, qsv_prev=None):
         rd = jnp.where(is_lane0, r_col, pltpu.roll(r_diag[:], 1, axis=1))
         r_diag[:] = rd
+        q, SM, SX, ZN = qsv
         if boundary_lane is not None:
             is_b = i_idx == boundary_lane
-            q_eff = jnp.where(i_idx <= boundary_lane, q, q_prev)
-            q_is_n = q_eff == 4
-            lane_real = q_eff < 5
+            le_b = i_idx <= boundary_lane
+            qp, SMp, SXp, ZNp = qsv_prev
+            q = jnp.where(le_b, q, qp)
+            SM = jnp.where(le_b, SM, SMp)
+            SX = jnp.where(le_b, SX, SXp)
+            ZN = jnp.where(le_b, ZN, ZNp)
         else:
             is_b = None
-            q_eff = q
-        s = jnp.where(q_eff == rd, match, -mismatch)
-        s = jnp.where((q_is_n | (rd == 4)) & lane_real, 0, s)
+        s = jnp.where(q == rd, SM, SX)
+        s = jnp.where(rd == 4, ZN, s)
 
         h1 = Hd1[:]
-        h1s = pltpu.roll(h1, 1, axis=1)
+        hc = h1 - c_go
+        hcs = pltpu.roll(hc, 1, axis=1)
         f1s = pltpu.roll(Fd1[:], 1, axis=1)
-        Fv = jnp.where(is_lane0, NEG,
-                       jnp.maximum(f1s - gap_extend, h1s - gap_open))
-        h2s = jnp.where(is_lane0, 0, pltpu.roll(Hd2[:], 1, axis=1))
+        Fv = jnp.where(is_lane0, NEG, jnp.maximum(f1s, hcs))
+        h2s = jnp.where(is_lane0, (d - 2) * gap_extend - c_go, Hd2r[:])
         dval = h2s + s
-        bp = jnp.maximum(best_pack[:], (dval << lb) + (span1 - d))
-        H0 = jnp.maximum(jnp.maximum(dval, Fv), 0)
-        E = jnp.maximum(Ed1[:] - gap_extend, h1 - gap_open)
+        K = span1 - d - ((d * gap_extend) << lb)
+        bp = jnp.maximum(best_pack[:], (dval << lb) + K)
+        H0 = jnp.maximum(jnp.maximum(dval, Fv), d * gap_extend)
+        E = jnp.maximum(Ed1[:], hc)
         Hn = jnp.maximum(H0, E)
 
+        Hd2r[:] = hcs
         if is_b is not None:
             capB[:] = jnp.where(is_b, best_pack[:], capB[:])
             best_pack[:] = jnp.where(is_b, 0, bp)
-            Hd2[:] = jnp.where(is_b, 0, h1)
-            Hd1[:] = jnp.where(is_b, 0, Hn)
+            Hd1[:] = jnp.where(is_b, d * gap_extend, Hn)
             Ed1[:] = jnp.where(is_b, NEG, E)
             Fd1[:] = jnp.where(is_b, NEG, Fv)
         else:
             best_pack[:] = bp
-            Hd2[:] = h1
             Hd1[:] = Hn
             Ed1[:] = E
             Fd1[:] = Fv
@@ -469,22 +511,19 @@ def _sw_chain_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
     a_chunks = lqp // LANES
     for k in range(C + 1):
         t0 = k * (lrp + 1)
-        q_cur = q_ref[:, min(k, C - 1) * lqp:(min(k, C - 1) + 1) * lqp]
-        q_prev = q_ref[:, max(k - 1, 0) * lqp:max(k, 1) * lqp]
+        qsv_cur = svecs(q_ref[:, min(k, C - 1) * lqp:
+                              (min(k, C - 1) + 1) * lqp])
+        qsv_prev = svecs(q_ref[:, max(k - 1, 0) * lqp:max(k, 1) * lqp])
 
-        def a_body(t, r_col, t0=t0, q=q_cur, qp=q_prev):
-            dp_step(t, r_col, q, None, None, boundary_lane=t - t0,
-                    q_prev=qp)
+        def a_body(t, r_col, t0=t0, qc=qsv_cur, qp=qsv_prev):
+            dp_step(t, r_col, qc, boundary_lane=t - t0, qsv_prev=qp)
 
         run_phase(t0 // LANES, a_chunks, a_body)
         if k > 0:
             drain(k - 1)
         if k < C:
-            q_is_n = q_cur == 4
-            lane_real = q_cur < 5
-
-            def b_body(t, r_col, q=q_cur, qn=q_is_n, lr_=lane_real):
-                dp_step(t, r_col, q, qn, lr_)
+            def b_body(t, r_col, qc=qsv_cur):
+                dp_step(t, r_col, qc)
 
             run_phase(t0 // LANES + a_chunks,
                       per_job_chunks - a_chunks, b_body)

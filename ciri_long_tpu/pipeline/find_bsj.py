@@ -852,20 +852,31 @@ def recover_ccs_reads(ctx, short_reads, is_canonical, out_dir, prefix,
     chunks = [short_reads[i:i + cfg.ccs_chunk_size]
               for i in range(0, len(short_reads), cfg.ccs_chunk_size)]
 
-    pool = result_iter = None
+    pool = result_iter = hybrid = None
     if threads > 1 and ref_fasta is not None and len(chunks) > 1:
         import multiprocessing
         ctx_mp = multiprocessing.get_context('spawn')
         pool = ctx_mp.Pool(min(threads, len(chunks)), _scan_worker_init,
                            (ref_fasta, idx_file, True, index_cache))
-        result_iter = pool.imap(_recover_worker_chunk,
-                                [(c, is_canonical, cfg) for c in chunks])
+        payloads = [(ci, (c, is_canonical, cfg))
+                    for ci, c in enumerate(chunks)]
+        if _scan_hybrid_enabled():
+            hybrid = _HybridScan(
+                pool, getattr(pool, '_processes', threads),
+                _recover_worker_chunk,
+                lambda p: recover_ccs_chunk(ctx, p[0], p[1], p[2]),
+                payloads)
+        else:
+            result_iter = pool.imap(_recover_worker_chunk,
+                                    [p for _, p in payloads])
 
     n_done = 0
     try:
         with open('{}/{}.cand_circ.fa'.format(out_dir, prefix), 'a') as out:
-            for chunk in chunks:
-                if result_iter is not None:
+            for ci, chunk in enumerate(chunks):
+                if hybrid is not None:
+                    tmp_cnt, ret = hybrid.result(ci)
+                elif result_iter is not None:
                     tmp_cnt, ret = next(result_iter)
                 else:
                     tmp_cnt, ret = recover_ccs_chunk(ctx, chunk,

@@ -692,7 +692,7 @@ def build_kernel_chain(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
 
 
 def build_kernel_chain7(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
-                        mismatch, gap_open, gap_extend):
+                        mismatch, gap_open, gap_extend, unroll=2):
     """Op-diet chained wavefront (wave7): three exact transforms over
     build_kernel_chain, ~26 -> ~20 vector ops per phase-B step.  Stream
     layout, phase structure, drain and output contract are identical to
@@ -805,12 +805,12 @@ def build_kernel_chain7(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
                 rblk[:] = r_ref[:, pl.ds(base, LANES)]
 
                 def inner(u, _):
-                    for v in range(2):
-                        body(c * LANES + u * 2 + v, rblk[:, v:v + 1])
-                    rblk[:] = pltpu.roll(rblk[:], LANES - 2, axis=1)
+                    for v in range(unroll):
+                        body(c * LANES + u * unroll + v, rblk[:, v:v + 1])
+                    rblk[:] = pltpu.roll(rblk[:], LANES - unroll, axis=1)
                     return 0
 
-                jax.lax.fori_loop(0, LANES // 2, inner, 0)
+                jax.lax.fori_loop(0, LANES // unroll, inner, 0)
                 return 0
 
             jax.lax.fori_loop(c0, c0 + n_chunks, chunk, 0)
@@ -1073,12 +1073,16 @@ def make_call(args, params):
             stream = jnp.pad(stream, ((0, Rp - rows), (0, 0)),
                              constant_values=6)
 
-            builder = build_kernel_chain7 if args.chain7 \
-                else build_kernel_chain
-            kernel = builder(
-                jnp, jax, pl, pltpu, btile=bt, lqp=LqP, lrp=lrp, C=C,
-                match=match, mismatch=mismatch, gap_open=gap_open,
-                gap_extend=gap_extend)
+            if args.chain7:
+                kernel = build_kernel_chain7(
+                    jnp, jax, pl, pltpu, btile=bt, lqp=LqP, lrp=lrp, C=C,
+                    match=match, mismatch=mismatch, gap_open=gap_open,
+                    gap_extend=gap_extend, unroll=args.unroll)
+            else:
+                kernel = build_kernel_chain(
+                    jnp, jax, pl, pltpu, btile=bt, lqp=LqP, lrp=lrp, C=C,
+                    match=match, mismatch=mismatch, gap_open=gap_open,
+                    gap_extend=gap_extend)
             out = pl.pallas_call(
                 kernel,
                 grid=(Rp // bt,),

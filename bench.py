@@ -9,10 +9,12 @@ reference targets (Zhao et al. 2013 report 1.5-3 GCUPS/core; the repo
 itself publishes no numbers, BASELINE.md).  vs_baseline is measured GCUPS
 over that 2.0 GCUPS single-core estimate.
 
-Two kernel formulations exist (ops/sw_pallas.py): the anti-diagonal
-wavefront kernel (faster: 317.6 GCUPS measured on this shape) and the
-striped prefix-scan kernel (217-277 GCUPS, band = day-to-day tunnel
-variance, benchmarks/KERNEL_SOL.md).  The remote "axon" compile service
+Two kernel families exist (ops/sw_pallas.py): the wavefront route --
+whose production form is the op-diet chained kernel, 130.3 GCUPS driver
+capture on this shape (progression: scan 48.6 -> wave 70.9 -> wave5
+80.9 -> chain/wave6 94.0 -> chain/wave7 130.3, all fixed methodology,
+benchmarks/KERNEL_SOL.md) -- and the striped prefix-scan kernel as the
+fallback.  The remote "axon" compile service
 has been observed to stall for tens of minutes on bad days, so each
 variant runs in a child process under a hard timeout and the scan kernel
 is the fallback -- a hung compile must degrade the number, not zero it.

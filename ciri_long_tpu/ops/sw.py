@@ -152,14 +152,37 @@ def _on_tpu():
         return False
 
 
-def sw_score_ends_auto(query, ref, params: SWParams, wave=None):
+def _ref_no_n(ref):
+    """True iff ``ref`` is a HOST array provably free of N codes (4) AND
+    the no-N kernel specialisation is enabled (CIRI_SW_NON=1).
+
+    Default OFF: the leaner scoring measured FLAT on hardware (126.4 vs
+    126.8 GCUPS -- the wave7 step is not ALU-bound at the margin,
+    benchmarks/KERNEL_SOL.md round-4), while per-shape compile-cache
+    entries would double (a single N-containing batch forces a fresh
+    multi-minute remote compile of the generic variant on tunnel-grade
+    links).  The kernels stay exact either way; False is always safe.
+    Tracers and device arrays return False (checking them would either
+    fail or cost a device fetch)."""
+    import os
+    if os.environ.get('CIRI_SW_NON', '0') in ('0', 'false', ''):
+        return False
+    if isinstance(ref, np.ndarray):
+        return not (ref == 4).any()
+    return False
+
+
+def sw_score_ends_auto(query, ref, params: SWParams, wave=None, no_n=False):
     """Dispatch: fused Pallas kernel on TPU, XLA scan elsewhere (tests run
     on the virtual CPU mesh where Mosaic is unavailable).  ``wave`` pins
     the Pallas kernel choice; None routes by shape/env at trace time
-    (see sw_pallas.wave_route for the trace-cache caveat)."""
+    (see sw_pallas.wave_route for the trace-cache caveat).  ``no_n`` is
+    the caller's host-side proof that ``ref`` has no N codes (static;
+    resolve it OUTSIDE any jit via _ref_no_n)."""
     if _on_tpu():
         from ciri_long_tpu.ops.sw_pallas import sw_score_ends_pallas
-        return sw_score_ends_pallas(query, ref, params, wave=wave)
+        return sw_score_ends_pallas(query, ref, params, wave=wave,
+                                    no_n=no_n)
     return sw_score_ends(query, ref, params)
 
 
@@ -172,18 +195,23 @@ class SWResult(NamedTuple):
     ref_end: np.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("params", "wave"))
-def _sw_align_fused(query, ref, params: SWParams, wave=None):
+@functools.partial(jax.jit, static_argnames=("params", "wave", "no_n"))
+def _sw_align_fused(query, ref, params: SWParams, wave=None, no_n=False):
     """Forward ends + reverse-pass begins in ONE jitted program (one
     dispatch -- on remote-tunnel devices every dispatch costs an RTT).
-    ``wave`` is resolved by the caller OUTSIDE this jit so the
-    CIRI_SW_WAVE override can never hit a stale cached trace."""
+    ``wave`` and ``no_n`` are resolved by the caller OUTSIDE this jit so
+    the CIRI_SW_WAVE override can never hit a stale cached trace (and
+    the N-free check runs on host data, not a tracer).  The reverse pass
+    inherits ``no_n``: rr is a gathered prefix of ref (pad fill PAD=5),
+    so ref N-free implies rr N-free."""
     B, Lq = query.shape
     _, Lr = ref.shape
-    score, q_end, r_end = sw_score_ends_auto(query, ref, params, wave=wave)
+    score, q_end, r_end = sw_score_ends_auto(query, ref, params, wave=wave,
+                                             no_n=no_n)
     rq = _reverse_prefix(query, q_end, Lq)
     rr = _reverse_prefix(ref, r_end, Lr)
-    _, q_off, r_off = sw_score_ends_auto(rq, rr, params, wave=wave)
+    _, q_off, r_off = sw_score_ends_auto(rq, rr, params, wave=wave,
+                                         no_n=no_n)
     q_begin = q_end - q_off
     r_begin = r_end - r_off
     none = score <= 0
@@ -247,12 +275,14 @@ def sw_align_batch(query, ref, params: SWParams) -> SWResult:
                         ref_end=out[:, 4].copy())
 
     wave = None
+    no_n = False
     if _on_tpu():
         from ciri_long_tpu.ops.sw_pallas import wave_route
         wave = wave_route(np.asarray(query).shape[1],
                           np.asarray(ref).shape[1])
+        no_n = _ref_no_n(ref)
     score, q_begin, q_end, r_begin, r_end = _sw_align_fused(
-        jnp.asarray(query), jnp.asarray(ref), params, wave=wave)
+        jnp.asarray(query), jnp.asarray(ref), params, wave=wave, no_n=no_n)
     return SWResult(
         score=np.asarray(score),
         query_begin=np.asarray(q_begin),
@@ -301,9 +331,11 @@ def sw_window_align(query, ref, params: SWParams, chunk=16384):
         refs[t, :len(piece)] = piece
     queries = np.broadcast_to(query[None, :], (K, Lq))
 
+    no_n = _ref_no_n(refs)
     score, q_end, r_end = map(np.asarray,
                               sw_score_ends_auto(jnp.asarray(queries),
-                                                 jnp.asarray(refs), params))
+                                                 jnp.asarray(refs), params,
+                                                 no_n=no_n))
     if score.max() <= 0:
         return 0, -1, -1, -1, -1
     g_end = np.where(score > 0, np.asarray(starts) + r_end, 1 << 60)
@@ -317,7 +349,8 @@ def sw_window_align(query, ref, params: SWParams, chunk=16384):
     s2, q_off, r_off = map(np.asarray,
                            sw_score_ends_auto(jnp.asarray(sub_q[None, :]),
                                               jnp.asarray(sub_r[None, :]),
-                                              params))
+                                              params,
+                                              no_n=_ref_no_n(sub_r)))
     q_begin = int(q_end[w]) - int(q_off[0])
     r_begin = int(r_end[w]) - int(r_off[0])
     return (int(score[w]), q_begin, int(q_end[w]),

@@ -240,7 +240,7 @@ def _sw_wave_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, H0d1, Ed1, Fd1,
 def _sw_wave5_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
                      r_diag, rblk,
                      *, btile, lqp, lrpw, match, mismatch, gap_open,
-                     gap_extend, unroll, lb):
+                     gap_extend, unroll, lb, no_n=False):
     """Lean wavefront (the round-3 production kernel): _sw_wave_kernel
     plus four exact transforms; honest measurement 80.9 vs the r2 wave
     kernel's 70.9 GCUPS on the bench shape (fixed methodology,
@@ -285,11 +285,19 @@ def _sw_wave5_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
     best_pack[:] = jnp.zeros((btile, lqp), jnp.int32)
     r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
 
+    # no_n (static): the caller proved the reference rows N-free, so the
+    # rd==4 test is constant-false and the N-zero mask hoists to a
+    # per-lane constant (2 fewer vector ops per step)
+    zn_mask = q_is_n & lane_real
+
     def step(d, r_col):
         rd = jnp.where(is_lane0, r_col, pltpu.roll(r_diag[:], 1, axis=1))
         r_diag[:] = rd
         s = jnp.where(q == rd, match, -mismatch)
-        s = jnp.where((q_is_n | (rd == 4)) & lane_real, 0, s)
+        if no_n:
+            s = jnp.where(zn_mask, 0, s)
+        else:
+            s = jnp.where((q_is_n | (rd == 4)) & lane_real, 0, s)
 
         h1 = Hd1[:]
         h1s = pltpu.roll(h1, 1, axis=1)
@@ -347,7 +355,7 @@ def _sw_wave5_kernel(q_ref, r_ref, out_ref, Hd1, Hd2, Ed1, Fd1, best_pack,
 def _sw_chain_kernel(q_ref, r_ref, out_ref, Hd1, Hd2r, Ed1, Fd1, best_pack,
                      capB, r_diag, rblk,
                      *, btile, lqp, lrp, C, match, mismatch, gap_open,
-                     gap_extend, lb):
+                     gap_extend, lb, no_n=False):
     """Op-diet chained wavefront (round-4 'wave7'): C same-bucket jobs
     per lane-row stream back-to-back; a reset/capture wave rides each
     job boundary, so the ramp-down of job k overlaps the ramp-up of job
@@ -400,6 +408,12 @@ def _sw_chain_kernel(q_ref, r_ref, out_ref, Hd1, Hd2r, Ed1, Fd1, best_pack,
        the d*ge floor pins their real value at 0, and their packed
        bests are discarded by the boundary reset before any drained
        capture.
+
+    ``no_n`` (static): the caller proved the reference stream contains
+    no N codes (rd==4 never occurs -- boundary and pad slots are code
+    6), so the ZN select and its phase-A blend are identities and drop
+    (~2 fewer vector ops per step).  Exactness is structural: the
+    dropped select only ever fires on rd==4.
     """
     import jax
     import jax.numpy as jnp
@@ -437,11 +451,13 @@ def _sw_chain_kernel(q_ref, r_ref, out_ref, Hd1, Hd2r, Ed1, Fd1, best_pack,
             q = jnp.where(le_b, q, qp)
             SM = jnp.where(le_b, SM, SMp)
             SX = jnp.where(le_b, SX, SXp)
-            ZN = jnp.where(le_b, ZN, ZNp)
+            if not no_n:
+                ZN = jnp.where(le_b, ZN, ZNp)
         else:
             is_b = None
         s = jnp.where(q == rd, SM, SX)
-        s = jnp.where(rd == 4, ZN, s)
+        if not no_n:
+            s = jnp.where(rd == 4, ZN, s)
 
         h1 = Hd1[:]
         hc = h1 - c_go
@@ -572,12 +588,15 @@ def chain_plan(B, Lq, Lr, params):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret", "plan"))
-def sw_score_ends_chain(query, ref, params, plan, interpret=False):
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "plan",
+                                              "no_n"))
+def sw_score_ends_chain(query, ref, params, plan, interpret=False,
+                        no_n=False):
     """sw_score_ends contract on the chained kernel; ``plan`` from
     chain_plan (static).  Rows whose job count doesn't divide C are
     padded with all-pad jobs, which report (0, -1, -1) like any all-pad
-    row."""
+    row.  ``no_n`` (static) asserts the REFERENCE rows carry no N codes
+    and compiles the leaner scoring (see _sw_chain_kernel)."""
     assert params.gap_open >= params.gap_extend
     C, btile, lrp, Tp, lb = plan
     B, Lq = query.shape
@@ -604,7 +623,8 @@ def sw_score_ends_chain(query, ref, params, plan, interpret=False):
     kernel = functools.partial(
         _sw_chain_kernel, btile=btile, lqp=LqP, lrp=lrp, C=C,
         match=params.match, mismatch=params.mismatch,
-        gap_open=params.gap_open, gap_extend=params.gap_extend, lb=lb)
+        gap_open=params.gap_open, gap_extend=params.gap_extend, lb=lb,
+        no_n=no_n)
 
     out = pl.pallas_call(
         kernel,
@@ -651,11 +671,13 @@ def _fit_btile_wave(lqp, lrpw, requested):
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret", "btile",
-                                              "unroll"))
+                                              "unroll", "no_n"))
 def sw_score_ends_wave5(query, ref, params, interpret=False,
-                        btile=WAVE5_BTILE, unroll=WAVE5_UNROLL):
+                        btile=WAVE5_BTILE, unroll=WAVE5_UNROLL,
+                        no_n=False):
     """sw_score_ends contract on the lean (wave5) wavefront kernel.
-    Callers must ensure match * LqP << LB fits int31 (wave5_fits)."""
+    Callers must ensure match * LqP << LB fits int31 (wave5_fits).
+    ``no_n`` (static) asserts the reference rows carry no N codes."""
     assert params.gap_open >= params.gap_extend
     B, Lq = query.shape
     _, Lr = ref.shape
@@ -679,7 +701,7 @@ def sw_score_ends_wave5(query, ref, params, interpret=False,
         _sw_wave5_kernel, btile=btile, lqp=LqP, lrpw=LrPW,
         match=params.match, mismatch=params.mismatch,
         gap_open=params.gap_open, gap_extend=params.gap_extend,
-        unroll=unroll, lb=lb)
+        unroll=unroll, lb=lb, no_n=no_n)
 
     out = pl.pallas_call(
         kernel,
@@ -805,12 +827,15 @@ def wave_route(Lq, Lr):
 
 
 def sw_score_ends_pallas(query, ref, params, interpret=False, btile=None,
-                         wave=None):
+                         wave=None, no_n=False):
     """Same contract as ops.sw.sw_score_ends, on the Pallas TPU kernels.
 
     ``wave`` pins the kernel (None = route by shape/env, see wave_route);
     ``btile`` overrides the batch tile of WHICHEVER kernel runs (their
-    defaults differ: scan BTILE vs WAVE_BTILE)."""
+    defaults differ: scan BTILE vs WAVE_BTILE).  ``no_n`` (static) is the
+    caller's proof that ``ref`` contains no N codes (code 4) -- resolved
+    host-side BEFORE any outer jit (ops/sw.py::_ref_no_n), it compiles
+    the leaner chain/wave5 scoring; False is always safe."""
     import os
     B, Lq = query.shape
     _, Lr = ref.shape
@@ -823,13 +848,13 @@ def sw_score_ends_pallas(query, ref, params, interpret=False, btile=None,
             # block amortises over jobs; tiny batches stay on wave5)
             if plan is not None and plan[0] >= 4 and B >= 2 * plan[0]:
                 return sw_score_ends_chain(query, ref, params, plan,
-                                           interpret=interpret)
+                                           interpret=interpret, no_n=no_n)
         use5 = (os.environ.get('CIRI_SW_WAVE5', '1') not in
                 ('0', 'false', '') and wave5_fits(Lq, Lr, params))
         if use5:
             return sw_score_ends_wave5(
                 query, ref, params, interpret=interpret,
-                btile=WAVE5_BTILE if btile is None else btile)
+                btile=WAVE5_BTILE if btile is None else btile, no_n=no_n)
         if _round_up(Lr, LANES) >= 2 * _round_up(Lq, LANES):
             # wave5 unavailable (packed-best overflow): the r2 wave
             # kernel only beats scan on reference-dominated shapes

@@ -692,7 +692,8 @@ def build_kernel_chain(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
 
 
 def build_kernel_chain7(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
-                        mismatch, gap_open, gap_extend, unroll=2):
+                        mismatch, gap_open, gap_extend, unroll=2,
+                        assume_no_n=False, noroll=False):
     """Op-diet chained wavefront (wave7): three exact transforms over
     build_kernel_chain, ~26 -> ~20 vector ops per phase-B step.  Stream
     layout, phase structure, drain and output contract are identical to
@@ -754,9 +755,14 @@ def build_kernel_chain7(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
             ZN = jnp.where(lane_real, s_base, -mismatch + s_base)
             return q, SM, SX, ZN
 
+        def roll1(x):
+            # timing-only probe: --noroll replaces every per-step lane
+            # roll with identity (results WRONG) to measure how much of
+            # the step cost the three rolls are
+            return x if noroll else pltpu.roll(x, 1, axis=1)
+
         def dp_step(d, r_col, qsv, boundary_lane=None, qsv_prev=None):
-            rd = jnp.where(is_lane0, r_col,
-                           pltpu.roll(r_diag[:], 1, axis=1))
+            rd = jnp.where(is_lane0, r_col, roll1(r_diag[:]))
             r_diag[:] = rd
             q, SM, SX, ZN = qsv
             if boundary_lane is not None:
@@ -766,16 +772,20 @@ def build_kernel_chain7(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
                 q = jnp.where(le_b, q, qp)
                 SM = jnp.where(le_b, SM, SMp)
                 SX = jnp.where(le_b, SX, SXp)
-                ZN = jnp.where(le_b, ZN, ZNp)
+                if not assume_no_n:
+                    ZN = jnp.where(le_b, ZN, ZNp)
             else:
                 is_b = None
             s = jnp.where(q == rd, SM, SX)
-            s = jnp.where(rd == 4, ZN, s)
+            if not assume_no_n:
+                # reference N columns score 0 at real query lanes; a
+                # host-proven N-free stream drops this cmp+select
+                s = jnp.where(rd == 4, ZN, s)
 
             h1 = Hd1[:]
             hc = h1 - c_go
-            hcs = pltpu.roll(hc, 1, axis=1)
-            f1s = pltpu.roll(Fd1[:], 1, axis=1)
+            hcs = roll1(hc)
+            f1s = roll1(Fd1[:])
             Fv = jnp.where(is_lane0, NEG, jnp.maximum(f1s, hcs))
             h2s = jnp.where(is_lane0, (d - 2) * gap_extend - c_go,
                             Hd2r[:])
@@ -858,6 +868,196 @@ def build_kernel_chain7(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
 
                 run_phase(t0 // LANES + a_chunks,
                           per_job_chunks - a_chunks, b_body)
+
+    return kernel
+
+
+def build_kernel_chain9(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
+                        mismatch, gap_open, gap_extend, unroll=8,
+                        nobp=False):
+    """Traffic-diet chained wavefront (chain9): two VMEM-traffic
+    transforms over build_kernel_chain7, motivated by the round-4
+    finding that further ALU op removal (--non, --noroll) does NOT
+    speed the wave7 step -- the marginal bound is the per-step scratch
+    traffic (12 array accesses/step), not vector ALU:
+
+    1. Ping-pong H buffers.  wave7 stores BOTH Hn (Hd1) and the rolled
+       hc (Hd2r) every step.  chain9 stores only Hn, alternating
+       between HA/HB by step parity (static under unroll: parity == v
+       % 2 since LANES and unroll are even), and re-derives the match
+       diagonal as roll(H(d-2)) with the -c_go fold moved into the
+       hoisted score constants (s_base' = s_base - c_go = 2*ge, and the
+       lane-0 diagonal fill loses its -c_go).  Net: -1 store, +1 roll
+       (ALU is free at the margin).  Values are bit-identical: wave7's
+       h2s = roll(H(d-2) - c_go) and chain9's dval = roll(H(d-2)) +
+       (s - c_go) agree term for term.
+
+    2. Group-accumulated packed best (phase B only).  The per-step
+       best_pack read-modify-write becomes a running register max over
+       the unroll group's packed candidates, folded into best_pack once
+       per group: -(unroll-1)/unroll loads AND stores per step.  Exact:
+       max is associative, phase B has no captures, and phases start
+       and end chunk-aligned so every group is complete.  Phase A keeps
+       the per-step update (the boundary capture must see bp current at
+       its exact step).
+
+    ``nobp`` is a TIMING-ONLY probe (results wrong): skip the best_pack
+    accumulation entirely to measure its share of the step cost.
+    """
+    LB = 1
+    T = C * (lrp + 1) + lqp
+    while (1 << LB) < T + 1:
+        LB += 1
+    span1 = (1 << LB) - 1
+    assert (lrp + 1) % LANES == 0 and lqp % LANES == 0
+    assert lrp >= lqp - 1
+    assert match * lqp << LB < 2 ** 31
+    assert unroll % 2 == 0 and LANES % unroll == 0
+    c_go = gap_open - gap_extend
+    s_base = 2 * gap_extend          # wave7's s_base - c_go fold
+
+    def kernel(q_ref, r_ref, out_ref, HA, HB, Ed1, Fd1, best_pack,
+               capB, r_diag, rblk):
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+        is_lane0 = i_idx == 0
+
+        HA[:] = jnp.zeros((btile, lqp), jnp.int32)
+        HB[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        best_pack[:] = jnp.zeros((btile, lqp), jnp.int32)
+        capB[:] = jnp.zeros((btile, lqp), jnp.int32)
+        r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
+
+        def svecs(q):
+            q_is_n = q == 4
+            lane_real = q < 5
+            SM = jnp.where(q_is_n, s_base, match + s_base)
+            SX = jnp.where(q_is_n, s_base, -mismatch + s_base)
+            ZN = jnp.where(lane_real, s_base, -mismatch + s_base)
+            return q, SM, SX, ZN
+
+        # W(d) = HA if d even else HB; step d reads h1 = W(d-1),
+        # h2 = W(d-2) = W(d), writes Hn -> W(d) (read-before-write)
+        def bufs(parity):
+            return (HA, HB) if parity == 0 else (HB, HA)
+
+        def dp_step(d, parity, r_col, qsv, boundary_lane=None,
+                    qsv_prev=None, defer_bp=False):
+            hout, hprev = bufs(parity)
+            rd = jnp.where(is_lane0, r_col,
+                           pltpu.roll(r_diag[:], 1, axis=1))
+            r_diag[:] = rd
+            q, SM, SX, ZN = qsv
+            if boundary_lane is not None:
+                is_b = i_idx == boundary_lane
+                le_b = i_idx <= boundary_lane
+                qp, SMp, SXp, ZNp = qsv_prev
+                q = jnp.where(le_b, q, qp)
+                SM = jnp.where(le_b, SM, SMp)
+                SX = jnp.where(le_b, SX, SXp)
+                ZN = jnp.where(le_b, ZN, ZNp)
+            else:
+                is_b = None
+            s = jnp.where(q == rd, SM, SX)
+            s = jnp.where(rd == 4, ZN, s)
+
+            h1 = hprev[:]
+            hc = h1 - c_go
+            hcs = pltpu.roll(hc, 1, axis=1)
+            f1s = pltpu.roll(Fd1[:], 1, axis=1)
+            Fv = jnp.where(is_lane0, NEG, jnp.maximum(f1s, hcs))
+            h2roll = jnp.where(is_lane0, (d - 2) * gap_extend,
+                               pltpu.roll(hout[:], 1, axis=1))
+            dval = h2roll + s
+            K = span1 - d - ((d * gap_extend) << LB)
+            pval = (dval << LB) + K
+            H0 = jnp.maximum(jnp.maximum(dval, Fv), d * gap_extend)
+            E = jnp.maximum(Ed1[:], hc)
+            Hn = jnp.maximum(H0, E)
+
+            if is_b is not None:
+                bp = (best_pack[:] if nobp
+                      else jnp.maximum(best_pack[:], pval))
+                capB[:] = jnp.where(is_b, best_pack[:], capB[:])
+                best_pack[:] = jnp.where(is_b, 0, bp)
+                hout[:] = jnp.where(is_b, d * gap_extend, Hn)
+                Ed1[:] = jnp.where(is_b, NEG, E)
+                Fd1[:] = jnp.where(is_b, NEG, Fv)
+            else:
+                hout[:] = Hn
+                Ed1[:] = E
+                Fd1[:] = Fv
+            return pval
+
+        def run_phase(c0, n_chunks, body, defer_bp):
+            def chunk(c, _):
+                base = pl.multiple_of(c * LANES, LANES)
+                rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+                def inner(u, _):
+                    acc = None
+                    for v in range(unroll):
+                        pval = body(c * LANES + u * unroll + v, v % 2,
+                                    rblk[:, v:v + 1])
+                        if defer_bp:
+                            acc = pval if acc is None else \
+                                jnp.maximum(acc, pval)
+                    if defer_bp and not nobp:
+                        best_pack[:] = jnp.maximum(best_pack[:], acc)
+                    rblk[:] = pltpu.roll(rblk[:], LANES - unroll, axis=1)
+                    return 0
+
+                jax.lax.fori_loop(0, LANES // unroll, inner, 0)
+                return 0
+
+            jax.lax.fori_loop(c0, c0 + n_chunks, chunk, 0)
+
+        def drain(k):
+            bp = capB[:]
+            bv = bp >> LB
+            bd = span1 - (bp & span1)
+            o_k = k * (lrp + 1) + 1
+            best = jnp.max(bv, axis=1, keepdims=True)
+            isbest = bv == best
+            j_of = bd - o_k - i_idx
+            jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1,
+                            keepdims=True)
+            istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx,
+                                      BIG), axis=1, keepdims=True)
+            found = best > 0
+            score = jnp.where(found, best, 0)
+            iout = jnp.where(found, istar, -1)
+            jout = jnp.where(found, jstar, -1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+            out = jnp.where(lane == 0, score,
+                            jnp.where(lane == 1, iout,
+                                      jnp.where(lane == 2, jout, 0)))
+            out_ref[:, k * LANES:(k + 1) * LANES] = out
+
+        per_job_chunks = (lrp + 1) // LANES
+        a_chunks = lqp // LANES
+        for k in range(C + 1):
+            t0 = k * (lrp + 1)
+            qsv_cur = svecs(q_ref[:, min(k, C - 1) * lqp:
+                                  (min(k, C - 1) + 1) * lqp])
+            qsv_prev = svecs(q_ref[:, max(k - 1, 0) * lqp:
+                                   max(k, 1) * lqp])
+
+            def a_body(t, parity, r_col, t0=t0, qc=qsv_cur, qp=qsv_prev):
+                return dp_step(t, parity, r_col, qc,
+                               boundary_lane=t - t0, qsv_prev=qp)
+
+            run_phase(t0 // LANES, a_chunks, a_body, defer_bp=False)
+            if k > 0:
+                drain(k - 1)
+            if k < C:
+                def b_body(t, parity, r_col, qc=qsv_cur):
+                    return dp_step(t, parity, r_col, qc)
+
+                run_phase(t0 // LANES + a_chunks,
+                          per_job_chunks - a_chunks, b_body,
+                          defer_bp=True)
 
     return kernel
 
@@ -1045,8 +1245,8 @@ def make_call(args, params):
         r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrP - Lr)),
                     constant_values=5)
 
-        if args.chain or args.chain7:
-            C = args.chain or args.chain7
+        if args.chain or args.chain7 or args.chain9:
+            C = args.chain or args.chain7 or args.chain9
             assert B % C == 0, "batch must divide by --chain"
             rows = B // C
             lrp = max(_round_up(Lr + 1, LANES) - 1, LqP - 1)
@@ -1073,11 +1273,18 @@ def make_call(args, params):
             stream = jnp.pad(stream, ((0, Rp - rows), (0, 0)),
                              constant_values=6)
 
-            if args.chain7:
+            if args.chain9:
+                kernel = build_kernel_chain9(
+                    jnp, jax, pl, pltpu, btile=bt, lqp=LqP, lrp=lrp, C=C,
+                    match=match, mismatch=mismatch, gap_open=gap_open,
+                    gap_extend=gap_extend, unroll=args.unroll,
+                    nobp=args.nobp)
+            elif args.chain7:
                 kernel = build_kernel_chain7(
                     jnp, jax, pl, pltpu, btile=bt, lqp=LqP, lrp=lrp, C=C,
                     match=match, mismatch=mismatch, gap_open=gap_open,
-                    gap_extend=gap_extend, unroll=args.unroll)
+                    gap_extend=gap_extend, unroll=args.unroll,
+                    assume_no_n=args.non, noroll=args.noroll)
             else:
                 kernel = build_kernel_chain(
                     jnp, jax, pl, pltpu, btile=bt, lqp=LqP, lrp=lrp, C=C,
@@ -1246,6 +1453,19 @@ def main():
                     help="chained wavefront: jobs per lane-row (wave6)")
     ap.add_argument("--chain7", type=int, default=0,
                     help="op-diet chained wavefront (wave7): jobs per row")
+    ap.add_argument("--non", action="store_true",
+                    help="chain7: assume reference stream has no N codes "
+                         "(drops the rd==4 select; check data excludes N)")
+    ap.add_argument("--noroll", action="store_true",
+                    help="chain7 TIMING-ONLY: identity instead of lane "
+                         "rolls (results wrong; implies --skipcheck)")
+    ap.add_argument("--chain9", type=int, default=0,
+                    help="traffic-diet chained wavefront (ping-pong H + "
+                         "group-accumulated best): jobs per row")
+    ap.add_argument("--nobp", action="store_true",
+                    help="chain9 TIMING-ONLY: skip the packed-best "
+                         "accumulation (results wrong; implies "
+                         "--skipcheck)")
     ap.add_argument("--interpret", action="store_true",
                     help="pallas interpret mode (CPU correctness checks)")
     ap.add_argument("--B", type=int, default=512)
@@ -1265,6 +1485,8 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    if args.noroll or args.nobp:
+        args.skipcheck = True
     if not args.skipcheck:
         # correctness vs the XLA-scan oracle: once at a fixed small shape
         # (fast; odd lengths exercise the N/pad lanes) and once at the
@@ -1277,7 +1499,9 @@ def main():
             check_shapes.append(timed)
         for lq_c, lr_c in check_shapes:
             qs = rng.integers(0, 5, (args.btile, lq_c)).astype(np.int8)
-            rs = rng.integers(0, 5, (args.btile, lr_c)).astype(np.int8)
+            # --non's contract: the caller proved the reference N-free
+            rhi = 4 if args.non else 5
+            rs = rng.integers(0, rhi, (args.btile, lr_c)).astype(np.int8)
             got = [np.asarray(x) for x in call(qs, rs)]
             want = [np.asarray(x) for x in
                     sw_score_ends(jnp.asarray(qs), jnp.asarray(rs),
@@ -1323,7 +1547,8 @@ def main():
         "variant": {k: getattr(args, k) for k in
                     ("btile", "nomask7", "packbest", "tworow", "r3",
                      "wave", "wave2", "wave3", "wave5", "unroll",
-                     "chain", "chain7")},
+                     "chain", "chain7", "chain9", "non", "noroll",
+                     "nobp")},
         "gcups": round(gcups, 2),
         "seconds": round(dt, 3),
         "backend": jax.default_backend(),

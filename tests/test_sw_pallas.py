@@ -207,3 +207,57 @@ def test_wave_routing_and_empty_rows(rng):
             os.environ['CIRI_SW_WAVE'] = prior
     for a, b in zip(got, scan):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("params", [SWParams(1, 1, 1, 1), SWParams(10, 4, 8, 2)])
+def test_no_n_routes_match_generic(rng, params):
+    """no_n=True (host-proven N-free reference) compiles leaner chain and
+    wave5 scoring; results must be identical to the generic kernels and
+    the scan implementation on N-free data.  Query-side N codes remain
+    legal under no_n (they are folded into the hoisted score vectors)."""
+    from ciri_long_tpu.ops.sw_pallas import (chain_plan, sw_score_ends_chain,
+                                             sw_score_ends_wave5, wave5_fits)
+
+    B = 13
+    # queries may contain N (code 4); references must not under no_n
+    qs = [rng.integers(0, 5, int(rng.integers(5, 30))).astype(np.int8)
+          for _ in range(B)]
+    rs = [rng.integers(0, 4, int(rng.integers(30, 90))).astype(np.int8)
+          for _ in range(B)]
+    q, _ = pad_encoded(qs)
+    r, _ = pad_encoded(rs)
+    s1, qe1, re1 = map(np.asarray, sw_score_ends(q, r, params))
+
+    plan = chain_plan(B, q.shape[1], r.shape[1], params)
+    assert plan is not None
+    s2, qe2, re2 = map(np.asarray,
+                       sw_score_ends_chain(q, r, params, plan,
+                                           interpret=True, no_n=True))
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(qe1, qe2)
+    np.testing.assert_array_equal(re1, re2)
+
+    assert wave5_fits(q.shape[1], r.shape[1], params)
+    s3, qe3, re3 = map(np.asarray,
+                       sw_score_ends_wave5(q, r, params, interpret=True,
+                                           no_n=True))
+    np.testing.assert_array_equal(s1, s3)
+    np.testing.assert_array_equal(qe1, qe3)
+    np.testing.assert_array_equal(re1, re3)
+
+
+def test_ref_no_n_host_proof(monkeypatch):
+    """_ref_no_n only claims N-freedom for host numpy arrays without
+    code 4, and only when CIRI_SW_NON enables the specialisation
+    (default off: measured flat on hardware while doubling per-shape
+    cold compiles).  Device arrays and tracers stay conservatively
+    False."""
+    import jax.numpy as jnp
+    from ciri_long_tpu.ops.sw import _ref_no_n
+
+    clean = np.array([[0, 1, 2, 3, 5]], np.int8)
+    assert not _ref_no_n(clean)          # gated off by default
+    monkeypatch.setenv('CIRI_SW_NON', '1')
+    assert _ref_no_n(clean)
+    assert not _ref_no_n(np.array([[0, 4, 2]], np.int8))
+    assert not _ref_no_n(jnp.zeros((2, 3), jnp.int8))

@@ -130,33 +130,51 @@ class MinimizerIndex(NamedTuple):
               threads: int = 1) -> "MinimizerIndex":
         assert genome.total_len < (1 << 32), \
             "genomes above 4.29 Gb need a u64-position index"
-        # dense_codes materialises 1 B/base transiently for 2-bit genomes;
-        # dropped right after the sketch (index build is once-per-genome)
-        code, pos, strand = minimizers(genome.dense_codes(), k, w,
-                                       n_threads=threads)
-        # k-mers must not span contig boundaries: drop any whose start lies
-        # within the last k-1 bases of a contig
-        keep = np.ones(len(pos), bool)
-        for name in genome.names:
-            off = genome.offsets[name]
-            ln = genome.contig_len[name]
-            bad = (pos > off + ln - k) & (pos < off + ln)
-            keep &= ~bad
-        code, pos, strand = code[keep], pos[keep], strand[keep]
-        # stable sort by code: native radix permutation when built
-        # (chaincore.cpp::py_sortperm, argsort-equivalence fuzzed),
-        # np.argsort otherwise
         try:
             from ciri_long_tpu import _chaincore
-            native = getattr(_chaincore, 'sortperm', None)
+            build_table = getattr(_chaincore, 'build_table', None)
         except ImportError:
-            native = None
-        if native is not None and len(code):
-            order = np.frombuffer(
-                native(np.ascontiguousarray(code, np.uint32)), np.int64)
+            build_table = None
+        if build_table is not None:
+            # memory-bounded native build (chaincore.cpp::py_build_table):
+            # two-pass exact-allocation sketch + in-stream contig-boundary
+            # filter + stable triple radix sort -- peak RSS ~2x the final
+            # 9 B/minimizer table vs ~4x table + 16 B/min sort temps +
+            # i64 positions on the python path below (measured 37 GB at
+            # 1 Gb; the native path is what makes a cold 3 Gb build fit).
+            # Byte-identical outputs (tests/test_minimizer.py).
+            ends = np.sort(np.asarray(
+                [genome.offsets[n] + genome.contig_len[n]
+                 for n in genome.names], np.int64))
+            # int8 -> uint8 is a bit-reinterpret (codes are 0..6): view,
+            # don't cast -- a cast would copy 1 B/base
+            dense = np.ascontiguousarray(
+                genome.dense_codes()).view(np.uint8)
+            cb, pb, sb = build_table(dense, k, w, ends.tobytes(),
+                                     max(1, int(threads)))
+            del dense
+            code = np.frombuffer(cb, np.uint32)
+            pos = np.frombuffer(pb, np.uint32)
+            strand = np.frombuffer(sb, np.uint8)
         else:
+            # dense_codes materialises 1 B/base transiently for 2-bit
+            # genomes; dropped right after the sketch (build is
+            # once-per-genome)
+            code, pos, strand = minimizers(genome.dense_codes(), k, w,
+                                           n_threads=threads)
+            # k-mers must not span contig boundaries: drop any whose
+            # start lies within the last k-1 bases of a contig
+            keep = np.ones(len(pos), bool)
+            for name in genome.names:
+                off = genome.offsets[name]
+                ln = genome.contig_len[name]
+                bad = (pos > off + ln - k) & (pos < off + ln)
+                keep &= ~bad
+            code, pos, strand = code[keep], pos[keep], strand[keep]
             order = np.argsort(code, kind='stable')
-        code = code[order]
+            code = code[order]
+            pos = pos[order].astype(np.uint32)
+            strand = strand[order]
         # adaptive top-bits bucket offsets: each lookup binary-searches a
         # ~32-entry bucket instead of the whole table, independent of
         # genome scale (table cost 8 B x 2^bits: 512 KB at 50 Mb, 256 MB
@@ -167,8 +185,7 @@ class MinimizerIndex(NamedTuple):
         buckets = np.searchsorted(
             code, (np.arange((1 << bits) + 1, dtype=np.int64)
                    << (32 - bits))).astype(np.int64)
-        return cls(k, w, code, pos[order].astype(np.uint32),
-                   strand[order], buckets, bits)
+        return cls(k, w, code, pos, strand, buckets, bits)
 
     # --- mmap-shared cache (the minimap2 .mmi role) -------------------
     # Spawn-pool workers and repeat runs load the table zero-copy via

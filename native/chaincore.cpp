@@ -17,8 +17,10 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <thread>
 #include <vector>
 
@@ -283,6 +285,248 @@ PyObject* py_sketch(PyObject*, PyObject* args) {
       (Py_ssize_t)out_strand.size());
 }
 
+// Whole-index-table build (models/minimizer.py::MinimizerIndex.build's
+// memory-bounded native twin): two-pass exact-allocation sketch with the
+// contig-boundary filter applied in-stream, then a stable LSD radix sort
+// of the (code, pos, strand) triple by code.  The python path peaks at
+// ~37 GB RSS for a 1 Gb genome (i64 positions, vector-doubling parts,
+// a bytes copy per array, the 16 B/minimizer sortperm pair, and the
+// fancy-index copies); this path peaks at ~2x the final 9 B/minimizer
+// table (+ the 1 B/base dense codes upstream), which is what makes a
+// cold human-genome (3 Gb) index build feasible.
+//
+// Contract: identical bytes to the python build path -- emission order
+// is increasing position (chunks in order), the filter drops k-mers
+// whose start p satisfies end-k < p < end for any contig end, and the
+// LSD radix preserves original order among equal codes exactly like
+// np.argsort(kind='stable') / py_sortperm.
+template <class Emit>
+int64_t sketch_range_tbl(const uint8_t* codes, int64_t L, int k, int w,
+                         int64_t lo, int64_t hi, const int64_t* ends,
+                         int64_t n_ends, Emit&& emit) {
+  const int64_t n = L - k + 1;
+  if (n <= 0 || lo >= hi) return 0;
+  constexpr uint64_t kInf = ~0ull;
+  const int64_t ww = (n < w) ? (n > 0 ? n : 1) : w;
+  const int64_t elo = std::max<int64_t>(0, lo - ww + 1);
+  const int64_t ehi = std::min<int64_t>(n, hi + ww - 1);
+  const int64_t en = ehi - elo;
+
+  std::vector<uint64_t> hh(en);
+  std::vector<uint32_t> canon(en);
+  std::vector<uint8_t> strand(en);
+  const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+  uint64_t fwd = 0, rev = 0;
+  int64_t last_bad = elo - 1;
+  for (int64_t p = elo; p < ehi + k - 1; ++p) {
+    const uint8_t b = codes[p];
+    const uint64_t bb = (b < 4) ? b : 0;
+    if (b >= 4) last_bad = p;
+    fwd = ((fwd << 2) | bb) & mask;
+    rev = (rev >> 2) | ((3ull - bb) << (2 * (k - 1)));
+    const int64_t s = p - k + 1;
+    if (s < elo) continue;
+    const bool ok = last_bad < s;
+    const uint64_t cn = fwd < rev ? fwd : rev;
+    canon[s - elo] = static_cast<uint32_t>(cn);
+    strand[s - elo] = fwd <= rev ? 0 : 1;
+    if (ok) {
+      uint64_t x = cn;
+      x ^= x >> 33;
+      x *= 0xff51afd7ed558ccdull;
+      x ^= x >> 33;
+      x *= 0xc4ceb9fe1a85ec53ull;
+      x ^= x >> 33;
+      hh[s - elo] = x;
+    } else {
+      hh[s - elo] = kInf;
+    }
+  }
+
+  const int64_t nm = n - ww + 1;
+  const int64_t mlo = std::max<int64_t>(0, lo - ww + 1);
+  const int64_t mhi = std::min<int64_t>(nm, hi);
+  std::vector<uint64_t> m(std::max<int64_t>(0, mhi - mlo));
+  std::vector<int64_t> dq(en);
+  {
+    int64_t head = 0, tail = 0;
+    for (int64_t p = elo; p < ehi; ++p) {
+      while (tail > head && hh[dq[tail - 1] - elo] >= hh[p - elo]) --tail;
+      dq[tail++] = p;
+      if (dq[head] <= p - ww) ++head;
+      const int64_t s = p - ww + 1;
+      if (s >= mlo && s < mhi) m[s - mlo] = hh[dq[head] - elo];
+    }
+  }
+  int64_t emitted = 0;
+  // moving pointer into the sorted contig ends for the boundary filter
+  int64_t e = 0;
+  {
+    int64_t head = 0, tail = 0;
+    for (int64_t p = mlo; p < hi; ++p) {
+      const int64_t s_new = p;
+      if (s_new < mhi) {
+        while (tail > head && m[dq[tail - 1] - mlo] <= m[s_new - mlo]) {
+          --tail;
+        }
+        dq[tail++] = s_new;
+      }
+      const int64_t s_min = p - ww + 1;
+      while (head < tail && dq[head] < s_min) ++head;
+      if (p < lo) continue;
+      if (head < tail && hh[p - elo] != kInf &&
+          hh[p - elo] == m[dq[head] - mlo]) {
+        while (e < n_ends && p >= ends[e]) ++e;
+        if (e < n_ends && p > ends[e] - k) continue;  // spans a boundary
+        emit(canon[p - elo], static_cast<uint32_t>(p), strand[p - elo]);
+        ++emitted;
+      }
+    }
+  }
+  return emitted;
+}
+
+PyObject* py_build_table(PyObject*, PyObject* args) {
+  Py_buffer cb, eb;
+  int k, w, n_threads = 0;
+  if (!PyArg_ParseTuple(args, "y*iiy*|i", &cb, &k, &w, &eb, &n_threads)) {
+    return nullptr;
+  }
+  const uint8_t* codes = static_cast<const uint8_t*>(cb.buf);
+  const int64_t L = cb.len;
+  const int64_t* ends = static_cast<const int64_t*>(eb.buf);
+  const int64_t n_ends = eb.len / static_cast<int64_t>(sizeof(int64_t));
+  const int64_t n = L - k + 1;
+
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  // SMALL fixed chunks, dynamically scheduled: the sketch temporaries
+  // (hashes + deques, ~29 B per position) scale with chunk length, so
+  // n/T-sized chunks would cost ~29 B x n in temps ALONE (~29 GB at a
+  // 1 Gb genome -- the round-3 smoke's 37 GB peak, measured).  8M-
+  // position chunks bound the temps to ~29 B x 8M x T ~ 1 GB, and the
+  // ±(w-1) context overlap makes every chunk exact regardless of split.
+  const int64_t kChunk = 8'000'000;
+  const int64_t n_chunks = (n > 0) ? (n + kChunk - 1) / kChunk : 0;
+  int T = static_cast<int>(std::min<int64_t>(
+      n_threads, std::max<int64_t>(1, n_chunks)));
+
+  struct ChunkOut {
+    std::vector<uint32_t> code, pos;
+    std::vector<uint8_t> strand;
+  };
+  std::vector<ChunkOut> parts(n_chunks);
+
+  Py_BEGIN_ALLOW_THREADS {
+    std::atomic<int64_t> next{0};
+    auto worker = [&] {
+      for (;;) {
+        const int64_t c = next.fetch_add(1);
+        if (c >= n_chunks) break;
+        const int64_t lo = c * kChunk;
+        const int64_t hi = std::min<int64_t>(n, lo + kChunk);
+        ChunkOut& out = parts[c];
+        // reserve the expected winnowing density (~2/(w+1)) to avoid
+        // most doubling; a chunk's overshoot is bounded by chunk size
+        out.code.reserve((hi - lo) * 2 / (w + 1) + 1024);
+        out.pos.reserve(out.code.capacity());
+        out.strand.reserve(out.code.capacity());
+        sketch_range_tbl(codes, L, k, w, lo, hi, ends, n_ends,
+                         [&](uint32_t cd, uint32_t p, uint8_t s) {
+                           out.code.push_back(cd);
+                           out.pos.push_back(p);
+                           out.strand.push_back(s);
+                         });
+      }
+    };
+    if (T <= 1) {
+      worker();
+    } else {
+      std::vector<std::thread> threads;
+      for (int t = 0; t < T; ++t) threads.emplace_back(worker);
+      for (auto& th : threads) th.join();
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  int64_t total = 0;
+  for (const auto& p : parts) total += (int64_t)p.code.size();
+
+  // exact-size output bytes, filled in place (no copy at the boundary)
+  PyObject* code_b = PyBytes_FromStringAndSize(
+      nullptr, (Py_ssize_t)(total * sizeof(uint32_t)));
+  PyObject* pos_b = PyBytes_FromStringAndSize(
+      nullptr, (Py_ssize_t)(total * sizeof(uint32_t)));
+  PyObject* strand_b = PyBytes_FromStringAndSize(nullptr,
+                                                 (Py_ssize_t)total);
+  if (code_b == nullptr || pos_b == nullptr || strand_b == nullptr) {
+    Py_XDECREF(code_b);
+    Py_XDECREF(pos_b);
+    Py_XDECREF(strand_b);
+    PyBuffer_Release(&cb);
+    PyBuffer_Release(&eb);
+    return nullptr;
+  }
+  uint32_t* code = reinterpret_cast<uint32_t*>(PyBytes_AS_STRING(code_b));
+  uint32_t* pos = reinterpret_cast<uint32_t*>(PyBytes_AS_STRING(pos_b));
+  uint8_t* strand = reinterpret_cast<uint8_t*>(PyBytes_AS_STRING(strand_b));
+
+  Py_BEGIN_ALLOW_THREADS
+  if (total > 0) {
+    // concatenate chunks in order, freeing each right after its copy
+    // (peak: chunk vectors + the output, falling as parts release)
+    int64_t at = 0;
+    for (auto& p : parts) {
+      const int64_t m_sz = (int64_t)p.code.size();
+      std::memcpy(code + at, p.code.data(), m_sz * sizeof(uint32_t));
+      std::memcpy(pos + at, p.pos.data(), m_sz * sizeof(uint32_t));
+      std::memcpy(strand + at, p.strand.data(), m_sz);
+      at += m_sz;
+      p = ChunkOut();  // free this chunk's vectors before the next copy
+    }
+    // stable LSD radix by code (two 16-bit passes), payload carried;
+    // lands back in the output buffers, temps freed before return
+    {
+      std::vector<uint32_t> code2(total), pos2(total);
+      std::vector<uint8_t> strand2(total);
+      uint32_t* csrc = code;
+      uint32_t* psrc = pos;
+      uint8_t* ssrc = strand;
+      uint32_t* cdst = code2.data();
+      uint32_t* pdst = pos2.data();
+      uint8_t* sdst = strand2.data();
+      for (int shift = 0; shift <= 16; shift += 16) {
+        std::vector<int64_t> count(65537, 0);
+        for (int64_t i = 0; i < total; ++i) {
+          ++count[((csrc[i] >> shift) & 0xffffu) + 1];
+        }
+        for (int t = 0; t < 65536; ++t) count[t + 1] += count[t];
+        for (int64_t i = 0; i < total; ++i) {
+          const int64_t d = count[(csrc[i] >> shift) & 0xffffu]++;
+          cdst[d] = csrc[i];
+          pdst[d] = psrc[i];
+          sdst[d] = ssrc[i];
+        }
+        std::swap(csrc, cdst);
+        std::swap(psrc, pdst);
+        std::swap(ssrc, sdst);
+      }
+      // two passes: results are back in the PyBytes buffers already
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&cb);
+  PyBuffer_Release(&eb);
+  PyObject* out = Py_BuildValue("(OOO)", code_b, pos_b, strand_b);
+  Py_DECREF(code_b);
+  Py_DECREF(pos_b);
+  Py_DECREF(strand_b);
+  return out;
+}
+
 // Greedy chain extraction (native twin of ops/chain.py::backtrack_chains'
 // per-row body): candidates in stable descending-f order, each unused
 // survivor walked back through pre[] (marking used), kept when the path
@@ -512,6 +756,10 @@ PyMethodDef kMethods[] = {
      "max_chains) -> [(path_i64_bytes, score), ...]"},
     {"sortperm", py_sortperm, METH_VARARGS,
      "sortperm(keys_u32) -> stable ascending sort permutation (i64 bytes)"},
+    {"build_table", py_build_table, METH_VARARGS,
+     "build_table(codes_u8, k, w, contig_ends_i64[, threads]) -> "
+     "(code_u32, pos_u32, strand_u8) bytes, sorted stable by code with "
+     "boundary-spanning k-mers dropped (memory-bounded index build)"},
     {"lookup", py_lookup, METH_VARARGS,
      "lookup(table_u32_sorted, bucket_starts_i64[65537], queries_u32) -> "
      "(lo_i64, hi_i64) bytes"},

@@ -259,3 +259,46 @@ def test_native_sortperm_parity(rng):
             np.int64)
         np.testing.assert_array_equal(got,
                                       np.argsort(keys, kind='stable'))
+
+
+def test_native_build_table_parity(rng, monkeypatch):
+    """The memory-bounded native index build (chaincore.cpp::
+    py_build_table: two-pass exact-alloc sketch + in-stream contig
+    boundary filter + stable triple radix) produces byte-identical
+    code/pos/strand/bucket tables to the python build path, including
+    multi-contig boundaries, N runs, repeat ties (stable order) and the
+    multi-chunk threaded split."""
+    from ciri_long_tpu import _chaincore
+    from ciri_long_tpu.io.genome import Genome
+    from ciri_long_tpu.models.minimizer import MinimizerIndex
+
+    assert getattr(_chaincore, 'build_table', None) is not None
+
+    # > 2 chunk_min bases so the threaded two-pass split engages;
+    # repeats for ties, N islands for invalid k-mers, 3 contigs for the
+    # boundary filter
+    core = "".join(rng.choice(list("ACGT"), 1_400_000))
+    seq = core + core[:300_000] + "N" * 37 + core[200_000:900_000]
+    genome = Genome.from_dict({
+        'c1': seq[:1_000_000],
+        'c2': seq[1_000_000:2_100_000],
+        'c3': seq[2_100_000:],
+    })
+
+    native = MinimizerIndex.build(genome, k=15, w=5, threads=3)
+
+    # degenerate: contigs shorter than k emit nothing and don't crash
+    # (still on the native path)
+    tiny = Genome.from_dict({'t': 'ACGTACGTACGT', 'u': 'AC'})
+    idx = MinimizerIndex.build(tiny, k=15, w=5)
+    assert len(idx.codes) == 0
+
+    monkeypatch.delattr(_chaincore, 'build_table')
+    fallback = MinimizerIndex.build(genome, k=15, w=5, threads=3)
+
+    np.testing.assert_array_equal(native.codes, fallback.codes)
+    np.testing.assert_array_equal(native.pos, fallback.pos)
+    np.testing.assert_array_equal(native.strand, fallback.strand)
+    np.testing.assert_array_equal(native.buckets, fallback.buckets)
+    assert native.bucket_bits == fallback.bucket_bits
+    assert native.pos.dtype == np.uint32

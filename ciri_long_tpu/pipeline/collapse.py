@@ -313,13 +313,36 @@ def junc_score(ctx, ctg, junc, junc_seqs):
     return float(np.mean(res.score))
 
 
-def correct_chunk(ctx, chunk, max_cluster=200):
+def correct_chunk(ctx, chunk, max_cluster=200, exec_threads=1):
+    """Correct every cluster of a chunk.
+
+    ``exec_threads > 1`` runs the clusters on a thread pool -- the device
+    compute path's per-cluster SW/edit dispatches then overlap their
+    tunnel round-trips (each thread blocks in a device fetch while the
+    others dispatch; correct_cluster is pure in (ctx, cluster) and every
+    shared dependency is read-only or thread_local, so results are
+    identical).  The fold runs in submission (index) order either way,
+    keeping counters and corrected_reads byte-identical to a serial run.
+    """
+    results = [None] * len(chunk)
+    if exec_threads > 1 and sum(c is not None for c in chunk) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(exec_threads, len(chunk))) as ex:
+            futs = {i: ex.submit(correct_cluster, ctx, c,
+                                 max_cluster=max_cluster)
+                    for i, c in enumerate(chunk) if c is not None}
+            for i, fut in futs.items():
+                results[i] = fut.result()
+    else:
+        for i, cluster in enumerate(chunk):
+            if cluster is None:
+                continue
+            results[i] = correct_cluster(ctx, cluster,
+                                         max_cluster=max_cluster)
+
     cs_cluster = []
     cnt = defaultdict(int)
-    for cluster in chunk:
-        if cluster is None:
-            continue
-        ret = correct_cluster(ctx, cluster, max_cluster=max_cluster)
+    for ret in results:
         if ret is None:
             continue
         circ_type, circ_attr_ = ret
@@ -984,20 +1007,59 @@ def _collapse_worker_chunk(payload):
     return correct_chunk(_COLLAPSE_CTX, chunk, max_cluster)
 
 
+def _collapse_device_threads():
+    """Thread-pool width for the device-compute cluster executor: wide
+    enough that dependent per-cluster dispatch chains overlap their
+    tunnel round-trips, narrow enough that the GIL-bound Python glue
+    between dispatches stays off the critical path."""
+    try:
+        return max(2, int(os.environ.get('CIRI_COLLAPSE_DEVICE_THREADS',
+                                         '16')))
+    except ValueError:
+        return 16
+
+
+def _collapse_device_enabled():
+    """Whether the MAIN process should run its clusters through the
+    device compute path (threaded, overlapping dispatch RTTs) instead of
+    pinning CIRI_PREFER_HOST_COMPUTE.  CIRI_COLLAPSE_DEVICE=0/1 pins;
+    auto engages on a non-CPU backend whenever the link is not
+    catastrophic -- per-cluster batches now amortise the tunnel across
+    ~16 concurrent clusters instead of paying one RTT per dispatch."""
+    env = os.environ.get('CIRI_COLLAPSE_DEVICE', 'auto')
+    if env in ('0', 'false'):
+        return False
+    if env in ('1', 'true'):
+        return True
+    if os.environ.get('CIRI_PREFER_HOST_COMPUTE', '') not in \
+            ('', '0', 'false'):
+        return False
+    from ciri_long_tpu.utils.dispatch import cached_rtt_ms, resolved_platform
+    if resolved_platform() == 'cpu':
+        return False
+    rtt = cached_rtt_ms()
+    return rtt is None or rtt < 150.0
+
+
 def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
                   ref_fasta=None, idx_file=None, gcache=None):
     """Cluster-correction driver (collapse.py:842-868).  threads > 1
     fans cluster chunks over a spawn pool (reference collapse.py:848);
     results drain in submission order so corrected_reads ordering and
-    the counters match a serial run exactly."""
-    # per-cluster tensor batches (junction curation SW, HPC distance
-    # matrices) cannot amortise a remote-tunnel dispatch; when the
-    # measured RTT is high, pin this stage's compute to the native host
-    # cores even if an accelerator backend is already initialised in
-    # this process (the CLI's own collapse process flips the whole
-    # backend instead -- cli/main.py::_apply_backend)
+    the counters match a serial run exactly.
+
+    Device-compute routing (round-5): when an accelerator backend is
+    configured the main process runs its clusters through a THREADED
+    executor (correct_chunk exec_threads) so per-cluster device dispatch
+    chains overlap their tunnel round-trips; with a worker pool the main
+    process additionally STEALS chunks from the back of the queue while
+    the pool drains the front (parallel/hybrid.py, same split as the
+    scan stage).  When the device path is disabled (CIRI_COLLAPSE_DEVICE
+    =0 or a catastrophic link), compute pins to the native host cores
+    via CIRI_PREFER_HOST_COMPUTE exactly as in round 3."""
     import os
-    if 'CIRI_PREFER_HOST_COMPUTE' not in os.environ:
+    use_device = _collapse_device_enabled()
+    if not use_device and 'CIRI_PREFER_HOST_COMPUTE' not in os.environ:
         try:
             import jax
 
@@ -1018,24 +1080,37 @@ def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
     if threads > 1:
         cs = max(1, min(cs, -(-n // (4 * threads))))
     chunks = [reads_cluster[i:i + cs] for i in range(0, n, cs)]
+    dev_threads = _collapse_device_threads() if use_device else 1
 
-    pool = result_iter = None
+    pool = result_iter = hybrid = None
     if threads > 1 and ref_fasta is not None and len(chunks) > 1:
         import multiprocessing
         ctx_mp = multiprocessing.get_context('spawn')
         pool = ctx_mp.Pool(min(threads, len(chunks)), _collapse_worker_init,
                            (ref_fasta, idx_file, gcache))
-        result_iter = pool.imap(_collapse_worker_chunk,
-                                [(c, cfg.max_cluster) for c in chunks])
+        payloads = [(ci, (c, cfg.max_cluster))
+                    for ci, c in enumerate(chunks)]
+        if use_device:
+            from ciri_long_tpu.parallel.hybrid import HybridDrain
+            hybrid = HybridDrain(
+                pool, getattr(pool, '_processes', threads),
+                _collapse_worker_chunk,
+                lambda p: correct_chunk(ctx, p[0], p[1]),
+                payloads, device_width=dev_threads)
+        else:
+            result_iter = pool.imap(_collapse_worker_chunk,
+                                    [p for _, p in payloads])
 
     done = 0
     try:
-        for chunk in chunks:
-            if result_iter is not None:
+        for ci, chunk in enumerate(chunks):
+            if hybrid is not None:
+                tmp_cluster, tmp_num = hybrid.result(ci)
+            elif result_iter is not None:
                 tmp_cluster, tmp_num = next(result_iter)
             else:
-                tmp_cluster, tmp_num = correct_chunk(ctx, chunk,
-                                                     cfg.max_cluster)
+                tmp_cluster, tmp_num = correct_chunk(
+                    ctx, chunk, cfg.max_cluster, exec_threads=dev_threads)
             corrected_reads += tmp_cluster
             for key in tmp_num:
                 circ_num[key] += tmp_num[key]

@@ -115,7 +115,7 @@ def test_scheduler_propagates_worker_error():
 
     hs = _HybridScan(FakePool(1), 1, worker_fn, run_local,
                      [(ci, ci) for ci in range(4)])
-    with pytest.raises(RuntimeError, match="hybrid scan failed"):
+    with pytest.raises(RuntimeError, match="hybrid drain failed"):
         # chunk 0 goes to the failing pool side
         hs.result(0)
 

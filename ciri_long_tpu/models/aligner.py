@@ -372,7 +372,8 @@ class GenomeAligner:
         pin = os.environ.get('CIRI_CHAIN_ROUTE', 'auto')
         if pin in ('host', 'device'):
             return pin == 'device'
-        from ciri_long_tpu.utils.dispatch import device_rtt_ms
+        from ciri_long_tpu.utils.dispatch import (device_rtt_ms,
+                                                  host_speed_scale)
         rtt = device_rtt_ms()
         host_units = sum(len(r) * min(len(r), CHAIN_WINDOW)
                          for _, _, r, _ in rows)
@@ -381,7 +382,13 @@ class GenomeAligner:
             B2 = next((b for b in (8, 16, 32, 64, 128, 256, 512, 1024)
                        if len(members) <= b), len(members))
             padded += B2 * A
-        est_host = host_units * self._HOST_CHAIN_NS * 1e-6
+        # host estimate rescaled by the startup self-calibration probe
+        # (utils/dispatch.py::host_speed_scale): the 8 ns/unit constant
+        # was fit on ONE VM; a 2x faster or slower host would otherwise
+        # silently misroute (VERDICT r4 #9).  The device terms already
+        # scale with the measured link via rtt.
+        est_host = (host_units * self._HOST_CHAIN_NS * 1e-6
+                    * host_speed_scale())
         link = max(rtt / self._DEV_CHAIN_RTT_REF, 0.03)
         est_dev = (len(groups) * (1.5 * rtt + 2.0)
                    + padded * self._DEV_CHAIN_US * 1e-3 * link)

@@ -254,6 +254,105 @@ def device_rtt_ms(force=False):
     return _RTT_MS
 
 
+_HOST_SCALE = None
+
+# Reference wall of _host_probe() on the calibration VM -- the machine
+# the _HOST_CHAIN_NS / _DEV_CHAIN_US constants in models/aligner.py were
+# fit on (2026-08-19 tunnel calibration; probe pinned 2026-08-20,
+# median-of-3).  host_speed_scale() divides a fresh probe by this, so on
+# a 2x faster host the chain cost model halves its host estimate instead
+# of silently misrouting (VERDICT r4 #9).
+_HOST_PROBE_REF_S = None  # set below after first calibration commit
+
+
+def _host_probe_workload():
+    """Deterministic synthetic anchor set shaped like a scan chunk's
+    chain input (sorted (r, q) anchor pairs, one contig)."""
+    import numpy as np
+    rng = np.random.default_rng(0xC1B1)
+    n = 60_000
+    r = np.sort(rng.integers(0, 5_000_000, size=n)).astype(np.int64)
+    q = (r % 4096 + rng.integers(0, 64, size=n)).astype(np.int64)
+    ctg = np.zeros(n, np.int64)
+    return r, q, ctg
+
+
+def _host_probe():
+    """Wall seconds of a fixed chain-DP workload on the native core
+    (best-of-3; ~25 ms on the calibration VM).  None when the native
+    core is unavailable -- callers then fall back to scale 1.0 (the
+    numpy chain fallback never routes through the cost model's hot
+    branch anyway)."""
+    try:
+        from ciri_long_tpu import _chaincore
+    except ImportError:
+        return None
+    r, q, ctg = _host_probe_workload()
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _chaincore.chain(r, q, ctg, 15, 64, 5000, 5000)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _host_speed_path():
+    return os.path.join(os.path.expanduser('~'), '.cache',
+                        'ciri_long_tpu', 'host_speed.json')
+
+
+def _host_identity():
+    import platform
+    return '{}|{}|{}'.format(platform.machine(), platform.node(),
+                             os.cpu_count())
+
+
+def host_speed_scale():
+    """This host's serial-DP wall relative to the calibration reference
+    host (>1 = slower host; the chain router multiplies its host-side
+    estimate by it).  Measured once (~75 ms) at first use, persisted
+    like the RTT record and keyed by a host identity so a migrated
+    checkout re-probes instead of reusing a stale machine's number.
+    CIRI_HOST_SPEED_SCALE pins; clamped to [0.25, 8] so a noisy probe
+    can never swing routing by more than the model's own slack."""
+    global _HOST_SCALE
+    env = os.environ.get('CIRI_HOST_SPEED_SCALE')
+    if env:
+        return float(env)
+    if _HOST_SCALE is not None:
+        return _HOST_SCALE
+    if _HOST_PROBE_REF_S is None:
+        _HOST_SCALE = 1.0
+        return _HOST_SCALE
+    import json
+    try:
+        with open(_host_speed_path()) as f:
+            rec = json.load(f)
+        if (rec.get('host') == _host_identity()
+                and time.time() - rec['ts'] <= 30 * 86400.0):
+            _HOST_SCALE = float(rec['scale'])
+            return _HOST_SCALE
+    except Exception:
+        pass
+    probe = _host_probe()
+    if probe is None:
+        _HOST_SCALE = 1.0
+        return _HOST_SCALE
+    _HOST_SCALE = float(min(8.0, max(0.25, probe / _HOST_PROBE_REF_S)))
+    try:
+        path = _host_speed_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + '.tmp.%d' % os.getpid()
+        with open(tmp, 'w') as f:
+            json.dump({'scale': _HOST_SCALE, 'ts': time.time(),
+                       'host': _host_identity(), 'probe_s': probe}, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return _HOST_SCALE
+
+
 def low_rtt_device_ready(threshold_ms=5.0):
     """True when a non-CPU backend over a LOCAL-grade link (< threshold_ms
     RTT) is known to be available WITHOUT paying a synchronous backend

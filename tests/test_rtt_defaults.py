@@ -119,3 +119,76 @@ def test_chain_route_model(monkeypatch):
     monkeypatch.setenv('CIRI_CHAIN_ROUTE', 'host')
     monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '0.5')
     assert not al._device_chain_pays(rows, groups)
+
+
+def test_host_speed_scale_calibration(tmp_path, monkeypatch):
+    """VERDICT r4 #9: the chain router's host-side constant self-scales
+    to the actual host.  A mocked 2x-slower probe must double the host
+    estimate (flipping a near-boundary batch to the device side), a
+    2x-faster probe must halve it (flipping to host); records persist
+    keyed by host identity."""
+    from ciri_long_tpu.utils import dispatch
+
+    monkeypatch.setattr(dispatch, '_host_speed_path',
+                        lambda: str(tmp_path / 'host_speed.json'))
+    monkeypatch.delenv('CIRI_HOST_SPEED_SCALE', raising=False)
+    monkeypatch.setattr(dispatch, '_HOST_PROBE_REF_S', 0.010)
+
+    def fresh(probe_s):
+        monkeypatch.setattr(dispatch, '_HOST_SCALE', None)
+        monkeypatch.setattr(dispatch, '_host_probe', lambda: probe_s)
+        try:
+            os.remove(tmp_path / 'host_speed.json')
+        except OSError:
+            pass
+        return dispatch.host_speed_scale()
+
+    assert fresh(0.020) == 2.0
+    assert fresh(0.005) == 0.5
+    # clamped against absurd probes (noise can never swing routing >8x)
+    assert fresh(1.0) == 8.0
+    assert fresh(1e-9) == 0.25
+
+    # persisted record is reused (no second probe)
+    monkeypatch.setattr(dispatch, '_HOST_SCALE', None)
+    monkeypatch.setattr(dispatch, '_host_probe',
+                        lambda: (_ for _ in ()).throw(AssertionError))
+    fresh_scale = dispatch.host_speed_scale()
+    assert fresh_scale == 0.25
+    # ...but a different host identity re-probes
+    monkeypatch.setattr(dispatch, '_HOST_SCALE', None)
+    monkeypatch.setattr(dispatch, '_host_identity', lambda: 'other-box')
+    monkeypatch.setattr(dispatch, '_host_probe', lambda: 0.010)
+    assert dispatch.host_speed_scale() == 1.0
+    # env pin wins outright
+    monkeypatch.setenv('CIRI_HOST_SPEED_SCALE', '1.75')
+    assert dispatch.host_speed_scale() == 1.75
+
+
+def test_chain_route_scales_with_host_speed(monkeypatch):
+    """_device_chain_pays must flip a near-boundary batch when the host
+    self-calibration says the host is 2x slower/faster than the
+    reference machine."""
+    import numpy as np
+
+    from ciri_long_tpu.models.aligner import GenomeAligner
+    from ciri_long_tpu.utils import dispatch
+
+    monkeypatch.delenv('CIRI_CHAIN_ROUTE', raising=False)
+    monkeypatch.setenv('CIRI_DEVICE_RTT_MS', '33')
+
+    # craft a batch whose host estimate sits between the two scaled
+    # sides of the device estimate: one group of 8x1000 padded anchors
+    # -> est_dev ~ 51.5 + 1.8 = ~53 ms; host side 78125 anchors x
+    # window 64 x 8 ns = 40 ms (scale 1) / 80 ms (scale 2)
+    rows = [(0, 1, np.zeros(78125, np.int64), np.zeros(78125, np.int64))]
+    groups = [(1000, [0])]
+
+    aligner = GenomeAligner.__new__(GenomeAligner)  # no genome needed
+    monkeypatch.setattr(dispatch, '_HOST_SCALE', None)
+    monkeypatch.setenv('CIRI_HOST_SPEED_SCALE', '1.0')
+    assert aligner._device_chain_pays(rows, groups) is False
+    monkeypatch.setenv('CIRI_HOST_SPEED_SCALE', '2.0')
+    assert aligner._device_chain_pays(rows, groups) is True
+    monkeypatch.setenv('CIRI_HOST_SPEED_SCALE', '0.5')
+    assert aligner._device_chain_pays(rows, groups) is False

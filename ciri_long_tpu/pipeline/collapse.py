@@ -1121,6 +1121,9 @@ def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
             pool.terminate()
             pool.join()
     prog.update(100)
+    if hybrid is not None:
+        LOGGER.info('hybrid collapse: device stole %d/%d chunks'
+                    % (hybrid.stolen, len(chunks)))
     return circ_num, corrected_reads
 
 

@@ -686,6 +686,9 @@ def scan_ccs_reads(ctx, ccs_seq, is_canonical, out_dir, prefix,
             pool.terminate()
             pool.join()
     prog.update(100)
+    if hybrid is not None:
+        LOGGER.info('hybrid scan: device stole %d/%d chunks'
+                    % (hybrid.stolen, len(pending)))
     return reads_count, short_reads
 
 
@@ -795,6 +798,9 @@ def recover_ccs_reads(ctx, short_reads, is_canonical, out_dir, prefix,
             pool.terminate()
             pool.join()
     prog.update(100)
+    if hybrid is not None:
+        LOGGER.info('hybrid recovery: device stole %d/%d chunks'
+                    % (hybrid.stolen, len(payloads)))
     return reads_count
 
 
@@ -1013,4 +1019,7 @@ def scan_raw_reads(ctx, in_file, is_canonical, out_dir, prefix,
             pool.terminate()
             pool.join()
     prog.update(100)
+    if hybrid is not None:
+        LOGGER.info('hybrid raw: device stole %d/%d chunks'
+                    % (hybrid.stolen, len(payloads)))
     return reads_cnt, short_reads

@@ -1219,6 +1219,170 @@ def build_kernel(jnp, jax, pl, pltpu, *, btile, lqp, lrp, match, mismatch,
     return kernel
 
 
+def build_kernel_chain10(jnp, jax, pl, pltpu, *, btile, lqp, lrp, C, match,
+                         mismatch, gap_open, gap_extend, unroll=8):
+    """Square-shape probe (VERDICT r4 #8): chain7 with a PERSISTENT
+    blended-query scratch instead of the per-step le_b 4-vector blend.
+
+    On near-square jobs (lrp ~ lqp) every step is phase A, so the
+    boundary premium (~10 ops: le_b + 4 blend selects + is_b + 4 reset
+    selects + capture) applies to ~100% of steps -- the measured 86 vs
+    127 GCUPS square gap (KERNEL_SOL.md round-4).  The only removable
+    part without changing the reset semantics is the query blend: keep
+    q/SM/SX/ZN in VMEM scratch, initialise to job 0's vectors, and at
+    each phase-A step overwrite ONLY the boundary lane with the new
+    job's value (1 select each) -- dp_step then reads the scratch
+    directly.  Trades 1+4 blend ops for 4 scratch read-modify-writes
+    per phase-A step and adds 4 scratch reads to phase B (whose qsv
+    chain7 keeps hoisted); strictly a square-shape bet, and a test of
+    the round-4 'traffic is the margin' hypothesis from the other side.
+    Exact (same values as chain7 -- the blend and the incremental
+    update agree lane-for-lane in phase A: lanes <= b have been
+    overwritten by steps <= b of this job's phase A, lanes > b still
+    hold the previous job's values)."""
+    LB = 1
+    T = C * (lrp + 1) + lqp
+    while (1 << LB) < T + 1:
+        LB += 1
+    span1 = (1 << LB) - 1
+    assert (lrp + 1) % LANES == 0 and lqp % LANES == 0
+    assert lrp >= lqp - 1
+    assert match * lqp << LB < 2 ** 31
+    c_go = gap_open - gap_extend
+    s_base = gap_open + gap_extend
+
+    def kernel(q_ref, r_ref, out_ref, Hd1, Hd2r, Ed1, Fd1, best_pack,
+               capB, r_diag, Qs, SMs, SXs, ZNs, rblk):
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (btile, lqp), 1)
+        is_lane0 = i_idx == 0
+
+        Hd1[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Hd2r[:] = jnp.zeros((btile, lqp), jnp.int32)
+        Ed1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        Fd1[:] = jnp.full((btile, lqp), NEG, jnp.int32)
+        best_pack[:] = jnp.zeros((btile, lqp), jnp.int32)
+        capB[:] = jnp.zeros((btile, lqp), jnp.int32)
+        r_diag[:] = jnp.full((btile, lqp), 6, jnp.int32)
+
+        def svecs(q):
+            q_is_n = q == 4
+            lane_real = q < 5
+            SM = jnp.where(q_is_n, s_base, match + s_base)
+            SX = jnp.where(q_is_n, s_base, -mismatch + s_base)
+            ZN = jnp.where(lane_real, s_base, -mismatch + s_base)
+            return q, SM, SX, ZN
+
+        # persistent blended query state, starts as job 0's vectors
+        q0, SM0, SX0, ZN0 = svecs(q_ref[:, 0:lqp])
+        Qs[:] = q0
+        SMs[:] = SM0
+        SXs[:] = SX0
+        ZNs[:] = ZN0
+
+        def dp_step(d, r_col, qsv_new=None, boundary_lane=None):
+            rd = jnp.where(is_lane0, r_col, pltpu.roll(r_diag[:], 1,
+                                                       axis=1))
+            r_diag[:] = rd
+            if boundary_lane is not None:
+                is_b = i_idx == boundary_lane
+                qn, SMn, SXn, ZNn = qsv_new
+                Qs[:] = jnp.where(is_b, qn, Qs[:])
+                SMs[:] = jnp.where(is_b, SMn, SMs[:])
+                SXs[:] = jnp.where(is_b, SXn, SXs[:])
+                ZNs[:] = jnp.where(is_b, ZNn, ZNs[:])
+            else:
+                is_b = None
+            s = jnp.where(Qs[:] == rd, SMs[:], SXs[:])
+            s = jnp.where(rd == 4, ZNs[:], s)
+
+            h1 = Hd1[:]
+            hc = h1 - c_go
+            hcs = pltpu.roll(hc, 1, axis=1)
+            f1s = pltpu.roll(Fd1[:], 1, axis=1)
+            Fv = jnp.where(is_lane0, NEG, jnp.maximum(f1s, hcs))
+            h2s = jnp.where(is_lane0, (d - 2) * gap_extend - c_go,
+                            Hd2r[:])
+            dval = h2s + s
+            K = span1 - d - ((d * gap_extend) << LB)
+            bp = jnp.maximum(best_pack[:], (dval << LB) + K)
+            H0 = jnp.maximum(jnp.maximum(dval, Fv), d * gap_extend)
+            E = jnp.maximum(Ed1[:], hc)
+            Hn = jnp.maximum(H0, E)
+
+            Hd2r[:] = hcs
+            if is_b is not None:
+                capB[:] = jnp.where(is_b, best_pack[:], capB[:])
+                best_pack[:] = jnp.where(is_b, 0, bp)
+                Hd1[:] = jnp.where(is_b, d * gap_extend, Hn)
+                Ed1[:] = jnp.where(is_b, NEG, E)
+                Fd1[:] = jnp.where(is_b, NEG, Fv)
+            else:
+                best_pack[:] = bp
+                Hd1[:] = Hn
+                Ed1[:] = E
+                Fd1[:] = Fv
+
+        def run_phase(c0, n_chunks, body):
+            def chunk(c, _):
+                base = pl.multiple_of(c * LANES, LANES)
+                rblk[:] = r_ref[:, pl.ds(base, LANES)]
+
+                def inner(u, _):
+                    for v in range(unroll):
+                        body(c * LANES + u * unroll + v, rblk[:, v:v + 1])
+                    rblk[:] = pltpu.roll(rblk[:], LANES - unroll, axis=1)
+                    return 0
+
+                jax.lax.fori_loop(0, LANES // unroll, inner, 0)
+                return 0
+
+            jax.lax.fori_loop(c0, c0 + n_chunks, chunk, 0)
+
+        def drain(k):
+            bp = capB[:]
+            bv = bp >> LB
+            bd = span1 - (bp & span1)
+            o_k = k * (lrp + 1) + 1
+            best = jnp.max(bv, axis=1, keepdims=True)
+            isbest = bv == best
+            j_of = bd - o_k - i_idx
+            jstar = jnp.min(jnp.where(isbest, j_of, BIG), axis=1,
+                            keepdims=True)
+            istar = jnp.min(jnp.where(isbest & (j_of == jstar), i_idx,
+                                      BIG), axis=1, keepdims=True)
+            found = best > 0
+            score = jnp.where(found, best, 0)
+            iout = jnp.where(found, istar, -1)
+            jout = jnp.where(found, jstar, -1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (btile, LANES), 1)
+            out = jnp.where(lane == 0, score,
+                            jnp.where(lane == 1, iout,
+                                      jnp.where(lane == 2, jout, 0)))
+            out_ref[:, k * LANES:(k + 1) * LANES] = out
+
+        per_job_chunks = (lrp + 1) // LANES
+        a_chunks = lqp // LANES
+        for k in range(C + 1):
+            t0 = k * (lrp + 1)
+            qsv_new = svecs(q_ref[:, min(k, C - 1) * lqp:
+                                  (min(k, C - 1) + 1) * lqp])
+
+            def a_body(t, r_col, t0=t0, qn=qsv_new):
+                dp_step(t, r_col, qsv_new=qn, boundary_lane=t - t0)
+
+            run_phase(t0 // LANES, a_chunks, a_body)
+            if k > 0:
+                drain(k - 1)
+            if k < C:
+                def b_body(t, r_col):
+                    dp_step(t, r_col)
+
+                run_phase(t0 // LANES + a_chunks,
+                          per_job_chunks - a_chunks, b_body)
+
+    return kernel
+
+
 def make_call(args, params):
     import jax
     import jax.numpy as jnp
@@ -1245,8 +1409,8 @@ def make_call(args, params):
         r = jnp.pad(ref.astype(jnp.int32), ((0, Bp - B), (0, LrP - Lr)),
                     constant_values=5)
 
-        if args.chain or args.chain7 or args.chain9:
-            C = args.chain or args.chain7 or args.chain9
+        if args.chain or args.chain7 or args.chain9 or args.chain10:
+            C = args.chain or args.chain7 or args.chain9 or args.chain10
             assert B % C == 0, "batch must divide by --chain"
             rows = B // C
             lrp = max(_round_up(Lr + 1, LANES) - 1, LqP - 1)
@@ -1273,7 +1437,12 @@ def make_call(args, params):
             stream = jnp.pad(stream, ((0, Rp - rows), (0, 0)),
                              constant_values=6)
 
-            if args.chain9:
+            if args.chain10:
+                kernel = build_kernel_chain10(
+                    jnp, jax, pl, pltpu, btile=bt, lqp=LqP, lrp=lrp, C=C,
+                    match=match, mismatch=mismatch, gap_open=gap_open,
+                    gap_extend=gap_extend, unroll=args.unroll)
+            elif args.chain9:
                 kernel = build_kernel_chain9(
                     jnp, jax, pl, pltpu, btile=bt, lqp=LqP, lrp=lrp, C=C,
                     match=match, mismatch=mismatch, gap_open=gap_open,
@@ -1303,7 +1472,8 @@ def make_call(args, params):
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((Rp, C * LANES), jnp.int32),
                 scratch_shapes=(
-                    [pltpu.VMEM((bt, LqP), jnp.int32)] * 7
+                    [pltpu.VMEM((bt, LqP), jnp.int32)]
+                    * (11 if args.chain10 else 7)
                     + [pltpu.VMEM((bt, LANES), jnp.int32)]),
                 cost_estimate=pl.CostEstimate(
                     flops=int(30 * Rp * LqP * Tp),
@@ -1459,6 +1629,9 @@ def main():
     ap.add_argument("--noroll", action="store_true",
                     help="chain7 TIMING-ONLY: identity instead of lane "
                          "rolls (results wrong; implies --skipcheck)")
+    ap.add_argument("--chain10", type=int, default=0,
+                    help="square-shape probe: chain7 with persistent "
+                    "blended-query scratch (VERDICT r4 #8)")
     ap.add_argument("--chain9", type=int, default=0,
                     help="traffic-diet chained wavefront (ping-pong H + "
                          "group-accumulated best): jobs per row")
@@ -1547,7 +1720,7 @@ def main():
         "variant": {k: getattr(args, k) for k in
                     ("btile", "nomask7", "packbest", "tworow", "r3",
                      "wave", "wave2", "wave3", "wave5", "unroll",
-                     "chain", "chain7", "chain9", "non", "noroll",
+                     "chain", "chain7", "chain9", "chain10", "non", "noroll",
                      "nobp")},
         "gcups": round(gcups, 2),
         "seconds": round(dt, 3),

@@ -79,7 +79,19 @@ def _pad_rows(arr, rows):
 
 def _sw_many_vs_many(queries, refs, params=JUNC_SW):
     """Batched SW of per-row (query, ref) code pairs; returns SWResult.
-    Both the length and the batch dimensions are bucketed."""
+    On a registered fuser worker thread (parallel/fuser.py) the job is
+    FUSED with every other cluster's pending SW into one device batch;
+    otherwise it dispatches directly."""
+    from ciri_long_tpu.parallel.fuser import current_fuser
+    fuser = current_fuser()
+    if fuser is not None:
+        return fuser.call('sw', (queries, refs, params))
+    return _sw_many_vs_many_direct(queries, refs, params)
+
+
+def _sw_many_vs_many_direct(queries, refs, params=JUNC_SW):
+    """The dispatching body: both the length and the batch dimensions
+    are bucketed."""
     B = len(queries)
     Bp = _bucket(B)
     q, _ = pad_encoded(queries, max_len=_bucket(max(len(x) for x in queries)))
@@ -94,6 +106,62 @@ def _sw_many_vs_many(queries, refs, params=JUNC_SW):
                     query_end=np.asarray(res.query_end[:B]),
                     ref_begin=np.asarray(res.ref_begin[:B]),
                     ref_end=np.asarray(res.ref_end[:B]))
+
+
+def _fused_sw(jobs):
+    """Fused executor: concatenate every pending (queries, refs, params)
+    job into one batch per params and slice the rows back out.  Row
+    independence + padding invariance make this bit-identical to
+    per-job dispatches (tests/test_collapse_fuser.py)."""
+    from ciri_long_tpu.ops.sw import SWResult
+    out = [None] * len(jobs)
+    by_params = {}
+    for t, (q, r, p) in enumerate(jobs):
+        by_params.setdefault(p, []).append(t)
+    for p, idxs in by_params.items():
+        allq, allr, cuts = [], [], [0]
+        for t in idxs:
+            allq.extend(jobs[t][0])
+            allr.extend(jobs[t][1])
+            cuts.append(cuts[-1] + len(jobs[t][0]))
+        res = _sw_many_vs_many_direct(allq, allr, p)
+        for k, t in enumerate(idxs):
+            sl = slice(cuts[k], cuts[k + 1])
+            out[t] = SWResult(score=res.score[sl],
+                              query_begin=res.query_begin[sl],
+                              query_end=res.query_end[sl],
+                              ref_begin=res.ref_begin[sl],
+                              ref_end=res.ref_end[sl])
+    return out
+
+
+def _edit_many(a_codes, b_codes):
+    """Batched edit distances of per-row (a, b) code pairs; fused across
+    clusters like _sw_many_vs_many."""
+    from ciri_long_tpu.parallel.fuser import current_fuser
+    fuser = current_fuser()
+    if fuser is not None:
+        return fuser.call('edit', (a_codes, b_codes))
+    return _edit_many_direct(a_codes, b_codes)
+
+
+def _edit_many_direct(a_codes, b_codes):
+    amax = max(1, max(len(x) for x in a_codes))
+    bmax = max(1, max(len(x) for x in b_codes))
+    apad, alen = pad_encoded(a_codes, max_len=_bucket(amax))
+    bpad, blen = pad_encoded(b_codes, max_len=_bucket(bmax))
+    return edit_distance_batch(apad, bpad, alen, blen)
+
+
+def _fused_edit(jobs):
+    cuts = [0]
+    alla, allb = [], []
+    for a, b in jobs:
+        alla.extend(a)
+        allb.extend(b)
+        cuts.append(cuts[-1] + len(a))
+    d = _edit_many_direct(alla, allb)
+    return [d[cuts[k]:cuts[k + 1]] for k in range(len(jobs))]
 
 
 def _sw_one_vs_many(query, refs, params=JUNC_SW):
@@ -255,19 +323,14 @@ def curate_junction(ctx, ctg, st, en, junc, cfg=DEFAULT.collapse):
     queries = [junc_codes] * len(pairs)
     res = _sw_many_vs_many(queries, refs, JUNC_SW)
 
-    # matched query substrings junc[qb:qe], padded for the edit kernel
+    # matched query substrings junc[qb:qe] vs the genomic junction
     K = len(pairs)
     qb = res.query_begin
     qe = res.query_end
-    xlen = np.maximum(0, qe - qb)
-    max_x = max(1, int(xlen.max()))
-    xs = np.full((K, max_x), 5, np.int8)
-    for t in range(K):
-        if xlen[t] > 0:
-            xs[t, :xlen[t]] = junc_codes[qb[t]:qe[t]]
+    xs = [junc_codes[qb[t]:qe[t]] if qe[t] > qb[t]
+          else np.zeros(0, np.int8) for t in range(K)]
     rlen = np.array([len(r) for r in refs], np.int32)
-    rpad, _ = pad_encoded(refs)
-    dists = edit_distance_batch(rpad, xs, rlen, xlen.astype(np.int32))
+    dists = _edit_many(refs, xs)
 
     junc_scores = [(pairs[t][0], pairs[t][1], dists[t] / rlen[t])
                    for t in range(K)]
@@ -313,6 +376,24 @@ def junc_score(ctx, ctg, junc, junc_seqs):
     return float(np.mean(res.score))
 
 
+def junc_scores_sorted(ctx, ctg, juncs, junc_seqs):
+    """Sort candidate junctions by mean junction-window SW score,
+    descending (the reference sorts with one SSW round per sorted() key
+    evaluation, collapse.py:268-275); here ALL (junction, window) pairs
+    run as ONE batch.  Stable on ties exactly like sorted(key=junc_score,
+    reverse=True): equal means keep their input order."""
+    queries = [encode_seq(s) for s in junc_seqs]
+    refs = [np.concatenate([ctx.genome.codes_of(ctg, j[0], j[1])] * 2)
+            for j in juncs]
+    Q = len(queries)
+    res = _sw_many_vs_many(queries * len(juncs),
+                           [r for r in refs for _ in range(Q)], JUNC_SW)
+    means = np.asarray(res.score, np.float64).reshape(len(juncs), Q) \
+        .mean(axis=1)
+    order = np.argsort(-means, kind='stable')
+    return [juncs[int(i)] for i in order]
+
+
 def correct_chunk(ctx, chunk, max_cluster=200, exec_threads=1):
     """Correct every cluster of a chunk.
 
@@ -327,12 +408,30 @@ def correct_chunk(ctx, chunk, max_cluster=200, exec_threads=1):
     results = [None] * len(chunk)
     if exec_threads > 1 and sum(c is not None for c in chunk) > 1:
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(min(exec_threads, len(chunk))) as ex:
-            futs = {i: ex.submit(correct_cluster, ctx, c,
-                                 max_cluster=max_cluster)
-                    for i, c in enumerate(chunk) if c is not None}
-            for i, fut in futs.items():
-                results[i] = fut.result()
+
+        from ciri_long_tpu.parallel.fuser import DeviceFuser
+
+        # every cluster's device ops funnel through ONE dispatcher
+        # (parallel/fuser.py): the link sees k fused rounds instead of
+        # clusters x k round-trips, and never a concurrent dispatch
+        # (16 dispatch threads livelocked the axon tunnel, round 5)
+        fuser = DeviceFuser({'sw': _fused_sw, 'edit': _fused_edit})
+
+        def run_one(c):
+            fuser.register()
+            try:
+                return correct_cluster(ctx, c, max_cluster=max_cluster)
+            finally:
+                fuser.unregister()
+
+        try:
+            with ThreadPoolExecutor(min(exec_threads, len(chunk))) as ex:
+                futs = {i: ex.submit(run_one, c)
+                        for i, c in enumerate(chunk) if c is not None}
+                for i, fut in futs.items():
+                    results[i] = fut.result()
+        finally:
+            fuser.close()
     else:
         for i, cluster in enumerate(chunk):
             if cluster is None:
@@ -393,14 +492,10 @@ def correct_cluster(ctx, cluster, is_debug=False, max_cluster=200,
     if aval_junc:
         anno_junc = annotated_hit(ctx, ctg, aval_junc)
         if anno_junc:
-            anno_junc = sorted(anno_junc,
-                               key=lambda x: junc_score(ctx, ctg, x, junc_seqs),
-                               reverse=True)
+            anno_junc = junc_scores_sorted(ctx, ctg, anno_junc, junc_seqs)
             circ_start, circ_end, circ_score = anno_junc[0]
         else:
-            aval_junc = sorted(aval_junc,
-                               key=lambda x: junc_score(ctx, ctg, x, junc_seqs),
-                               reverse=True)
+            aval_junc = junc_scores_sorted(ctx, ctg, aval_junc, junc_seqs)
             circ_start, circ_end, circ_score = aval_junc[0]
     else:
         circ_start, circ_end = counter[0][0].split(':')[1].split('-')
@@ -630,11 +725,7 @@ def cluster_sequence(hpc_freq, sequence, cfg=DEFAULT.collapse):
     pairs = [(i, j) for i in range(P) for j in range(P) if i < j]
     a = [codes[i] for i, _ in pairs]
     b = [codes[j] for _, j in pairs]
-    amax = max(len(x) for x in a)
-    bmax = max(len(x) for x in b)
-    apad, alen = pad_encoded(a, max_len=_bucket(amax))
-    bpad, blen = pad_encoded(b, max_len=_bucket(bmax))
-    d = edit_distance_batch(apad, bpad, alen, blen)
+    d = _edit_many(a, b)
 
     dist = np.zeros((P, P))
     for t, (i, j) in enumerate(pairs):
@@ -1013,7 +1104,7 @@ def _collapse_device_threads():
     tunnel round-trips, narrow enough that the GIL-bound Python glue
     between dispatches stays off the critical path."""
     try:
-        return max(2, int(os.environ.get('CIRI_COLLAPSE_DEVICE_THREADS',
+        return max(1, int(os.environ.get('CIRI_COLLAPSE_DEVICE_THREADS',
                                          '16')))
     except ValueError:
         return 16

@@ -60,6 +60,9 @@ def main():
     ap.add_argument('--loci', type=int, default=16)
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--shards', type=int, nargs='*', default=[1, 2, 4, 8])
+    ap.add_argument('--repeat', type=int, default=2,
+                    help='sweeps per n; best step wall kept (ambient-load'
+                    ' noise on a shared VM dwarfs shard variance)')
     args = ap.parse_args()
 
     import numpy as np
@@ -90,42 +93,50 @@ def main():
     mesh = make_mesh(8)
     ctg_index = {n: i for i, n in enumerate(ctx.genome.names)}
 
-    # warm every compile (scan + gather) before any timed region
-    warm_cnt, _, warm_recs = scan_shard(ctx, items[:64], 0,
-                                        min(64, len(items)), True)
+    # warm every compile (scan + gather) before any timed region; the
+    # gather must be warmed at the FULL record-table shape -- a first-run
+    # compile inside the n=1 timing inflated t1 by ~1.6 s and produced a
+    # bogus superlinear n=2 point
+    _, _, warm_recs = scan_shard(ctx, items, 0, len(items), True)
     rows, _ = encode_records(warm_recs, ctg_index)
-    gather_candidates(mesh, rows, np.ones(len(rows), bool))
+    for _ in range(2):
+        gather_candidates(mesh, rows, np.ones(len(rows), bool))
 
     results = []
     goldens = {}
     for n in args.shards:
-        walls = []
-        all_rows = []
-        counters_total = {}
-        for lo, hi in _shard_bounds(len(items), n):
+        best = None
+        for _rep in range(max(1, args.repeat)):
+            walls = []
+            all_rows = []
+            counters_total = {}
+            for lo, hi in _shard_bounds(len(items), n):
+                t0 = time.perf_counter()
+                cnt, _, recs = scan_shard(ctx, items, lo, hi, True)
+                walls.append(time.perf_counter() - t0)
+                rows, _ = encode_records(recs, ctg_index)
+                all_rows.append(rows)
+                for k, v in cnt.items():
+                    counters_total[k] = counters_total.get(k, 0) + v
+            rows = np.concatenate(all_rows)
             t0 = time.perf_counter()
-            cnt, _, recs = scan_shard(ctx, items, lo, hi, True)
-            walls.append(time.perf_counter() - t0)
-            rows, _ = encode_records(recs, ctg_index)
-            all_rows.append(rows)
-            for k, v in cnt.items():
-                counters_total[k] = counters_total.get(k, 0) + v
-        rows = np.concatenate(all_rows)
-        t0 = time.perf_counter()
-        merged, n_valid = gather_candidates(mesh, rows,
-                                            np.ones(len(rows), bool))
-        t_gather = time.perf_counter() - t0
-        assert n_valid == len(rows)
-        goldens[n] = (merged.tobytes(), tuple(sorted(counters_total.items())))
-
-        step_wall = max(walls) + t_gather
-        results.append(dict(
-            n=n, shard_max_s=round(max(walls), 3),
-            shard_mean_s=round(sum(walls) / len(walls), 3),
-            imbalance=round(max(walls) * len(walls) / sum(walls), 3),
-            gather_s=round(t_gather, 4),
-            step_wall_s=round(step_wall, 3)))
-        print(json.dumps(results[-1]), flush=True)
+            merged, n_valid = gather_candidates(mesh, rows,
+                                                np.ones(len(rows), bool))
+            t_gather = time.perf_counter() - t0
+            assert n_valid == len(rows)
+            goldens[n] = (merged.tobytes(),
+                          tuple(sorted(counters_total.items())))
+            step_wall = max(walls) + t_gather
+            rec = dict(
+                n=n, shard_max_s=round(max(walls), 3),
+                shard_mean_s=round(sum(walls) / len(walls), 3),
+                imbalance=round(max(walls) * len(walls) / sum(walls), 3),
+                gather_s=round(t_gather, 4),
+                step_wall_s=round(step_wall, 3))
+            if best is None or rec['step_wall_s'] < best['step_wall_s']:
+                best = rec
+        results.append(best)
+        print(json.dumps(best), flush=True)
 
     # identical merged bytes + counters at every n
     base = goldens[args.shards[0]]

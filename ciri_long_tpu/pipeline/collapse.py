@@ -394,6 +394,10 @@ def junc_scores_sorted(ctx, ctg, juncs, junc_seqs):
     return [juncs[int(i)] for i in order]
 
 
+_FUSER_TOTALS = [0, 0]            # fused rounds, fused jobs (telemetry)
+_FUSER_TOTALS_LOCK = __import__('threading').Lock()
+
+
 def correct_chunk(ctx, chunk, max_cluster=200, exec_threads=1):
     """Correct every cluster of a chunk.
 
@@ -432,6 +436,9 @@ def correct_chunk(ctx, chunk, max_cluster=200, exec_threads=1):
                     results[i] = fut.result()
         finally:
             fuser.close()
+            with _FUSER_TOTALS_LOCK:
+                _FUSER_TOTALS[0] += fuser.rounds
+                _FUSER_TOTALS[1] += fuser.jobs
     else:
         for i, cluster in enumerate(chunk):
             if cluster is None:
@@ -1215,6 +1222,12 @@ def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
     if hybrid is not None:
         LOGGER.info('hybrid collapse: device stole %d/%d chunks'
                     % (hybrid.stolen, len(chunks)))
+    with _FUSER_TOTALS_LOCK:
+        rounds, jobs = _FUSER_TOTALS
+        _FUSER_TOTALS[0] = _FUSER_TOTALS[1] = 0
+    if jobs:
+        LOGGER.info('collapse fuser: %d device ops fused into %d rounds'
+                    % (jobs, rounds))
     return circ_num, corrected_reads
 
 

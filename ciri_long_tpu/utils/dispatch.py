@@ -262,7 +262,10 @@ _HOST_SCALE = None
 # median-of-3).  host_speed_scale() divides a fresh probe by this, so on
 # a 2x faster host the chain cost model halves its host estimate instead
 # of silently misrouting (VERDICT r4 #9).
-_HOST_PROBE_REF_S = None  # set below after first calibration commit
+_HOST_PROBE_REF_S = 0.0155  # best-of-8 on the idle 4-core calibration VM,
+                            # 2026-08-20 (observed range 13.5-22 ms under
+                            # ambient load; best-of-5 in _host_probe keeps
+                            # the measured scale within the router's slack)
 
 
 def _host_probe_workload():
@@ -289,7 +292,7 @@ def _host_probe():
         return None
     r, q, ctg = _host_probe_workload()
     best = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         _chaincore.chain(r, q, ctg, 15, 64, 5000, 5000)
         dt = time.perf_counter() - t0

@@ -419,7 +419,43 @@ def correct_chunk(ctx, chunk, max_cluster=200, exec_threads=1):
         # (parallel/fuser.py): the link sees k fused rounds instead of
         # clusters x k round-trips, and never a concurrent dispatch
         # (16 dispatch threads livelocked the axon tunnel, round 5)
-        fuser = DeviceFuser({'sw': _fused_sw, 'edit': _fused_edit})
+        #
+        # degraded-link bail-out: the RTT gate cannot catch a link whose
+        # PROBE answers in 37 ms while real kernel calls take 15 s
+        # (observed on the axon tunnel, round-5); after two fused rounds
+        # over budget, pin the remaining compute to the native host
+        # cores (the fuser keeps fusing -- sw_align_batch just routes
+        # host once CIRI_PREFER_HOST_COMPUTE is set)
+        try:
+            budget = float(os.environ.get('CIRI_COLLAPSE_ROUND_BUDGET_S',
+                                          '5'))
+        except ValueError:
+            budget = 5.0
+        slow_rounds = [0]
+
+        def _guard(exec_fn):
+            import time as _time
+
+            def wrapped(jobs):
+                t0 = _time.perf_counter()
+                try:
+                    return exec_fn(jobs)
+                finally:
+                    if (_time.perf_counter() - t0 > budget
+                            and os.environ.get(
+                                'CIRI_PREFER_HOST_COMPUTE', '')
+                            in ('', '0', 'false')):
+                        slow_rounds[0] += 1
+                        if slow_rounds[0] >= 2:
+                            os.environ['CIRI_PREFER_HOST_COMPUTE'] = '1'
+                            LOGGER.warning(
+                                'collapse device rounds exceeded %.1fs '
+                                'twice; pinning compute to host cores',
+                                budget)
+            return wrapped
+
+        fuser = DeviceFuser({'sw': _guard(_fused_sw),
+                             'edit': _guard(_fused_edit)})
 
         def run_one(c):
             fuser.register()

@@ -7,6 +7,7 @@ the threaded executor + back-steal are TPU-first additions that let a
 (possibly remote) accelerator overlap its per-cluster dispatch chains and
 ADD to host throughput instead of replacing it."""
 
+import os
 import threading
 import time
 
@@ -132,3 +133,32 @@ def test_hybrid_drain_multi_stealer_error_propagates():
     with pytest.raises(RuntimeError, match='hybrid drain failed'):
         for ci in range(8):
             hd.result(ci)
+
+
+def test_slow_device_rounds_pin_host(clusters_world, monkeypatch):
+    """Degraded-link bail-out: two fused rounds over budget must pin
+    CIRI_PREFER_HOST_COMPUTE for the rest of the process (the RTT gate
+    cannot catch a link whose probe is fast but whose kernel calls are
+    seconds -- observed on the axon tunnel, round 5).  Results stay
+    identical (the fuser keeps fusing; dispatch just routes host)."""
+    import time
+
+    from ciri_long_tpu.pipeline import collapse as cl
+
+    ctx, clusters, _ = clusters_world
+    want_cs, want_cnt = correct_chunk(ctx, clusters, max_cluster=200)
+
+    real = cl._fused_sw
+
+    def slow_fused_sw(jobs):
+        time.sleep(0.02)
+        return real(jobs)
+
+    monkeypatch.setattr(cl, '_fused_sw', slow_fused_sw)
+    monkeypatch.setenv('CIRI_COLLAPSE_ROUND_BUDGET_S', '0.01')
+    monkeypatch.delenv('CIRI_PREFER_HOST_COMPUTE', raising=False)
+    got_cs, got_cnt = cl.correct_chunk(ctx, clusters, max_cluster=200,
+                                       exec_threads=4)
+    assert os.environ.get('CIRI_PREFER_HOST_COMPUTE') == '1'
+    assert dict(got_cnt) == dict(want_cnt)
+    assert _norm(got_cs) == _norm(want_cs)

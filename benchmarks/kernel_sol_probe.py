@@ -23,7 +23,11 @@ Results land in benchmarks/KERNEL_SOL.md (round-5 section).
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VPU_OPS = 6.8e12  # elem-ops/s, v5e, KERNEL_SOL.md "ALU-bound ceiling"
 
@@ -44,7 +48,7 @@ def _time_loop(jax, np, loop, args, n_iter):
     return (time.perf_counter() - t0) / (n_iter + 1)
 
 
-def probe_chain(smoke=False):
+def probe_chain(smoke=False, B_override=None):
     """chain_scores_batch: every anchor step examines W=64 predecessors
     per row.  Per (row, window-slot) elem-ops from _chain_dp's step
     (ops/chain.py:37-68): 2 subs, 5 cmps+4 ands, 2 mins, abs, ~6 for the
@@ -57,6 +61,7 @@ def probe_chain(smoke=False):
     from ciri_long_tpu.ops.chain import chain_scores_batch
 
     B, A, W = (16, 64, 16) if smoke else (512, 512, 64)
+    B = B_override or B
     rng = np.random.default_rng(0)
     r = np.sort(rng.integers(0, 100_000, (B, A)), axis=1).astype(np.int32)
     q = (r % 4096 + rng.integers(0, 50, (B, A))).astype(np.int32)
@@ -89,7 +94,7 @@ def probe_chain(smoke=False):
         'occupancy': round(rate * ops_per_unit / VPU_OPS, 3)}))
 
 
-def probe_nwtb(smoke=False):
+def probe_nwtb(smoke=False, B_override=None):
     """Banded-NW traceback kernel (one (N,W) bucket): two banded passes
     of (N+1) x W cells each (band + band-doubling check) plus the
     traceback walk (O(N+W), negligible).  Per-cell elem-ops from
@@ -102,6 +107,7 @@ def probe_nwtb(smoke=False):
     from ciri_long_tpu.ops import nw_tb_batch as nwtb
 
     B, N, W = (8, 128, 64) if smoke else (512, 512, 256)
+    B = B_override or B
     rng = np.random.default_rng(1)
     n = N - 8
     m = N - 4
@@ -147,7 +153,7 @@ def probe_nwtb(smoke=False):
         'occupancy': round(rate * ops_per_cell / VPU_OPS, 3)}))
 
 
-def probe_poa(smoke=False):
+def probe_poa(smoke=False, B_override=None, win=False):
     """poa_align_batch on a linear-chain graph (the dominant real case:
     consensus graphs are near-linear with bubbles).  Work unit =
     (V+1) x (n+1) graph-DP cell.  Per-cell elem-ops from _align_one
@@ -159,6 +165,7 @@ def probe_poa(smoke=False):
     from ciri_long_tpu.ops.poa_batch import poa_align_batch
 
     B, V, n, P = (4, 48, 48, 4) if smoke else (256, 384, 384, 4)
+    B = B_override or B
     rng = np.random.default_rng(2)
     bases = rng.integers(0, 4, (B, V)).astype(np.int32)
     nv = np.full(B, V, np.int32)
@@ -174,7 +181,7 @@ def probe_poa(smoke=False):
     # poa_align_batch fetches to host internally; probe the underlying
     # jitted fn with the chained-loop methodology instead
     from ciri_long_tpu.ops.poa_batch import _build_batch_fn
-    fn = _build_batch_fn(scores)
+    fn = _build_batch_fn(scores, lookback=16 if win else None)
 
     @jax.jit
     def loop(sx):
@@ -192,7 +199,8 @@ def probe_poa(smoke=False):
     rate = cells / dt
     ops_per_cell = 34.0
     print(json.dumps({
-        'metric': 'poa_graph_gcells_per_s', 'value': round(rate / 1e9, 3),
+        'metric': 'poa_win_gcells_per_s' if win else 'poa_graph_gcells_per_s',
+        'value': round(rate / 1e9, 3),
         'unit': 'G cells/s', 'wall_per_call_s': round(dt, 5),
         'ops_per_cell_est': ops_per_cell,
         'roof_gcells': round(VPU_OPS / ops_per_cell / 1e9, 1),
@@ -204,9 +212,16 @@ def main():
     ap.add_argument('probe', choices=['chain', 'nwtb', 'poa'])
     ap.add_argument('--smoke', action='store_true',
                     help='tiny shapes for a CPU correctness pass')
+    ap.add_argument('--B', type=int, default=None,
+                    help='override the batch dim (occupancy-vs-batch probe)')
+    ap.add_argument('--win', action='store_true',
+                    help='poa: bounded-lookback ring kernel (L=16)')
     args = ap.parse_args()
+    kw = dict(smoke=args.smoke, B_override=args.B)
+    if args.probe == 'poa':
+        kw['win'] = args.win
     {'chain': probe_chain, 'nwtb': probe_nwtb,
-     'poa': probe_poa}[args.probe](smoke=args.smoke)
+     'poa': probe_poa}[args.probe](**kw)
 
 
 if __name__ == '__main__':

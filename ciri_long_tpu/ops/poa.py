@@ -318,6 +318,7 @@ def _flatten_graph(g: _Graph, pmax: int):
 
 _POA_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 _POA_PMAX = 8
+_POA_LOOKBACK = 16   # ring depth of the gather-free kernel (poa_batch)
 # per-call device memory budget: B * (V+1) * (n+1) * ~14 B (H/F1/F2 i32 +
 # case/pidx i8) must stay well under HBM
 _POA_MEM_BUDGET = 1 << 30
@@ -362,7 +363,7 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
         return [poa(seqs, 2, False, m, x, o1, e1, o2, e2)[0]
                 for seqs in jobs]
 
-    from ciri_long_tpu.ops.poa_batch import poa_align_batch
+    from ciri_long_tpu.ops.poa_batch import max_lookback, poa_align_batch
 
     scores = (m, x, o1, e1, o2, e2)
     as_str = [bool(seqs) and isinstance(seqs[0], str) for seqs in jobs]
@@ -404,10 +405,14 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
             order, bases, preds, npred = flat
             vb = _poa_bucket(len(order))
             nb = _poa_bucket(len(seq))
-            groups.setdefault((vb, nb), []).append(
+            # bounded-lookback jobs take the ring-buffer kernel (the
+            # gather-free 30x path); consensus-graph bubbles are short,
+            # so overflow past _POA_LOOKBACK is rare
+            fits = max_lookback(preds, npred) <= _POA_LOOKBACK
+            groups.setdefault((vb, nb, fits), []).append(
                 (t, order, bases, preds, npred, seq))
 
-        for (vb, nb), items in groups.items():
+        for (vb, nb, fits), items in groups.items():
             per_job = (vb + 1) * (nb + 1) * 14
             bmax = max(1, _POA_MEM_BUDGET // per_job)
             for lo in range(0, len(items), bmax):
@@ -428,7 +433,8 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
                     seqs_a[bi, :n] = seq
                     ns_a[bi] = n
                 _, aln_a, acnt_a = poa_align_batch(
-                    bases_a, nv_a, preds_a, npred_a, seqs_a, ns_a, scores)
+                    bases_a, nv_a, preds_a, npred_a, seqs_a, ns_a, scores,
+                    lookback=_POA_LOOKBACK if fits else None)
                 cap = aln_a.shape[1]
                 for bi, (t, order, bases, preds, npred, seq) in enumerate(part):
                     pairs = aln_a[bi, cap - int(acnt_a[bi]):]

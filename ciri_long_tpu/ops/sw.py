@@ -292,6 +292,39 @@ def sw_align_batch(query, ref, params: SWParams) -> SWResult:
     )
 
 
+def sw_align_batch_submit(query, ref, params: SWParams):
+    """Async half of sw_align_batch: DISPATCH the device program (or run
+    the host core eagerly) and return a handle for
+    sw_align_batch_collect.  Lets callers with several independent
+    batches (e.g. the collapse fuser's per-shape groups) overlap device
+    execution and host<->device transfer instead of serialising a fetch
+    behind every dispatch."""
+    if _alncore() is not None and not _on_tpu():
+        return ('host', sw_align_batch(query, ref, params))
+    wave = None
+    no_n = False
+    if _on_tpu():
+        from ciri_long_tpu.ops.sw_pallas import wave_route
+        wave = wave_route(np.asarray(query).shape[1],
+                          np.asarray(ref).shape[1])
+        no_n = _ref_no_n(ref)
+    out = _sw_align_fused(jnp.asarray(query), jnp.asarray(ref), params,
+                          wave=wave, no_n=no_n)
+    return ('dev', out)
+
+
+def sw_align_batch_collect(handle) -> SWResult:
+    kind, payload = handle
+    if kind == 'host':
+        return payload
+    score, q_begin, q_end, r_begin, r_end = payload
+    return SWResult(score=np.asarray(score),
+                    query_begin=np.asarray(q_begin),
+                    query_end=np.asarray(q_end),
+                    ref_begin=np.asarray(r_begin),
+                    ref_end=np.asarray(r_end))
+
+
 def sw_window_align(query, ref, params: SWParams, chunk=16384):
     """Local alignment of one query against a very long reference window
     (the reference's +-200 kb SSW clip re-alignment, find_bsj.py:196-215).

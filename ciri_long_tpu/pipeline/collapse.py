@@ -109,22 +109,41 @@ def _sw_many_vs_many_direct(queries, refs, params=JUNC_SW):
 
 
 def _fused_sw(jobs):
-    """Fused executor: concatenate every pending (queries, refs, params)
-    job into one batch per params and slice the rows back out.  Row
-    independence + padding invariance make this bit-identical to
-    per-job dispatches (tests/test_collapse_fuser.py)."""
-    from ciri_long_tpu.ops.sw import SWResult
+    """Fused executor: group pending (queries, refs, params) jobs by
+    their OWN shape buckets, pad each group to its bucket, submit every
+    group's device program before fetching any (async dispatch), then
+    collect and slice rows back out.
+
+    Per-shape grouping matters on bandwidth-limited links: one global
+    batch would pad every 64-wide junction row out to the largest job's
+    4096-wide bucket -- measured 2.9 s/round on the tunnel, pure padded-
+    byte transfer.  Row independence + padding invariance keep fused
+    results bit-identical to per-job dispatches
+    (tests/test_collapse_fuser.py)."""
+    from ciri_long_tpu.ops.sw import (SWResult, sw_align_batch_collect,
+                                      sw_align_batch_submit)
     out = [None] * len(jobs)
-    by_params = {}
+    groups = {}
     for t, (q, r, p) in enumerate(jobs):
-        by_params.setdefault(p, []).append(t)
-    for p, idxs in by_params.items():
+        key = (p, _bucket(max(len(x) for x in q)),
+               _bucket(max(len(x) for x in r)))
+        groups.setdefault(key, []).append(t)
+    handles = []
+    for (p, lq, lr), idxs in groups.items():
         allq, allr, cuts = [], [], [0]
         for t in idxs:
             allq.extend(jobs[t][0])
             allr.extend(jobs[t][1])
             cuts.append(cuts[-1] + len(jobs[t][0]))
-        res = _sw_many_vs_many_direct(allq, allr, p)
+        B = len(allq)
+        q, _ = pad_encoded(allq, max_len=lq)
+        r, _ = pad_encoded(allr, max_len=lr)
+        h = sw_align_batch_submit(_pad_rows(q, _bucket(B)),
+                                  _pad_rows(r, _bucket(B)), p)
+        handles.append((idxs, cuts, B, h))
+    for idxs, cuts, B, h in handles:
+        res = sw_align_batch_collect(h)
+        res = SWResult(*[np.asarray(f)[:B] for f in res])
         for k, t in enumerate(idxs):
             sl = slice(cuts[k], cuts[k + 1])
             out[t] = SWResult(score=res.score[sl],
@@ -1155,11 +1174,16 @@ def _collapse_device_threads():
 
 def _collapse_device_enabled():
     """Whether the MAIN process should run its clusters through the
-    device compute path (threaded, overlapping dispatch RTTs) instead of
-    pinning CIRI_PREFER_HOST_COMPUTE.  CIRI_COLLAPSE_DEVICE=0/1 pins;
-    auto engages on a non-CPU backend whenever the link is not
-    catastrophic -- per-cluster batches now amortise the tunnel across
-    ~16 concurrent clusters instead of paying one RTT per dispatch."""
+    fused device compute path (threaded workers + single-dispatcher
+    fuser) instead of pinning CIRI_PREFER_HOST_COMPUTE.
+    CIRI_COLLAPSE_DEVICE=0/1 pins; auto engages only on LOCAL-grade
+    links (<5 ms RTT).  Measured reason (round 5, BASELINE.md): the
+    collapse stage's device bytes are irreducible -- even with all
+    dispatches fused and shape-grouped, a remote tunnel's bandwidth
+    floors the stage at many seconds that the 4-core host path finishes
+    in under five; on a locally attached chip the same fused rounds are
+    transfer-free and the device path wins.  The round-budget guard in
+    correct_chunk covers links whose RTT probe lies."""
     env = os.environ.get('CIRI_COLLAPSE_DEVICE', 'auto')
     if env in ('0', 'false'):
         return False
@@ -1168,11 +1192,8 @@ def _collapse_device_enabled():
     if os.environ.get('CIRI_PREFER_HOST_COMPUTE', '') not in \
             ('', '0', 'false'):
         return False
-    from ciri_long_tpu.utils.dispatch import cached_rtt_ms, resolved_platform
-    if resolved_platform() == 'cpu':
-        return False
-    rtt = cached_rtt_ms()
-    return rtt is None or rtt < 150.0
+    from ciri_long_tpu.utils.dispatch import low_rtt_device_ready
+    return low_rtt_device_ready(threshold_ms=5.0)
 
 
 def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,

@@ -62,3 +62,75 @@ def test_device_poa_mixed_lengths(rng):
             [mutate(rng, t2) for _ in range(4)],
             [mutate(rng, t1) for _ in range(7)]]
     _jobs_equal(jobs)
+
+
+def _rand_graph(rng, V, P=8, L=16, extra_edge_p=0.35):
+    """Synthetic topo-ordered DAG: linear backbone + random short back
+    edges (delta <= L), the shape real consensus bubbles take."""
+    bases = rng.integers(0, 4, V).astype(np.int32)
+    preds = np.zeros((V, P), np.int32)
+    npred = np.ones(V, np.int32)
+    for i in range(1, V):
+        ps = [i]                        # rank+1 of node i-1
+        while (len(ps) < P and rng.random() < extra_edge_p):
+            delta = int(rng.integers(1, min(L, i + 1) + 1))
+            pr = i + 1 - delta          # rank+1 in [1, i]
+            if pr not in ps:
+                ps.append(pr)
+        preds[i, :len(ps)] = sorted(ps)
+        npred[i] = len(ps)
+    return bases, preds, npred
+
+
+def test_window_kernel_matches_general(rng):
+    """poa_align_batch(lookback=L) must be bit-identical to the general
+    gather kernel on graphs whose preds all fit the ring."""
+    from ciri_long_tpu.ops.poa_batch import max_lookback, poa_align_batch
+
+    B, Vmax, nmax, P, L = 6, 48, 40, 8, 16
+    bases_a = np.zeros((B, Vmax), np.int32)
+    preds_a = np.zeros((B, Vmax, P), np.int32)
+    npred_a = np.ones((B, Vmax), np.int32)
+    seqs_a = np.full((B, nmax), 5, np.int32)
+    nv_a = np.zeros(B, np.int32)
+    ns_a = np.zeros(B, np.int32)
+    for bi in range(B):
+        V = int(rng.integers(5, Vmax + 1))
+        n = int(rng.integers(3, nmax + 1))
+        bases, preds, npred = _rand_graph(rng, V, P, L)
+        assert max_lookback(preds, npred) <= L
+        bases_a[bi, :V] = bases
+        preds_a[bi, :V] = preds
+        npred_a[bi, :V] = npred
+        nv_a[bi] = V
+        seqs_a[bi, :n] = rng.integers(0, 4, n)
+        ns_a[bi] = n
+
+    scores = (10, -4, -8, -2, -24, -1)
+    gs, ga, gc = poa_align_batch(bases_a, nv_a, preds_a, npred_a,
+                                 seqs_a, ns_a, scores)
+    ws, wa, wc = poa_align_batch(bases_a, nv_a, preds_a, npred_a,
+                                 seqs_a, ns_a, scores, lookback=L)
+    assert np.array_equal(ws, gs)
+    assert np.array_equal(wc, gc)
+    assert np.array_equal(wa, ga)
+
+
+def test_max_lookback_and_overflow_routing(rng):
+    """max_lookback flags long back edges; jobs that overflow the ring
+    still produce byte-identical consensus (general-kernel group)."""
+    from ciri_long_tpu.ops.poa_batch import max_lookback
+
+    preds = np.zeros((30, 8), np.int32)
+    npred = np.ones(30, np.int32)
+    preds[1:, 0] = np.arange(1, 30)
+    assert max_lookback(preds, npred) == 1
+    preds[29, 1] = 2                      # node 30 <- rank 2: delta 28
+    npred[29] = 2
+    assert max_lookback(preds, npred) == 28
+
+    # end-to-end: a long repeat forces far-back fuse edges in real
+    # graphs; device path (whatever kernels it picks) must match host
+    t = "".join(rng.choice(list("ACGT"), size=30))
+    job = [t * 3, t * 2 + mutate(rng, t), mutate(rng, t * 3, sub=0.08)]
+    _jobs_equal([job])

@@ -28,8 +28,12 @@ class HybridDrain:
     The pool is fed with apply_async at a bounded depth (workers + 2);
     each completion submits the next front chunk, so un-started chunks
     remain stealable.  The device thread leaves the last ``nworkers``
-    un-started chunks to the pool -- a slow device chunk can then never
-    become the critical path of the drain.
+    un-started chunks to the pool, and once the pool runs out of fresh
+    chunks it RACES any still-running device chunk (chunk functions are
+    pure, delivery is first-result-wins) -- a slow device chunk (e.g.
+    one paying cold remote compiles) can then never become the critical
+    path of the drain: measured 80 s vs 6 s scan walls when one early
+    steal absorbed a cold compile cascade, round-5 BASELINE.md.
 
     ``device_width`` > 1 runs that many stealer threads concurrently --
     the collapse stage uses it so per-cluster device dispatch chains
@@ -50,7 +54,10 @@ class HybridDrain:
         self._err = None
         self._inflight = 0
         self._nworkers = nworkers
+        self._claimed = {}                 # ci -> payload, device in flight
+        self._raced = set()                # device chunks re-given to pool
         self.stolen = 0                    # device-side chunk count
+        self.raced = 0                     # pool-side backup submissions
         with self._cv:
             for _ in range(min(nworkers + 2, len(payloads))):
                 self._submit_front()
@@ -63,20 +70,33 @@ class HybridDrain:
 
     def _submit_front(self):
         # cv held
-        if self._head >= self._tail:
+        if self._head < self._tail:
+            ci, payload = self._payloads[self._head]
+            self._head += 1
+            self._inflight += 1
+            self._pool.apply_async(self._worker_fn, (payload,),
+                                   callback=self._make_cb(ci),
+                                   error_callback=self._on_error)
             return
-        ci, payload = self._payloads[self._head]
-        self._head += 1
-        self._inflight += 1
-        self._pool.apply_async(self._worker_fn, (payload,),
-                               callback=self._make_cb(ci),
-                               error_callback=self._on_error)
+        # no fresh chunks left: back up any device chunk still in
+        # flight (first result wins; results are identical either way)
+        for ci, payload in list(self._claimed.items()):
+            if ci in self._raced or ci in self._done:
+                continue
+            self._raced.add(ci)
+            self.raced += 1
+            self._inflight += 1
+            self._pool.apply_async(self._worker_fn, (payload,),
+                                   callback=self._make_cb(ci),
+                                   error_callback=self._on_error)
+            return
 
     def _make_cb(self, ci):
         def cb(res):
             with self._cv:
                 self._inflight -= 1
-                self._done[ci] = res
+                if ci not in self._done:
+                    self._done[ci] = res
                 self._submit_front()
                 self._cv.notify_all()
         return cb
@@ -96,15 +116,29 @@ class HybridDrain:
                     return
                 self._tail -= 1
                 ci, payload = self._payloads[self._tail]
+                self._claimed[ci] = payload
             try:
                 res = self._run_local(payload)
-            except BaseException as exc:   # propagate to the writer
+            except BaseException:
+                # device-side failure: hand the chunk straight back to
+                # the pool (chunk fns are pure; a dying device must not
+                # kill a run the host can finish) and stop stealing.
+                # Only a POOL failure on the backup fails the drain.
                 with self._cv:
-                    self._err = exc
+                    if ci not in self._done and ci not in self._raced:
+                        self._raced.add(ci)
+                        self.raced += 1
+                        self._inflight += 1
+                        self._pool.apply_async(
+                            self._worker_fn, (payload,),
+                            callback=self._make_cb(ci),
+                            error_callback=self._on_error)
                     self._cv.notify_all()
                 return
             with self._cv:
-                self._done[ci] = res
+                self._claimed.pop(ci, None)
+                if ci not in self._done:
+                    self._done[ci] = res
                 self.stolen += 1
                 self._cv.notify_all()
 

@@ -117,18 +117,40 @@ def test_hybrid_drain_multi_stealer_exactly_once():
     assert hd.stolen == len(local_seen) > 1
 
 
-def test_hybrid_drain_multi_stealer_error_propagates():
+def test_hybrid_drain_device_error_healed_by_pool_race():
+    """A failing device steal no longer dooms the drain when the idle
+    pool can race the chunk: delivery completes with the pool's result
+    (round-5: a cold-compiling steal must never be the critical path,
+    and a dying tunnel must not kill a run the host can finish)."""
     from ciri_long_tpu.parallel.hybrid import HybridDrain
 
     def worker_fn(p):
+        return p * 10
+
+    def run_local(p):
+        raise ValueError('device boom %d' % p)
+
+    hd = HybridDrain(FakePool(1, delay=0.02), 1, worker_fn, run_local,
+                     [(ci, ci) for ci in range(8)], device_width=3)
+    for ci in range(8):
+        assert hd.result(ci) == ci * 10
+    assert hd.raced > 0
+
+
+def test_hybrid_drain_error_on_both_sides_propagates():
+    from ciri_long_tpu.parallel.hybrid import HybridDrain
+
+    def worker_fn(p):
+        if p >= 4:
+            raise ValueError('pool boom %d' % p)
         return p
 
     def run_local(p):
         raise ValueError('device boom %d' % p)
 
-    # slow pool: the stealers are guaranteed to claim back chunks (which
-    # then never complete), so the ordered drain must surface the error
-    hd = HybridDrain(FakePool(1, delay=0.05), 1, worker_fn, run_local,
+    # back chunks (>=4) fail on the device AND in the pool race -> the
+    # ordered drain must surface the failure
+    hd = HybridDrain(FakePool(1, delay=0.02), 1, worker_fn, run_local,
                      [(ci, ci) for ci in range(8)], device_width=3)
     with pytest.raises(RuntimeError, match='hybrid drain failed'):
         for ci in range(8):

@@ -19,6 +19,7 @@ of gating an either/or routing decision.
 """
 
 import threading
+import time
 
 
 class HybridDrain:
@@ -58,6 +59,9 @@ class HybridDrain:
         self._raced = set()                # device chunks re-given to pool
         self.stolen = 0                    # device-side chunk count
         self.raced = 0                     # pool-side backup submissions
+        self._t0 = time.monotonic()
+        self._pool_completed = 0
+        self._dev_last_wall = None
         with self._cv:
             for _ in range(min(nworkers + 2, len(payloads))):
                 self._submit_front()
@@ -95,11 +99,24 @@ class HybridDrain:
         def cb(res):
             with self._cv:
                 self._inflight -= 1
+                self._pool_completed += 1
                 if ci not in self._done:
                     self._done[ci] = res
                 self._submit_front()
                 self._cv.notify_all()
         return cb
+
+    def _steal_pays(self):
+        # cv held.  Adaptive throttle: a device chunk that runs much
+        # slower than a pool worker's chunk also STEALS HOST CPU for its
+        # staging, so past ~3x a pool chunk's wall the steal is a net
+        # loss; stop until drained.  First steal is always allowed (no
+        # data yet) -- the pool race bounds its downside.
+        if self._dev_last_wall is None or self._pool_completed < 2:
+            return True
+        elapsed = time.monotonic() - self._t0
+        pool_chunk_wall = elapsed * self._nworkers / self._pool_completed
+        return self._dev_last_wall <= 3.0 * pool_chunk_wall
 
     def _on_error(self, exc):
         with self._cv:
@@ -114,9 +131,12 @@ class HybridDrain:
                     return
                 if self._tail - self._head <= self._nworkers:
                     return
+                if not self._steal_pays():
+                    return
                 self._tail -= 1
                 ci, payload = self._payloads[self._tail]
                 self._claimed[ci] = payload
+            t0 = time.monotonic()
             try:
                 res = self._run_local(payload)
             except BaseException:
@@ -137,6 +157,7 @@ class HybridDrain:
                 return
             with self._cv:
                 self._claimed.pop(ci, None)
+                self._dev_last_wall = time.monotonic() - t0
                 if ci not in self._done:
                     self._done[ci] = res
                 self.stolen += 1

@@ -417,7 +417,8 @@ _FUSER_TOTALS = [0, 0]            # fused rounds, fused jobs (telemetry)
 _FUSER_TOTALS_LOCK = __import__('threading').Lock()
 
 
-def correct_chunk(ctx, chunk, max_cluster=200, exec_threads=1):
+def correct_chunk(ctx, chunk, max_cluster=200, exec_threads=1,
+                  fuse=None):
     """Correct every cluster of a chunk.
 
     ``exec_threads > 1`` runs the clusters on a thread pool -- the device
@@ -429,7 +430,23 @@ def correct_chunk(ctx, chunk, max_cluster=200, exec_threads=1):
     keeping counters and corrected_reads byte-identical to a serial run.
     """
     results = [None] * len(chunk)
-    if exec_threads > 1 and sum(c is not None for c in chunk) > 1:
+    if fuse is None:
+        # fuse only for DEVICE dispatch: on the host path the workers'
+        # native SW/POA calls release the GIL and parallelise on their
+        # own -- funnelling them through one dispatcher (plus the fuse
+        # linger) SERIALISES them (measured 211 -> 139 reads/s at 1k)
+        from ciri_long_tpu.ops.sw import _on_tpu
+        fuse = _on_tpu()
+    if exec_threads > 1 and sum(c is not None for c in chunk) > 1 \
+            and not fuse:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(exec_threads, len(chunk))) as ex:
+            futs = {i: ex.submit(correct_cluster, ctx, c,
+                                 max_cluster=max_cluster)
+                    for i, c in enumerate(chunk) if c is not None}
+            for i, fut in futs.items():
+                results[i] = fut.result()
+    elif exec_threads > 1 and sum(c is not None for c in chunk) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         from ciri_long_tpu.parallel.fuser import DeviceFuser
@@ -1235,7 +1252,26 @@ def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
     if threads > 1:
         cs = max(1, min(cs, -(-n // (4 * threads))))
     chunks = [reads_cluster[i:i + cs] for i in range(0, n, cs)]
-    dev_threads = _collapse_device_threads() if use_device else 1
+    if use_device:
+        exec_threads = _collapse_device_threads()
+    elif threads <= 1 and n and \
+            sum(len(c) for c in reads_cluster) / n >= 100:
+        # serial runs over BIG clusters: thread them over the idle
+        # cores -- the hot work is GIL-released native POA/SW (63% of
+        # the serial wall, round-5 profile), same convention as
+        # CIRI_SELECT_THREADS in the scan stage.  Gated on mean cluster
+        # size: measured 203 -> 297 reads/s at 4k/250-read clusters but
+        # 211 -> 136 at 1k/62-read clusters (small clusters spend
+        # proportionally more time in XLA-jit edit calls whose intra-op
+        # pools contend across threads).  Pooled runs keep per-worker
+        # chunks serial (the spawn pool already owns the cores).
+        try:
+            exec_threads = max(1, int(os.environ.get(
+                'CIRI_COLLAPSE_HOST_THREADS', str(os.cpu_count() or 1))))
+        except ValueError:
+            exec_threads = 1
+    else:
+        exec_threads = 1
 
     pool = result_iter = hybrid = None
     if threads > 1 and ref_fasta is not None and len(chunks) > 1:
@@ -1246,12 +1282,28 @@ def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
         payloads = [(ci, (c, cfg.max_cluster))
                     for ci, c in enumerate(chunks)]
         if use_device:
+            from ciri_long_tpu.parallel.fuser import DeviceFuser
             from ciri_long_tpu.parallel.hybrid import HybridDrain
+
+            # ONE fuser shared by every stealer thread: their clusters'
+            # device ops fuse across chunks and the link never sees a
+            # concurrent dispatch (stealer threads each dispatching
+            # directly is exactly the livelock pattern, BASELINE r5)
+            steal_fuser = DeviceFuser({'sw': _fused_sw,
+                                       'edit': _fused_edit})
+
+            def _steal_chunk(p):
+                steal_fuser.register()
+                try:
+                    return correct_chunk(ctx, p[0], p[1],
+                                         exec_threads=1)
+                finally:
+                    steal_fuser.unregister()
+
             hybrid = HybridDrain(
                 pool, getattr(pool, '_processes', threads),
-                _collapse_worker_chunk,
-                lambda p: correct_chunk(ctx, p[0], p[1]),
-                payloads, device_width=dev_threads)
+                _collapse_worker_chunk, _steal_chunk,
+                payloads, device_width=exec_threads)
         else:
             result_iter = pool.imap(_collapse_worker_chunk,
                                     [p for _, p in payloads])
@@ -1265,7 +1317,8 @@ def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
                 tmp_cluster, tmp_num = next(result_iter)
             else:
                 tmp_cluster, tmp_num = correct_chunk(
-                    ctx, chunk, cfg.max_cluster, exec_threads=dev_threads)
+                    ctx, chunk, cfg.max_cluster, exec_threads=exec_threads,
+                    fuse=use_device)
             corrected_reads += tmp_cluster
             for key in tmp_num:
                 circ_num[key] += tmp_num[key]
@@ -1275,6 +1328,11 @@ def correct_reads(ctx, reads_cluster, cfg=DEFAULT.collapse, threads=1,
         if pool is not None:
             pool.terminate()
             pool.join()
+        if hybrid is not None and use_device:
+            steal_fuser.close()
+            with _FUSER_TOTALS_LOCK:
+                _FUSER_TOTALS[0] += steal_fuser.rounds
+                _FUSER_TOTALS[1] += steal_fuser.jobs
     prog.update(100)
     if hybrid is not None:
         LOGGER.info('hybrid collapse: device stole %d/%d chunks'

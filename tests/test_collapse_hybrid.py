@@ -180,7 +180,7 @@ def test_slow_device_rounds_pin_host(clusters_world, monkeypatch):
     monkeypatch.setenv('CIRI_COLLAPSE_ROUND_BUDGET_S', '0.01')
     monkeypatch.delenv('CIRI_PREFER_HOST_COMPUTE', raising=False)
     got_cs, got_cnt = cl.correct_chunk(ctx, clusters, max_cluster=200,
-                                       exec_threads=4)
+                                       exec_threads=4, fuse=True)
     assert os.environ.get('CIRI_PREFER_HOST_COMPUTE') == '1'
     assert dict(got_cnt) == dict(want_cnt)
     assert _norm(got_cs) == _norm(want_cs)

@@ -138,8 +138,13 @@ def _fused_sw(jobs):
         B = len(allq)
         q, _ = pad_encoded(allq, max_len=lq)
         r, _ = pad_encoded(allr, max_len=lr)
-        h = sw_align_batch_submit(_pad_rows(q, _bucket(B)),
-                                  _pad_rows(r, _bucket(B)), p)
+        # COARSE batch buckets: fuser round composition is timing-
+        # dependent, so the fine ladder kept minting fresh (B, Lq, Lr)
+        # shapes -- each a remote compile on tunnel links.  Three B
+        # buckets bound the shape space; row padding is compute the
+        # device doesn't notice
+        Bp = next((b for b in (128, 512, 2048) if B <= b), B)
+        h = sw_align_batch_submit(_pad_rows(q, Bp), _pad_rows(r, Bp), p)
         handles.append((idxs, cuts, B, h))
     for idxs, cuts, B, h in handles:
         res = sw_align_batch_collect(h)

@@ -110,6 +110,23 @@ def _ccs_finish(preps, handle):
     return out
 
 
+def _ccs_hybrid_enabled():
+    """Whether the main process's device-NW path should steal CCS chunks
+    from the back of the pool queue (same gate as the scan stage's
+    hybrid: any non-catastrophic accelerator link; the drain's adaptive
+    throttle + pool race bound the downside).  CIRI_CCS_HYBRID pins."""
+    env = os.environ.get('CIRI_CCS_HYBRID', 'auto')
+    if env in ('0', 'false'):
+        return False
+    if env in ('1', 'true'):
+        return True
+    from ciri_long_tpu.utils.dispatch import cached_rtt_ms, resolved_platform
+    if resolved_platform() == 'cpu':
+        return False
+    rtt = cached_rtt_ms()
+    return rtt is None or rtt < 150.0
+
+
 def _ccs_chunk_batched(chunk):
     """Device path: every center-star unit-vs-representative alignment in
     the chunk runs as ONE batched banded-NW program with on-device
@@ -302,8 +319,29 @@ def find_ccs_reads(in_file, out_dir, prefix, threads=1, debugging=False,
         wait_backend_warm()
         ctx = multiprocessing.get_context('fork')
         with ctx.Pool(threads) as pool:
-            result_iter = pool.imap(_ccs_chunk, chunks)
-            results = _drain(result_iter, prog, len(chunks))
+            if _ccs_hybrid_enabled():
+                # work-steal split (parallel/hybrid.py, same machinery
+                # as the scan stage): the pool drains chunks from the
+                # front while the main process's batched device-NW path
+                # steals from the back; the adaptive throttle stops
+                # stealing on links where a device chunk runs slower
+                # than ~3x a pool chunk, and the pool races any slow or
+                # failed steal, so the device can only ADD throughput
+                from ciri_long_tpu.parallel.hybrid import HybridDrain
+                payloads = [(ci, c) for ci, c in enumerate(chunks)]
+                hd = HybridDrain(pool, threads, _ccs_chunk,
+                                 _ccs_chunk_batched, payloads)
+                results = _drain((hd.result(ci)
+                                  for ci in range(len(chunks))),
+                                 prog, len(chunks))
+                if hd.stolen:
+                    import logging
+                    logging.getLogger('CIRI-long').info(
+                        'hybrid ccs: device stole %d/%d chunks'
+                        % (hd.stolen, len(chunks)))
+            else:
+                result_iter = pool.imap(_ccs_chunk, chunks)
+                results = _drain(result_iter, prog, len(chunks))
     else:
         # serial (-t 1) runs still own every core: find_consensus is
         # dominated by GIL-releasing C++ (tandem detect + center-star,

@@ -208,3 +208,34 @@ def test_screen_keep_fused_superset(rng):
     twostep = screen_periodic(counts, lens.tolist())
     assert (fused | ~twostep).all()          # fused >= twostep
     assert fused.sum() <= twostep.sum() + 2  # and not trivially keep-all
+
+
+def test_pipeline_ccs_hybrid_equivalence(rng, tmp_path, monkeypatch):
+    """find_ccs_reads with the hybrid steal forced on (pool front +
+    batched-device-NW back, round 5) must write byte-identical files to
+    the plain pooled path."""
+    from ciri_long_tpu.pipeline.find_ccs import find_ccs_reads
+
+    reads_fa = tmp_path / 'reads.fa'
+    with open(reads_fa, 'w') as f:
+        for i in range(24):
+            unit = rand_seq(rng, int(rng.integers(80, 400)))
+            f.write('>c{}\n{}\n'.format(i, make_rolling_read(
+                rng, unit, copies=2.5 + 0.2 * i, noise=0.03)))
+        for i in range(8):
+            f.write('>l{}\n{}\n'.format(i, rand_seq(rng, 900)))
+
+    monkeypatch.setenv('CIRI_CCS_HYBRID', '0')
+    out_a = tmp_path / 'a'
+    ra = find_ccs_reads(str(reads_fa), str(out_a), 'p', threads=2,
+                        use_device_screen=False)
+    monkeypatch.setenv('CIRI_CCS_HYBRID', '1')
+    # small chunks so both sides demonstrably process some
+    import ciri_long_tpu.pipeline.find_ccs as fc
+    monkeypatch.setattr(fc, 'CHUNK_SIZE', 4)
+    out_b = tmp_path / 'b'
+    rb = find_ccs_reads(str(reads_fa), str(out_b), 'p', threads=2,
+                        use_device_screen=False)
+    assert ra[0] == rb[0] and ra[1] == rb[1] and ra[2] == rb[2]
+    for fn in ('tmp/p.ccs.fa', 'tmp/p.raw.fa'):
+        assert (out_a / fn).read_bytes() == (out_b / fn).read_bytes()

@@ -112,19 +112,20 @@ def _ccs_finish(preps, handle):
 
 def _ccs_hybrid_enabled():
     """Whether the main process's device-NW path should steal CCS chunks
-    from the back of the pool queue (same gate as the scan stage's
-    hybrid: any non-catastrophic accelerator link; the drain's adaptive
-    throttle + pool race bound the downside).  CIRI_CCS_HYBRID pins."""
+    from the back of the pool queue.  Unlike the scan hybrid (whose
+    stolen chunks are mostly device work), a CCS chunk's detection,
+    staging and column votes are HOST work running in the stealer
+    thread -- on a fully-subscribed box each tunnel-grade steal removes
+    ~a pool worker's worth of CPU while the drain throttle sees a
+    within-budget wall (measured 13.4 s vs 4.6 s CCS at 12.5k reads,
+    10/50 stolen).  Auto therefore requires a LOCAL-grade link, like
+    every other CCS offload gate; CIRI_CCS_HYBRID pins."""
     env = os.environ.get('CIRI_CCS_HYBRID', 'auto')
     if env in ('0', 'false'):
         return False
     if env in ('1', 'true'):
         return True
-    from ciri_long_tpu.utils.dispatch import cached_rtt_ms, resolved_platform
-    if resolved_platform() == 'cpu':
-        return False
-    rtt = cached_rtt_ms()
-    return rtt is None or rtt < 150.0
+    return _low_rtt_device_ready()
 
 
 def _ccs_chunk_batched(chunk):

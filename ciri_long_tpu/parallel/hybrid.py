@@ -106,17 +106,24 @@ class HybridDrain:
                 self._cv.notify_all()
         return cb
 
+    # A device chunk's host-side staging displaces pool CPU on a
+    # fully-subscribed box, so even a within-budget slow steal drags the
+    # drain: 5-pair 12.5k measurement put the factor-3.0 scan mean 5%
+    # behind the pool-only path, with fast-tunnel runs (device chunks
+    # ~ pool chunks) BEATING it.  1.5 keeps only those.
+    steal_factor = 1.5
+
     def _steal_pays(self):
         # cv held.  Adaptive throttle: a device chunk that runs much
         # slower than a pool worker's chunk also STEALS HOST CPU for its
-        # staging, so past ~3x a pool chunk's wall the steal is a net
-        # loss; stop until drained.  First steal is always allowed (no
-        # data yet) -- the pool race bounds its downside.
+        # staging; past steal_factor x a pool chunk's wall the steal is
+        # a net loss; stop until drained.  First steal is always allowed
+        # (no data yet) -- the pool race bounds its downside.
         if self._dev_last_wall is None or self._pool_completed < 2:
             return True
         elapsed = time.monotonic() - self._t0
         pool_chunk_wall = elapsed * self._nworkers / self._pool_completed
-        return self._dev_last_wall <= 3.0 * pool_chunk_wall
+        return self._dev_last_wall <= self.steal_factor * pool_chunk_wall
 
     def _on_error(self, exc):
         with self._cv:

@@ -415,6 +415,11 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
         for (vb, nb, fits), items in groups.items():
             per_job = (vb + 1) * (nb + 1) * 14
             bmax = max(1, _POA_MEM_BUDGET // per_job)
+            if fits:
+                # the ring kernel's carried [B, L, W] windows must stay
+                # VMEM-resident: measured 2.55 G cells/s at B=256 vs
+                # 1.58 at B=1024 (ring ~76 MB -> HBM streaming)
+                bmax = min(bmax, 256)
             for lo in range(0, len(items), bmax):
                 part = items[lo:lo + bmax]
                 B = len(part)

@@ -153,7 +153,7 @@ def probe_nwtb(smoke=False, B_override=None):
         'occupancy': round(rate * ops_per_cell / VPU_OPS, 3)}))
 
 
-def probe_poa(smoke=False, B_override=None, win=False):
+def probe_poa(smoke=False, B_override=None, win=False, L=16):
     """poa_align_batch on a linear-chain graph (the dominant real case:
     consensus graphs are near-linear with bubbles).  Work unit =
     (V+1) x (n+1) graph-DP cell.  Per-cell elem-ops from _align_one
@@ -181,7 +181,7 @@ def probe_poa(smoke=False, B_override=None, win=False):
     # poa_align_batch fetches to host internally; probe the underlying
     # jitted fn with the chained-loop methodology instead
     from ciri_long_tpu.ops.poa_batch import _build_batch_fn
-    fn = _build_batch_fn(scores, lookback=16 if win else None)
+    fn = _build_batch_fn(scores, lookback=L if win else None)
 
     @jax.jit
     def loop(sx):
@@ -199,7 +199,8 @@ def probe_poa(smoke=False, B_override=None, win=False):
     rate = cells / dt
     ops_per_cell = 34.0
     print(json.dumps({
-        'metric': 'poa_win_gcells_per_s' if win else 'poa_graph_gcells_per_s',
+        'metric': ('poa_win_L%d_gcells_per_s' % L) if win
+                  else 'poa_graph_gcells_per_s',
         'value': round(rate / 1e9, 3),
         'unit': 'G cells/s', 'wall_per_call_s': round(dt, 5),
         'ops_per_cell_est': ops_per_cell,
@@ -215,11 +216,15 @@ def main():
     ap.add_argument('--B', type=int, default=None,
                     help='override the batch dim (occupancy-vs-batch probe)')
     ap.add_argument('--win', action='store_true',
-                    help='poa: bounded-lookback ring kernel (L=16)')
+                    help='poa: bounded-lookback ring kernel')
+    ap.add_argument('--L', type=int, default=16,
+                    help='poa --win: ring depth (production routes 2-16 '
+                         'by the batch max back-edge, ops/poa.py)')
     args = ap.parse_args()
     kw = dict(smoke=args.smoke, B_override=args.B)
     if args.probe == 'poa':
         kw['win'] = args.win
+        kw['L'] = args.L
     {'chain': probe_chain, 'nwtb': probe_nwtb,
      'poa': probe_poa}[args.probe](**kw)
 

@@ -318,7 +318,16 @@ def _flatten_graph(g: _Graph, pmax: int):
 
 _POA_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 _POA_PMAX = 8
-_POA_LOOKBACK = 16   # ring depth of the gather-free kernel (poa_batch)
+# Ring depths of the gather-free kernel (poa_batch).  The ring kernel's
+# per-row select tree costs 3*P*L*W elem-ops -- the dominant ALU term --
+# so jobs route to the SMALLEST depth that covers their max back-edge
+# (consensus graphs are near-linear: backbone rounds are L<=2, bubble
+# rounds rarely exceed 4).  Depths below 4 are NOT offered: L=2 measured
+# 7x SLOWER than L=16 (0.35 vs 2.59 G cells/s, flat in B -- the [B,L,W]
+# ring degenerates below Mosaic's sublane tile; sweep in
+# benchmarks/KERNEL_SOL.md round 5 cont.), while L=4 measured 4.24.
+_POA_LOOKBACKS = (4, 8, 16)
+_POA_LOOKBACK = _POA_LOOKBACKS[-1]   # ring overflow bound
 # per-call device memory budget: B * (V+1) * (n+1) * ~14 B (H/F1/F2 i32 +
 # case/pidx i8) must stay well under HBM
 _POA_MEM_BUDGET = 1 << 30
@@ -329,6 +338,15 @@ def _poa_bucket(n):
         if n <= b:
             return b
     return n
+
+
+def _poa_lb_bucket(lb):
+    """Smallest ring depth covering back-edge span ``lb``; None when the
+    job overflows every ring (general gather kernel)."""
+    for L in _POA_LOOKBACKS:
+        if lb <= L:
+            return L
+    return None
 
 
 def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
@@ -406,20 +424,25 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
             vb = _poa_bucket(len(order))
             nb = _poa_bucket(len(seq))
             # bounded-lookback jobs take the ring-buffer kernel (the
-            # gather-free 30x path); consensus-graph bubbles are short,
-            # so overflow past _POA_LOOKBACK is rare
-            fits = max_lookback(preds, npred) <= _POA_LOOKBACK
-            groups.setdefault((vb, nb, fits), []).append(
+            # gather-free 30x path) at the smallest depth covering the
+            # job's back edges (select-tree ALU scales with L);
+            # consensus-graph bubbles are short, so overflow past
+            # _POA_LOOKBACK into the general kernel is rare
+            Lb = _poa_lb_bucket(max_lookback(preds, npred))
+            groups.setdefault((vb, nb, Lb), []).append(
                 (t, order, bases, preds, npred, seq))
 
-        for (vb, nb, fits), items in groups.items():
+        for (vb, nb, Lb), items in groups.items():
             per_job = (vb + 1) * (nb + 1) * 14
             bmax = max(1, _POA_MEM_BUDGET // per_job)
-            if fits:
+            if Lb is not None:
                 # the ring kernel's carried [B, L, W] windows must stay
-                # VMEM-resident: measured 2.55 G cells/s at B=256 vs
-                # 1.58 at B=1024 (ring ~76 MB -> HBM streaming)
-                bmax = min(bmax, 256)
+                # VMEM-resident: measured 2.55 G cells/s at B=256/L=16
+                # vs 1.58 at B=1024 (ring ~76 MB -> HBM streaming).
+                # Per-depth caps are MEASURED, not derived: widening pays
+                # only at L=4 (5.25 G at B=1024 vs 4.24 at 256) and hurts
+                # at L=8 (3.11 at 512 vs 3.74 at 256) -- KERNEL_SOL.md.
+                bmax = min(bmax, 1024 if Lb == 4 else 256)
             for lo in range(0, len(items), bmax):
                 part = items[lo:lo + bmax]
                 B = len(part)
@@ -439,7 +462,7 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
                     ns_a[bi] = n
                 _, aln_a, acnt_a = poa_align_batch(
                     bases_a, nv_a, preds_a, npred_a, seqs_a, ns_a, scores,
-                    lookback=_POA_LOOKBACK if fits else None)
+                    lookback=Lb)
                 cap = aln_a.shape[1]
                 for bi, (t, order, bases, preds, npred, seq) in enumerate(part):
                     pairs = aln_a[bi, cap - int(acnt_a[bi]):]

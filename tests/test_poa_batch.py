@@ -82,12 +82,15 @@ def _rand_graph(rng, V, P=8, L=16, extra_edge_p=0.35):
     return bases, preds, npred
 
 
-def test_window_kernel_matches_general(rng):
+@pytest.mark.parametrize("L", [2, 4, 8, 16])
+def test_window_kernel_matches_general(rng, L):
     """poa_align_batch(lookback=L) must be bit-identical to the general
-    gather kernel on graphs whose preds all fit the ring."""
+    gather kernel on graphs whose preds all fit the ring, at every ring
+    depth the production router picks (ops/poa.py::_poa_lb_bucket) plus
+    the L=2 edge (valid kernel, routed around for speed)."""
     from ciri_long_tpu.ops.poa_batch import max_lookback, poa_align_batch
 
-    B, Vmax, nmax, P, L = 6, 48, 40, 8, 16
+    B, Vmax, nmax, P = 6, 48, 40, 8
     bases_a = np.zeros((B, Vmax), np.int32)
     preds_a = np.zeros((B, Vmax, P), np.int32)
     npred_a = np.ones((B, Vmax), np.int32)
@@ -114,6 +117,19 @@ def test_window_kernel_matches_general(rng):
     assert np.array_equal(ws, gs)
     assert np.array_equal(wc, gc)
     assert np.array_equal(wa, ga)
+
+
+def test_lb_bucket_routing():
+    """Jobs route to the smallest ring depth covering their back edges;
+    overflow past the deepest ring returns None (general kernel)."""
+    from ciri_long_tpu.ops.poa import _poa_lb_bucket
+
+    assert _poa_lb_bucket(0) == 4          # pure-source graphs
+    assert _poa_lb_bucket(1) == 4          # linear backbone rounds
+    assert _poa_lb_bucket(4) == 4
+    assert _poa_lb_bucket(5) == 8
+    assert _poa_lb_bucket(16) == 16
+    assert _poa_lb_bucket(17) is None
 
 
 def test_max_lookback_and_overflow_routing(rng):

@@ -153,7 +153,7 @@ def probe_nwtb(smoke=False, B_override=None):
         'occupancy': round(rate * ops_per_cell / VPU_OPS, 3)}))
 
 
-def probe_poa(smoke=False, B_override=None, win=False, L=16):
+def probe_poa(smoke=False, B_override=None, win=False, L=16, P=None):
     """poa_align_batch on a linear-chain graph (the dominant real case:
     consensus graphs are near-linear with bubbles).  Work unit =
     (V+1) x (n+1) graph-DP cell.  Per-cell elem-ops from _align_one
@@ -164,8 +164,9 @@ def probe_poa(smoke=False, B_override=None, win=False, L=16):
     import jax.numpy as jnp
     from ciri_long_tpu.ops.poa_batch import poa_align_batch
 
-    B, V, n, P = (4, 48, 48, 4) if smoke else (256, 384, 384, 4)
+    B, V, n, Pdef = (4, 48, 48, 4) if smoke else (256, 384, 384, 4)
     B = B_override or B
+    P = P or Pdef
     rng = np.random.default_rng(2)
     bases = rng.integers(0, 4, (B, V)).astype(np.int32)
     nv = np.full(B, V, np.int32)
@@ -199,7 +200,7 @@ def probe_poa(smoke=False, B_override=None, win=False, L=16):
     rate = cells / dt
     ops_per_cell = 34.0
     print(json.dumps({
-        'metric': ('poa_win_L%d_gcells_per_s' % L) if win
+        'metric': ('poa_win_L%d_P%d_gcells_per_s' % (L, P)) if win
                   else 'poa_graph_gcells_per_s',
         'value': round(rate / 1e9, 3),
         'unit': 'G cells/s', 'wall_per_call_s': round(dt, 5),
@@ -218,13 +219,17 @@ def main():
     ap.add_argument('--win', action='store_true',
                     help='poa: bounded-lookback ring kernel')
     ap.add_argument('--L', type=int, default=16,
-                    help='poa --win: ring depth (production routes 2-16 '
+                    help='poa --win: ring depth (production routes 4-16 '
                          'by the batch max back-edge, ops/poa.py)')
+    ap.add_argument('--P', type=int, default=None,
+                    help='poa: predecessor slots (production pads to the '
+                         'group max in-degree bucket)')
     args = ap.parse_args()
     kw = dict(smoke=args.smoke, B_override=args.B)
     if args.probe == 'poa':
         kw['win'] = args.win
         kw['L'] = args.L
+        kw['P'] = args.P
     {'chain': probe_chain, 'nwtb': probe_nwtb,
      'poa': probe_poa}[args.probe](**kw)
 

@@ -349,6 +349,15 @@ def _poa_lb_bucket(lb):
     return None
 
 
+def _poa_p_bucket(pmax):
+    """Predecessor-slot width for a job whose max in-degree is ``pmax``.
+    The select tree / gathers scale with P, so low-in-degree rounds (the
+    backbone-dominated majority) run at P=4: measured 5.27 vs 4.48
+    G cells/s at L=4/B=1024.  P=2 measured 2.3x SLOWER (the same
+    sub-4-sublane degeneracy as ring depth L=2) and is not offered."""
+    return 4 if pmax <= 4 else _POA_PMAX
+
+
 def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
                        o1: int = -8, e1: int = -2, o2: int = -24,
                        e2: int = -1, use_device: Optional[bool] = None):
@@ -429,10 +438,11 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
             # consensus-graph bubbles are short, so overflow past
             # _POA_LOOKBACK into the general kernel is rare
             Lb = _poa_lb_bucket(max_lookback(preds, npred))
-            groups.setdefault((vb, nb, Lb), []).append(
+            Pb = _poa_p_bucket(int(npred.max(initial=1)))
+            groups.setdefault((vb, nb, Lb, Pb), []).append(
                 (t, order, bases, preds, npred, seq))
 
-        for (vb, nb, Lb), items in groups.items():
+        for (vb, nb, Lb, Pb), items in groups.items():
             per_job = (vb + 1) * (nb + 1) * 14
             bmax = max(1, _POA_MEM_BUDGET // per_job)
             if Lb is not None:
@@ -448,7 +458,7 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
                 B = len(part)
                 bases_a = np.zeros((B, vb), np.int32)
                 nv_a = np.zeros(B, np.int32)
-                preds_a = np.zeros((B, vb, _POA_PMAX), np.int32)
+                preds_a = np.zeros((B, vb, Pb), np.int32)
                 npred_a = np.ones((B, vb), np.int32)
                 seqs_a = np.full((B, nb), 5, np.int32)
                 ns_a = np.zeros(B, np.int32)
@@ -456,7 +466,9 @@ def poa_consensus_many(jobs: Sequence[Sequence], m: int = 10, x: int = -4,
                     V, n = len(order), len(seq)
                     bases_a[bi, :V] = bases
                     nv_a[bi] = V
-                    preds_a[bi, :V] = preds
+                    # slots past the group's max in-degree are dead
+                    # padding (npred masks them in-kernel): slice them off
+                    preds_a[bi, :V] = preds[:, :Pb]
                     npred_a[bi, :V] = npred
                     seqs_a[bi, :n] = seq
                     ns_a[bi] = n

@@ -131,6 +131,50 @@ def test_lb_bucket_routing():
     assert _poa_lb_bucket(16) == 16
     assert _poa_lb_bucket(17) is None
 
+    from ciri_long_tpu.ops.poa import _poa_p_bucket
+
+    assert _poa_p_bucket(1) == 4           # backbone rounds
+    assert _poa_p_bucket(4) == 4
+    assert _poa_p_bucket(5) == 8
+    assert _poa_p_bucket(8) == 8
+
+
+def test_pred_slot_slicing_invariant(rng):
+    """Dropping dead predecessor padding (P=8 -> P=4 when every in-degree
+    fits) must not change scores, tracebacks or counts -- the property
+    the adaptive-P router relies on."""
+    from ciri_long_tpu.ops.poa_batch import poa_align_batch
+
+    B, Vmax, nmax, L = 5, 40, 36, 4
+    bases_a = np.zeros((B, Vmax), np.int32)
+    preds_a = np.zeros((B, Vmax, 8), np.int32)
+    npred_a = np.ones((B, Vmax), np.int32)
+    seqs_a = np.full((B, nmax), 5, np.int32)
+    nv_a = np.zeros(B, np.int32)
+    ns_a = np.zeros(B, np.int32)
+    for bi in range(B):
+        V = int(rng.integers(5, Vmax + 1))
+        n = int(rng.integers(3, nmax + 1))
+        bases, preds, npred = _rand_graph(rng, V, P=4, L=L)
+        assert npred.max() <= 4
+        bases_a[bi, :V] = bases
+        preds_a[bi, :V, :4] = preds
+        npred_a[bi, :V] = npred
+        nv_a[bi] = V
+        seqs_a[bi, :n] = rng.integers(0, 4, n)
+        ns_a[bi] = n
+
+    scores = (10, -4, -8, -2, -24, -1)
+    for lb in (None, L):
+        s8, a8, c8 = poa_align_batch(bases_a, nv_a, preds_a, npred_a,
+                                     seqs_a, ns_a, scores, lookback=lb)
+        s4, a4, c4 = poa_align_batch(bases_a, nv_a, preds_a[:, :, :4],
+                                     npred_a, seqs_a, ns_a, scores,
+                                     lookback=lb)
+        assert np.array_equal(s4, s8)
+        assert np.array_equal(c4, c8)
+        assert np.array_equal(a4, a8)
+
 
 def test_max_lookback_and_overflow_routing(rng):
     """max_lookback flags long back edges; jobs that overflow the ring
